@@ -1,0 +1,25 @@
+"""Test harness setup.
+
+Forces JAX onto a virtual 8-device CPU mesh BEFORE jax is imported anywhere,
+so sharding/pjit tests exercise real multi-device partitioning without TPU
+hardware (the driver separately dry-runs the multi-chip path via
+__graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def eight_cpu_devices():
+    import jax
+    devs = jax.devices()
+    assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs
