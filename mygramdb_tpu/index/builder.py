@@ -1,0 +1,144 @@
+"""Sorted-segment index builder.
+
+The TPU-native replacement for the reference's per-document hash-map inserts
+(Index::AddDocumentBatch, index.cpp:79-115): accumulate (term_id, doc_id)
+pairs in flat numpy chunks, then one lexsort + dedupe produces the packed CSR
+posting array the device consumes. Bulk builds become O(E log E) vectorized
+work instead of hash-map churn, and the output layout is already the device
+layout (no conversion step).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import textproc
+from .term_dict import TermDict
+
+_CHUNK = 1 << 20
+
+
+@dataclass
+class BuiltIndex:
+    """Immutable CSR snapshot handed to DeviceIndex."""
+    term_dict: TermDict
+    offsets: np.ndarray    # (V,) int64 into postings
+    lengths: np.ndarray    # (V,) int32
+    postings: np.ndarray   # (P,) int32 doc ids, sorted per term
+    max_doc_id: int        # largest doc id present (0 if empty)
+    n_docs: int            # live document count
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.term_dict)
+
+    def df(self) -> np.ndarray:
+        return self.lengths
+
+    def postings_of(self, tid: int) -> np.ndarray:
+        o = int(self.offsets[tid])
+        return self.postings[o:o + int(self.lengths[tid])]
+
+
+class IndexBuilder:
+    """Accumulates shredded documents; finalize() emits a BuiltIndex."""
+
+    def __init__(self, ngram_size: int = 2, kanji_ngram_size: int = 1,
+                 cross_boundary_ngrams: bool = True,
+                 term_dict: Optional[TermDict] = None):
+        self.ngram_size = ngram_size
+        self.kanji_ngram_size = kanji_ngram_size
+        self.cross_boundary = cross_boundary_ngrams
+        self.term_dict = term_dict or TermDict()
+        self._tid_chunks: List[np.ndarray] = []
+        self._doc_chunks: List[np.ndarray] = []
+        self._cur_tids: List[int] = []
+        self._cur_docs: List[int] = []
+        self._max_doc_id = 0
+        self._n_docs = 0
+
+    def shred(self, normalized_text: str) -> List[str]:
+        return textproc.generate_query_ngrams(
+            normalized_text, self.ngram_size, self.kanji_ngram_size,
+            self.cross_boundary)
+
+    def add_document(self, doc_id: int, normalized_text: str) -> None:
+        grams = set(self.shred(normalized_text))
+        if not grams:
+            # document still counts toward corpus size even with no grams
+            self._n_docs += 1
+            self._max_doc_id = max(self._max_doc_id, doc_id)
+            return
+        get_or_add = self.term_dict.get_or_add
+        tids = self._cur_tids
+        docs = self._cur_docs
+        for g in grams:
+            tids.append(get_or_add(g))
+            docs.append(doc_id)
+        self._n_docs += 1
+        self._max_doc_id = max(self._max_doc_id, doc_id)
+        if len(tids) >= _CHUNK:
+            self._flush()
+
+    def add_batch(self, items: Iterable[Tuple[int, str]]) -> None:
+        for doc_id, text in items:
+            self.add_document(doc_id, text)
+
+    def _flush(self) -> None:
+        if self._cur_tids:
+            self._tid_chunks.append(np.asarray(self._cur_tids, dtype=np.int64))
+            self._doc_chunks.append(np.asarray(self._cur_docs, dtype=np.int64))
+            self._cur_tids = []
+            self._cur_docs = []
+
+    def finalize(self) -> BuiltIndex:
+        self._flush()
+        V = len(self.term_dict)
+        if not self._tid_chunks:
+            return BuiltIndex(self.term_dict,
+                              np.zeros(V, dtype=np.int64),
+                              np.zeros(V, dtype=np.int32),
+                              np.zeros(0, dtype=np.int32),
+                              self._max_doc_id, self._n_docs)
+        tids = np.concatenate(self._tid_chunks)
+        docs = np.concatenate(self._doc_chunks)
+        # One sorted segment: order by (term, doc). Doc ids within a term are
+        # appended in insertion order, so a stable sort on term then doc.
+        order = np.lexsort((docs, tids))
+        tids = tids[order]
+        docs = docs[order]
+        # dedupe (term, doc) pairs (documents are shredded deduped, but
+        # incremental merges may re-add)
+        if tids.size:
+            keep = np.empty(tids.size, dtype=bool)
+            keep[0] = True
+            np.logical_or(tids[1:] != tids[:-1], docs[1:] != docs[:-1],
+                          out=keep[1:])
+            tids = tids[keep]
+            docs = docs[keep]
+        lengths = np.bincount(tids, minlength=V).astype(np.int32)
+        offsets = np.zeros(V, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        return BuiltIndex(self.term_dict, offsets, lengths,
+                          docs.astype(np.int32), self._max_doc_id, self._n_docs)
+
+
+def build_from_csr_like(term_dict: TermDict,
+                        posting_map: Dict[int, np.ndarray],
+                        max_doc_id: int, n_docs: int) -> BuiltIndex:
+    """Rebuild a BuiltIndex from per-term doc-id arrays (compaction path)."""
+    V = len(term_dict)
+    lengths = np.zeros(V, dtype=np.int32)
+    for tid, arr in posting_map.items():
+        lengths[tid] = arr.size
+    offsets = np.zeros(V, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    total = int(lengths.sum())
+    postings = np.zeros(total, dtype=np.int32)
+    for tid, arr in posting_map.items():
+        o = offsets[tid]
+        postings[o:o + arr.size] = arr
+    return BuiltIndex(term_dict, offsets, lengths, postings, max_doc_id, n_docs)

@@ -1,0 +1,396 @@
+"""Mutable index = immutable device segment + host delta overlay.
+
+The reference mutates hash-map posting lists per binlog event
+(index.cpp:38-166). HBM tensors want batch rebuilds instead, so mutation is
+split (SURVEY.md §7.5):
+
+- ``DeltaSegment`` (host): postings/doc-term sets for documents added or
+  updated since the last compaction, plus tombstones.
+- ``DeviceIndex`` (device): the compiled segment; deletes/updates of
+  device-resident docs only flip its tombstone bitmap.
+- ``MutableIndex``: facade with the reference Index API (AddDocument /
+  UpdateDocument / RemoveDocument / SearchAnd / SearchOr / SearchNot /
+  SearchByThreshold / FilterByNgrams / Optimize). Queries run on device and
+  the (small) delta is merged host-side; ``optimize()`` compacts the delta
+  into a fresh device segment.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from .builder import BuiltIndex, IndexBuilder
+from .device_index import DeviceIndex, SearchOptions
+from .term_dict import TermDict
+
+
+class DeltaSegment:
+    """Host-side postings for post-compaction documents."""
+
+    def __init__(self) -> None:
+        self.doc_terms: Dict[int, Set[int]] = {}
+        self.term_docs: Dict[int, Set[int]] = {}
+
+    def __len__(self) -> int:
+        return len(self.doc_terms)
+
+    def add(self, doc_id: int, tids: Set[int]) -> None:
+        self.doc_terms[doc_id] = tids
+        for t in tids:
+            self.term_docs.setdefault(t, set()).add(doc_id)
+
+    def remove(self, doc_id: int) -> bool:
+        tids = self.doc_terms.pop(doc_id, None)
+        if tids is None:
+            return False
+        for t in tids:
+            docs = self.term_docs.get(t)
+            if docs is not None:
+                docs.discard(doc_id)
+                if not docs:
+                    del self.term_docs[t]
+        return True
+
+    def docs_with_all(self, tids: Sequence[int]) -> Set[int]:
+        """Docs containing every term (AND semantics)."""
+        if not tids:
+            return set()
+        sets = []
+        for t in tids:
+            s = self.term_docs.get(t)
+            if not s:
+                return set()
+            sets.append(s)
+        sets.sort(key=len)
+        out = set(sets[0])
+        for s in sets[1:]:
+            out &= s
+            if not out:
+                break
+        return out
+
+    def docs_with_any(self, tids: Sequence[int]) -> Set[int]:
+        out: Set[int] = set()
+        for t in tids:
+            out |= self.term_docs.get(t, set())
+        return out
+
+    def count_terms_per_doc(self, tids: Sequence[int]) -> Dict[int, int]:
+        counts: Dict[int, int] = {}
+        for t in tids:
+            for d in self.term_docs.get(t, ()):
+                counts[d] = counts.get(d, 0) + 1
+        return counts
+
+
+class MutableIndex:
+    """Reference-compatible Index facade over DeviceIndex + DeltaSegment."""
+
+    def __init__(self, built: Optional[BuiltIndex] = None,
+                 ngram_size: int = 2, kanji_ngram_size: int = 1,
+                 cross_boundary_ngrams: bool = True,
+                 dense_df_ratio: float = 0.01, max_dense_terms: int = 8192,
+                 candidate_buckets=(256, 2048, 16384, 131072)):
+        self.ngram_size = ngram_size
+        self.kanji_ngram_size = kanji_ngram_size
+        self.cross_boundary = cross_boundary_ngrams
+        self._dense_df_ratio = dense_df_ratio
+        self._max_dense_terms = max_dense_terms
+        self._candidate_buckets = candidate_buckets
+        if built is None:
+            built = IndexBuilder(ngram_size, kanji_ngram_size,
+                                 cross_boundary_ngrams).finalize()
+        self._lock = threading.RLock()
+        self._install(built)
+        self.delta = DeltaSegment()
+        self.tombstones: Set[int] = set()  # all deleted doc ids (authoritative)
+        self._n_docs = built.n_docs
+        self.version = 0  # bumped on every mutation (optimize concurrency)
+
+    def _install(self, built: BuiltIndex) -> None:
+        self.built = built
+        self.term_dict = built.term_dict
+        self.device = DeviceIndex(
+            built, dense_df_ratio=self._dense_df_ratio,
+            max_dense_terms=self._max_dense_terms,
+            candidate_buckets=self._candidate_buckets)
+        self._device_v = built.n_terms
+        self._device_doc_max = built.max_doc_id
+
+    # ------------------------------------------------------------------
+    # Shredding
+    # ------------------------------------------------------------------
+    def shred(self, normalized_text: str) -> List[str]:
+        from ..utils import textproc
+        return textproc.generate_query_ngrams(
+            normalized_text, self.ngram_size, self.kanji_ngram_size,
+            self.cross_boundary)
+
+    def query_tids(self, grams: Sequence[str]) -> Optional[List[int]]:
+        """Term ids for query grams; None if any gram is unknown (=> empty)."""
+        out = []
+        for g in grams:
+            t = self.term_dict.get(g)
+            if t is None:
+                return None
+            out.append(t)
+        return out
+
+    # ------------------------------------------------------------------
+    # Mutation (binlog / SYNC path)
+    # ------------------------------------------------------------------
+    def add_document(self, doc_id: int, normalized_text: str) -> None:
+        """Upsert: insert-or-replace (reference INSERT has insert-or-ignore
+        at the DocumentStore level; the processor routes duplicates to
+        update, so upsert here is safe for both)."""
+        with self._lock:
+            existed = self._remove_locked(doc_id)
+            grams = set(self.shred(normalized_text))
+            tids = {self.term_dict.get_or_add(g) for g in grams}
+            self.delta.add(doc_id, tids)
+            self.tombstones.discard(doc_id)
+            if not existed:
+                self._n_docs += 1
+            self.version += 1
+
+    def update_document(self, doc_id: int, normalized_text: str) -> None:
+        self.add_document(doc_id, normalized_text)
+
+    def remove_document(self, doc_id: int) -> bool:
+        with self._lock:
+            existed = self._remove_locked(doc_id)
+            if existed:
+                self.tombstones.add(doc_id)
+                self._n_docs -= 1
+                self.version += 1
+            return existed
+
+    def _remove_locked(self, doc_id: int) -> bool:
+        in_delta = self.delta.remove(doc_id)
+        on_device = (doc_id <= self._device_doc_max
+                     and doc_id not in self.tombstones)
+        if on_device:
+            self.device.mark_deleted([doc_id])
+        if in_delta and doc_id <= self._device_doc_max:
+            return True
+        return in_delta or on_device
+
+    def clear(self) -> None:
+        with self._lock:
+            builder = IndexBuilder(self.ngram_size, self.kanji_ngram_size,
+                                   self.cross_boundary)
+            self._install(builder.finalize())
+            self.delta = DeltaSegment()
+            self.tombstones = set()
+            self._n_docs = 0
+            self.version += 1
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+    def _split_tids(self, tids: Sequence[int]) -> Tuple[List[int], List[int]]:
+        dev = [t for t in tids if t < self._device_v]
+        return dev, list(tids)
+
+    def search_and(self, grams: Sequence[str], not_grams: Sequence[str] = (),
+                   extra_words=None, limit: int = 0, descending: bool = True,
+                   delta_filter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                   ) -> Tuple[int, np.ndarray]:
+        """AND search. Returns (total, ids). ids = top-limit in doc-id order
+        when limit>0, else all matches ascending."""
+        tids = self.query_tids(grams)
+        if tids is None or not tids:
+            return 0, np.empty(0, dtype=np.int32)
+        not_tids = [t for t in (self.term_dict.get(g) for g in not_grams)
+                    if t is not None]
+
+        with self._lock:
+            # device part: terms unknown to the device segment have zero
+            # device postings => device result empty; delta may still match
+            dev_ok = all(t < self._device_v for t in tids)
+            if dev_ok:
+                dev_not = [t for t in not_tids if t < self._device_v]
+                total_dev, ids_dev = self.device.search_and(
+                    tids, dev_not, extra_words,
+                    SearchOptions(limit=limit, descending=descending))
+            else:
+                total_dev, ids_dev = 0, np.empty(0, dtype=np.int32)
+            # delta part
+            delta_ids = self._delta_and(tids, not_tids)
+        if delta_ids.size and delta_filter is not None:
+            delta_ids = delta_filter(delta_ids)
+        return self._merge(total_dev, ids_dev, delta_ids, limit, descending)
+
+    def _delta_and(self, tids, not_tids) -> np.ndarray:
+        docs = self.delta.docs_with_all(tids)
+        if not docs:
+            return np.empty(0, dtype=np.int32)
+        if not_tids:
+            bad = self.delta.docs_with_any(not_tids)
+            docs = docs - bad
+            # device postings of NOT terms also exclude delta docs that are
+            # device-resident re-adds? delta docs' term sets are complete, so
+            # delta membership alone decides.
+        return np.asarray(sorted(docs), dtype=np.int32)
+
+    def _merge(self, total_dev: int, ids_dev: np.ndarray,
+               delta_ids: np.ndarray, limit: int,
+               descending: bool) -> Tuple[int, np.ndarray]:
+        total = total_dev + int(delta_ids.size)
+        if delta_ids.size == 0:
+            return total, ids_dev
+        if limit > 0:
+            merged = np.union1d(ids_dev, delta_ids)
+            merged = merged[::-1] if descending else merged
+            return total, merged[:limit].astype(np.int32)
+        return total, np.union1d(ids_dev, delta_ids).astype(np.int32)
+
+    def search_or(self, grams: Sequence[str]) -> np.ndarray:
+        tids = [t for t in (self.term_dict.get(g) for g in grams)
+                if t is not None]
+        if not tids:
+            return np.empty(0, dtype=np.int32)
+        with self._lock:
+            dev = self.device.search_or([t for t in tids if t < self._device_v])
+            delta_docs = self.delta.docs_with_any(tids)
+        if self.tombstones:
+            dev = dev[~np.isin(dev, np.asarray(list(self.tombstones)))] \
+                if dev.size else dev
+        if delta_docs:
+            return np.union1d(dev, np.asarray(sorted(delta_docs),
+                                              dtype=np.int32)).astype(np.int32)
+        return dev.astype(np.int32)
+
+    def search_not(self, base_ids: np.ndarray,
+                   not_grams: Sequence[str]) -> np.ndarray:
+        """base minus docs containing any NOT gram (boolean-AST NOT)."""
+        bad = self.search_or(not_grams)
+        if bad.size == 0 or base_ids.size == 0:
+            return base_ids
+        return base_ids[~np.isin(base_ids, bad)]
+
+    def search_by_threshold(self, grams: Sequence[str], min_count: int,
+                            max_out: int = 131072) -> np.ndarray:
+        tids = [t for t in (self.term_dict.get(g) for g in grams)
+                if t is not None]
+        if not tids:
+            return np.empty(0, dtype=np.int32)
+        with self._lock:
+            dev_tids = [t for t in tids if t < self._device_v]
+            dev = (self.device.search_by_threshold(dev_tids, min_count, max_out)
+                   if dev_tids else np.empty(0, dtype=np.int32))
+            counts = self.delta.count_terms_per_doc(tids)
+        delta_ids = np.asarray(sorted(d for d, c in counts.items()
+                                      if c >= min_count), dtype=np.int32)
+        if self.tombstones and dev.size:
+            dev = dev[~np.isin(dev, np.asarray(list(self.tombstones)))]
+        return np.union1d(dev, delta_ids).astype(np.int32)
+
+    def filter_by_ngrams(self, candidates: np.ndarray,
+                         grams: Sequence[str]) -> np.ndarray:
+        tids = self.query_tids(list(grams))
+        if tids is None:
+            return np.empty(0, dtype=np.int32)
+        if candidates.size == 0:
+            return candidates
+        delta_mask = candidates > self._device_doc_max
+        dev_part = candidates[~delta_mask]
+        delta_part = candidates[delta_mask]
+        # also: device-resident docs that were updated live in delta
+        out_parts = []
+        if dev_part.size:
+            updated = np.asarray(
+                [d for d in dev_part if d in self.delta.doc_terms],
+                dtype=np.int32)
+            pure_dev = dev_part[~np.isin(dev_part, updated)] \
+                if updated.size else dev_part
+            dev_tids = [t for t in tids if t < self._device_v]
+            if len(dev_tids) == len(tids):
+                out_parts.append(self.device.filter_by_ngrams(pure_dev, tids))
+            if updated.size:
+                out_parts.append(self._delta_probe(updated, tids))
+        if delta_part.size:
+            out_parts.append(self._delta_probe(delta_part, tids))
+        if not out_parts:
+            return np.empty(0, dtype=np.int32)
+        return np.concatenate(out_parts).astype(np.int32)
+
+    def _delta_probe(self, ids: np.ndarray, tids) -> np.ndarray:
+        tid_set = set(tids)
+        keep = [d for d in ids.tolist()
+                if tid_set <= self.delta.doc_terms.get(int(d), set())]
+        return np.asarray(keep, dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    # Maintenance
+    # ------------------------------------------------------------------
+    def optimize(self) -> None:
+        """Compact delta + tombstones into a fresh device segment
+        (reference Index::Optimize, index_optimization.cpp)."""
+        with self._lock:
+            built = self.built
+            V = len(self.term_dict)
+            # existing pairs minus tombstones (built.lengths is the CSR width
+            # at segment-build time; the term dict may have grown since)
+            tids_rep = np.repeat(
+                np.arange(built.lengths.shape[0], dtype=np.int64),
+                built.lengths)
+            docs = built.postings.astype(np.int64)
+            if self.tombstones or self.delta.doc_terms:
+                dead = set(self.tombstones)
+                dead.update(self.delta.doc_terms.keys() &
+                            set(range(1, self._device_doc_max + 1)))
+                if dead:
+                    dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+                    keep = ~np.isin(docs, dead_arr)
+                    tids_rep = tids_rep[keep]
+                    docs = docs[keep]
+            # delta pairs
+            extra_t: List[int] = []
+            extra_d: List[int] = []
+            for d, ts in self.delta.doc_terms.items():
+                extra_t.extend(ts)
+                extra_d.extend([d] * len(ts))
+            if extra_t:
+                tids_rep = np.concatenate(
+                    [tids_rep, np.asarray(extra_t, dtype=np.int64)])
+                docs = np.concatenate(
+                    [docs, np.asarray(extra_d, dtype=np.int64)])
+            order = np.lexsort((docs, tids_rep))
+            tids_rep = tids_rep[order]
+            docs = docs[order]
+            lengths = np.bincount(tids_rep, minlength=V).astype(np.int32)
+            offsets = np.zeros(V, dtype=np.int64)
+            np.cumsum(lengths[:-1], out=offsets[1:])
+            max_doc = int(docs.max()) if docs.size else 0
+            new_built = BuiltIndex(self.term_dict, offsets, lengths,
+                                   docs.astype(np.int32), max_doc, self._n_docs)
+            self._install(new_built)
+            self.delta = DeltaSegment()
+            self.tombstones = set()
+            self.version += 1
+
+    # ------------------------------------------------------------------
+    @property
+    def n_docs(self) -> int:
+        return self._n_docs
+
+    @property
+    def n_terms(self) -> int:
+        return len(self.term_dict)
+
+    def term_df(self, gram: str) -> int:
+        """Document frequency incl. delta (approximate during delta phase)."""
+        t = self.term_dict.get(gram)
+        if t is None:
+            return 0
+        base = int(self.built.lengths[t]) if t < self._device_v else 0
+        return base + len(self.delta.term_docs.get(t, ()))
+
+    def memory_usage(self) -> int:
+        dev = self.device.memory_usage()
+        host = self.built.postings.nbytes + self.built.offsets.nbytes
+        return int(dev + host)

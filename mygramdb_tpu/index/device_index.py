@@ -1,0 +1,463 @@
+"""HBM-resident n-gram index and its query kernels.
+
+Layout (TPU-first redesign of the reference's hybrid posting lists,
+index/posting_list.h:32-35 — delta-compressed vectors + Roaring bitmaps):
+
+- **Dense terms** (df/N >= device.dense_df_ratio, capped at max_dense_terms,
+  chosen by df rank): one uint32 bitmap row each in a (D+2, W) HBM matrix.
+  Two sentinel rows are appended: row D = all-ones (AND identity),
+  row D+1 = all-zeros (OR identity), so kernels never need validity masks.
+- **Sparse terms** (everything else): packed CSR int32 doc-id array, sorted
+  per term, plus host+device offset/length vectors.
+- **Tombstones**: one (W,) uint32 deleted bitmap, AND-NOT'ed in every query
+  (the mutation path marks deletes here; compaction folds them in).
+
+Query execution (replaces Index::SearchAnd/Or/Not, index.cpp:201-446):
+- all-dense AND/OR -> Pallas row-gather bitwise reduce + popcount/top-k.
+- any sparse term -> the rarest sparse term's slice becomes the candidate
+  vector (padded to a static bucket); every other term probes it: sparse
+  terms by vectorized binary search, dense terms by bitmap bit-probe.
+  NOT terms are the same probes inverted. This is the TPU shape of the
+  reference's selectivity planning + FilterByNgrams membership probe.
+
+All kernel shapes are bucketed so jit compiles a bounded set of variants.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import bitmap_ops, posting_ops
+from ..ops.posting_ops import SENTINEL, gather_slices, membership_sorted
+from ..ops.threshold_ops import threshold_merge
+from .builder import BuiltIndex
+
+WBLOCK_WORDS = 512  # W is padded to this (16384 docs) for Pallas alignment
+
+_LIMIT_BUCKETS = (16, 128, 1024)
+_PROBE_K_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+
+def _bucket_of(value: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if value <= b:
+            return b
+    # round up to a multiple of the largest bucket
+    big = buckets[-1]
+    return ((value + big - 1) // big) * big
+
+
+def _k_bucket(k: int) -> int:
+    return _bucket_of(max(k, 1), _PROBE_K_BUCKETS)
+
+
+@dataclass
+class SearchOptions:
+    limit: int = 0            # 0 = count/materialize all
+    descending: bool = True   # doc-id (PK) order
+    return_mask: bool = False
+
+
+class DeviceIndex:
+    """Immutable compiled index segment resident on device."""
+
+    def __init__(self, built: BuiltIndex, dense_df_ratio: float = 0.01,
+                 max_dense_terms: int = 8192, candidate_buckets=(256, 2048, 16384, 131072),
+                 device=None):
+        self.built = built
+        self.candidate_buckets = tuple(candidate_buckets)
+        V = built.n_terms
+        self.n_docs_capacity = self._capacity(built.max_doc_id)
+        self.n_words = self.n_docs_capacity // 32
+
+        df = built.lengths
+        n_docs = max(built.n_docs, 1)
+        dense_min_df = max(int(dense_df_ratio * n_docs), 1)
+        dense_candidates = np.flatnonzero(df >= dense_min_df)
+        if dense_candidates.size > max_dense_terms:
+            order = np.argsort(df[dense_candidates])[::-1]
+            dense_candidates = dense_candidates[order[:max_dense_terms]]
+            dense_candidates.sort()
+        self.dense_row = np.full(V, -1, dtype=np.int32)
+        self.dense_row[dense_candidates] = np.arange(
+            dense_candidates.size, dtype=np.int32)
+        self.n_dense = int(dense_candidates.size)
+        self.ones_row = self.n_dense       # AND identity sentinel
+        self.zeros_row = self.n_dense + 1  # OR identity sentinel
+
+        # Build bitmap matrix on host, upload once.
+        bm = np.zeros((self.n_dense + 2, self.n_words), dtype=np.uint32)
+        for row, tid in enumerate(dense_candidates):
+            ids = built.postings_of(int(tid)).astype(np.int64)
+            np.bitwise_or.at(
+                bm[row], ids >> 5,
+                np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32)))
+        bm[self.ones_row] = np.uint32(0xFFFFFFFF)
+
+        self._device = device
+        self.bitmaps = jax.device_put(bm, device)
+        # Sparse CSR on device (dense terms keep their postings too: the
+        # boolean-AST/OR paths and compaction read them from the host mirror;
+        # device copy holds only sparse slices to save HBM).
+        sparse_mask = self.dense_row < 0
+        self.is_sparse = sparse_mask
+        # device CSR over the full postings array (offsets valid for all terms)
+        self.postings = jax.device_put(built.postings, device)
+        self.offsets32 = built.offsets.astype(np.int32)
+        self.lengths = built.lengths
+        self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
+        self.deleted = jax.device_put(self.deleted_host, device)
+        self._del_lock = threading.Lock()
+        self._jit_cache: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _capacity(max_doc_id: int) -> int:
+        need_words = (max_doc_id + 1 + 31) // 32
+        words = max(
+            ((need_words + WBLOCK_WORDS - 1) // WBLOCK_WORDS) * WBLOCK_WORDS,
+            WBLOCK_WORDS)
+        return words * 32
+
+    def accepts_doc_id(self, doc_id: int) -> bool:
+        return 0 < doc_id < self.n_docs_capacity
+
+    # ------------------------------------------------------------------
+    # Tombstones
+    # ------------------------------------------------------------------
+    def mark_deleted(self, doc_ids: Sequence[int]) -> None:
+        ids = np.asarray([d for d in doc_ids if 0 < d < self.n_docs_capacity],
+                         dtype=np.int64)
+        if ids.size == 0:
+            return
+        with self._del_lock:
+            np.bitwise_or.at(
+                self.deleted_host, ids >> 5,
+                np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32)))
+            self.deleted = jax.device_put(self.deleted_host, self._device)
+
+    def unmark_deleted(self, doc_ids: Sequence[int]) -> None:
+        ids = np.asarray([d for d in doc_ids if 0 < d < self.n_docs_capacity],
+                         dtype=np.int64)
+        if ids.size == 0:
+            return
+        with self._del_lock:
+            np.bitwise_and.at(
+                self.deleted_host, ids >> 5,
+                np.bitwise_not(
+                    np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32))))
+            self.deleted = jax.device_put(self.deleted_host, self._device)
+
+    def deleted_count(self) -> int:
+        return int(np.sum(np.unpackbits(
+            self.deleted_host.view(np.uint8))))
+
+    # ------------------------------------------------------------------
+    # Planning helpers
+    # ------------------------------------------------------------------
+    def classify(self, tids: Sequence[int]) -> Tuple[List[int], List[int]]:
+        """-> (dense_rows, sparse_tids)"""
+        dense, sparse = [], []
+        for t in tids:
+            r = int(self.dense_row[t])
+            if r >= 0:
+                dense.append(r)
+            else:
+                sparse.append(t)
+        return dense, sparse
+
+    def df_of(self, tid: int) -> int:
+        return int(self.lengths[tid])
+
+    def postings_of(self, tid: int) -> np.ndarray:
+        return self.built.postings_of(tid)
+
+    def _cand_bucket(self, n: int) -> int:
+        return _bucket_of(max(n, 1), self.candidate_buckets)
+
+    # ------------------------------------------------------------------
+    # Core search
+    # ------------------------------------------------------------------
+    def search_and(self, tids: Sequence[int], not_tids: Sequence[int] = (),
+                   extra_words: Optional[List[jax.Array]] = None,
+                   opts: SearchOptions = SearchOptions()) -> Tuple[int, np.ndarray]:
+        """AND of terms minus NOT terms, AND'ed with extra word bitmaps.
+
+        Returns (total, doc_ids). With opts.limit > 0, doc_ids is the
+        top-limit by doc id in the requested order; otherwise ALL matching
+        ids sorted ascending.
+        """
+        if not tids:
+            return 0, np.empty(0, dtype=np.int32)
+        dense_rows, sparse_tids = self.classify(list(tids))
+        if any(self.lengths[t] == 0 for t in sparse_tids):
+            return 0, np.empty(0, dtype=np.int32)
+        nd_rows, ns_tids = self.classify(list(not_tids))
+
+        if sparse_tids:
+            return self._sparse_and_path(sparse_tids, dense_rows, ns_tids,
+                                         nd_rows, extra_words or [], opts)
+        return self._dense_and_path(dense_rows, ns_tids, nd_rows,
+                                    extra_words or [], opts)
+
+    # ---------------- dense path ----------------
+    def _dense_and_path(self, dense_rows, ns_tids, nd_rows, extra_words, opts):
+        rows = np.asarray([dense_rows], dtype=np.int32)
+        res = bitmap_ops.and_rows(self.bitmaps, jnp.asarray(rows))[0]
+        if nd_rows:
+            nrows = np.asarray([nd_rows], dtype=np.int32)
+            nres = bitmap_ops.or_rows(self.bitmaps, jnp.asarray(nrows))[0]
+            res = bitmap_ops.andnot(res, nres)
+        res = bitmap_ops.andnot(res, self.deleted)
+        for warr in extra_words:
+            res = jnp.bitwise_and(res, warr)
+        if ns_tids:
+            # sparse NOT on a dense result: clear their bits via host bitmap
+            ids = np.concatenate([self.postings_of(t) for t in ns_tids]) \
+                if ns_tids else np.empty(0, dtype=np.int32)
+            nb = bitmap_ops.make_bitmap_from_ids(ids, self.n_words)
+            res = bitmap_ops.andnot(res, jax.device_put(nb, self._device))
+        total = int(bitmap_ops.count_bitmap(res[None, :])[0])
+        if opts.limit > 0:
+            n = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
+                    self.n_docs_capacity)
+            ids = np.asarray(bitmap_ops.topn_from_bitmap(
+                res[None, :], n, opts.descending)[0])
+            ids = ids[ids >= 0][:opts.limit]
+            return total, ids.astype(np.int32)
+        ids = self._bitmap_to_ids(np.asarray(res))
+        return total, ids
+
+    @staticmethod
+    def _bitmap_to_ids(words: np.ndarray) -> np.ndarray:
+        bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.int32)
+
+    # ---------------- sparse candidate path ----------------
+    def _sparse_and_path(self, sparse_tids, dense_rows, ns_tids, nd_rows,
+                         extra_words, opts):
+        # rarest sparse term drives
+        sparse_tids = sorted(sparse_tids, key=lambda t: int(self.lengths[t]))
+        driver = sparse_tids[0]
+        probes_sparse = sparse_tids[1:]
+        dlen = int(self.lengths[driver])
+        if dlen == 0:
+            return 0, np.empty(0, dtype=np.int32)
+        C = self._cand_bucket(dlen)
+
+        sp_off, sp_len, sp_inv = [], [], []
+        for t in probes_sparse:
+            sp_off.append(int(self.offsets32[t]))
+            sp_len.append(int(self.lengths[t]))
+            sp_inv.append(False)
+        for t in ns_tids:
+            sp_off.append(int(self.offsets32[t]))
+            sp_len.append(int(self.lengths[t]))
+            sp_inv.append(True)
+        Ks = _k_bucket(len(sp_off)) if sp_off else 1
+        max_probe_len = max([1] + sp_len)
+        Cmax = self._cand_bucket(max_probe_len)
+        while len(sp_off) < Ks:
+            sp_off.append(0)
+            sp_len.append(0)
+            sp_inv.append(True)  # len 0 + invert -> all-true
+
+        dn_rows = list(dense_rows) + [r for r in nd_rows]
+        dn_inv = [False] * len(dense_rows) + [True] * len(nd_rows)
+        Kd = _k_bucket(len(dn_rows)) if dn_rows else 1
+        while len(dn_rows) < Kd:
+            dn_rows.append(self.ones_row)
+            dn_inv.append(False)
+
+        F = len(extra_words)
+        extra = (jnp.stack(extra_words) if F
+                 else jnp.zeros((1, self.n_words), dtype=jnp.uint32))
+
+        limit_b = (min(_bucket_of(opts.limit, _LIMIT_BUCKETS), C)
+                   if opts.limit > 0 else 0)
+        fn = self._get_sparse_kernel(C, Cmax, Ks, Kd, max(F, 1), limit_b,
+                                     opts.descending)
+        count, ids, mask, cands = fn(
+            self.postings, self.bitmaps, self.deleted, extra,
+            jnp.int32(self.offsets32[driver]), jnp.int32(dlen),
+            jnp.asarray(sp_off, dtype=jnp.int32),
+            jnp.asarray(sp_len, dtype=jnp.int32),
+            jnp.asarray(sp_inv, dtype=jnp.bool_),
+            jnp.asarray(dn_rows, dtype=jnp.int32),
+            jnp.asarray(dn_inv, dtype=jnp.bool_),
+            jnp.int32(1 if F else 0))
+        total = int(count)
+        if opts.limit > 0:
+            out = np.asarray(ids)
+            out = out[out >= 0][:opts.limit]
+            return total, out.astype(np.int32)
+        cands_np = np.asarray(cands)
+        mask_np = np.asarray(mask)
+        return total, cands_np[mask_np].astype(np.int32)
+
+    def _get_sparse_kernel(self, C, Cmax, Ks, Kd, F, limit_b, descending):
+        key = (C, Cmax, Ks, Kd, F, limit_b, descending)
+        fn = self._jit_cache.get(key)
+        if fn is not None:
+            return fn
+        n_words = self.n_words
+
+        @jax.jit
+        def kernel(postings, bitmaps, deleted, extra, d_off, d_len,
+                   sp_off, sp_len, sp_inv, dn_rows, dn_inv, has_extra):
+            cands = gather_slices(postings, d_off[None], d_len[None], C)[0]
+            cmask = cands != SENTINEL
+            clip = jnp.minimum(cands, jnp.int32(n_words * 32 - 1))
+            clip = jnp.maximum(clip, 0)
+            # sparse probes
+            sp = gather_slices(postings, sp_off, sp_len, Cmax)
+            spm = membership_sorted(sp, cands)
+            spm = jnp.logical_xor(spm, sp_inv[:, None])
+            # dense probes
+            dnm = posting_ops.bitmap_membership(bitmaps, dn_rows, clip)
+            dnm = jnp.logical_xor(dnm, dn_inv[:, None])
+            # tombstones
+            alive = jnp.logical_not(bitmap_ops.bit_member(deleted, clip))
+            # extra word bitmaps (filters)
+            w = jnp.right_shift(clip, 5)
+            b = jnp.bitwise_and(clip, 31).astype(jnp.uint32)
+            ew = extra[:, w]  # (F, C)
+            em = jnp.bitwise_and(jnp.right_shift(ew, b[None, :]),
+                                 jnp.uint32(1)) == 1
+            em_ok = jnp.where(has_extra == 1, jnp.all(em, axis=0),
+                              jnp.ones_like(cmask))
+            mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0)
+                    & alive & em_ok)
+            count = jnp.sum(mask.astype(jnp.int32))
+            if limit_b > 0:
+                _, ids = posting_ops.mask_to_topn(cands, mask, limit_b,
+                                                  descending)
+            else:
+                ids = jnp.zeros((1,), dtype=jnp.int32)
+            return count, ids, mask, cands
+
+        self._jit_cache[key] = kernel
+        return kernel
+
+    # ------------------------------------------------------------------
+    def search_or(self, tids: Sequence[int]) -> np.ndarray:
+        """Union, ascending doc ids (host materialization; the boolean-AST
+        OR path). Tombstones applied."""
+        if not tids:
+            return np.empty(0, dtype=np.int32)
+        dense_rows, sparse_tids = self.classify(list(tids))
+        words = None
+        if dense_rows:
+            rows = np.asarray([dense_rows], dtype=np.int32)
+            words = np.asarray(bitmap_ops.or_rows(self.bitmaps,
+                                                  jnp.asarray(rows))[0])
+        parts = []
+        if words is not None:
+            w = words & ~self.deleted_host
+            parts.append(self._bitmap_to_ids(w))
+        for t in sparse_tids:
+            parts.append(self.postings_of(t))
+        if not parts:
+            return np.empty(0, dtype=np.int32)
+        out = np.unique(np.concatenate(parts)).astype(np.int32)
+        if sparse_tids and self.deleted_host.any():
+            out = out[~self._deleted_mask(out)]
+        return out
+
+    def _deleted_mask(self, ids: np.ndarray) -> np.ndarray:
+        in_range = (ids >= 0) & (ids < self.n_docs_capacity)
+        safe = np.where(in_range, ids, 0)
+        w = safe >> 5
+        b = safe & 31
+        hit = ((self.deleted_host[w] >> b.astype(np.uint32)) & 1).astype(bool)
+        return hit & in_range
+
+    def search_by_threshold(self, tids: Sequence[int], min_count: int,
+                            max_out: int = 131072) -> np.ndarray:
+        """Doc ids contained in >= min_count of the given term postings
+        (fuzzy backbone; reference index.cpp:448-528)."""
+        if not tids or min_count <= 0:
+            return np.empty(0, dtype=np.int32)
+        dense_rows, sparse_tids = self.classify(list(tids))
+        if not dense_rows and sparse_tids:
+            # pure-sparse: single device sort-rank-count kernel
+            offs = np.asarray([self.offsets32[t] for t in sparse_tids],
+                              dtype=np.int32)
+            lens = np.asarray([self.lengths[t] for t in sparse_tids],
+                              dtype=np.int32)
+            Cmax = self._cand_bucket(int(lens.max()) if lens.size else 1)
+            G = _k_bucket(len(sparse_tids))
+            offs = np.pad(offs, (0, G - offs.size))
+            lens = np.pad(lens, (0, G - lens.size))
+            slices = gather_slices(self.postings, jnp.asarray(offs),
+                                   jnp.asarray(lens), Cmax)
+            _, ids = threshold_merge(slices, jnp.int32(min_count), max_out)
+            out = np.asarray(ids)
+            out = out[out >= 0]
+        else:
+            # mixed/dense: union candidates, then count per-term membership
+            parts = [self.postings_of(t) for t in sparse_tids]
+            if dense_rows:
+                rows = np.asarray([dense_rows], dtype=np.int32)
+                words = np.asarray(bitmap_ops.or_rows(self.bitmaps,
+                                                      jnp.asarray(rows))[0])
+                parts.append(self._bitmap_to_ids(words))
+            if not parts:
+                return np.empty(0, dtype=np.int32)
+            cand = np.unique(np.concatenate(parts)).astype(np.int32)
+            counts = self._sparse_counts(cand, sparse_tids)
+            for r in dense_rows:
+                row = np.asarray(self.bitmaps[r])
+                counts += self._probe_words(row, cand)
+            out = cand[counts >= min_count]
+        if self.deleted_host.any():
+            out = out[~self._deleted_mask(out)]
+        return out.astype(np.int32)
+
+    def _sparse_counts(self, cand: np.ndarray, tids) -> np.ndarray:
+        counts = np.zeros(cand.size, dtype=np.int32)
+        for t in tids:
+            p = self.postings_of(t)
+            pos = np.searchsorted(p, cand)
+            pos = np.minimum(pos, max(p.size - 1, 0))
+            if p.size:
+                counts += (p[pos] == cand).astype(np.int32)
+        return counts
+
+    @staticmethod
+    def _probe_words(words: np.ndarray, ids: np.ndarray) -> np.ndarray:
+        w = ids >> 5
+        b = ids & 31
+        return ((words[w] >> b.astype(np.uint32)) & 1).astype(np.int32)
+
+    def filter_by_ngrams(self, candidates: np.ndarray,
+                         tids: Sequence[int]) -> np.ndarray:
+        """Keep candidates containing ALL terms (host probe for small sets,
+        reference index.cpp:355-376)."""
+        if candidates.size == 0:
+            return candidates
+        keep = np.ones(candidates.size, dtype=bool)
+        for t in tids:
+            r = int(self.dense_row[t])
+            if r >= 0:
+                row = np.asarray(self.bitmaps[r])
+                keep &= self._probe_words(row, candidates).astype(bool)
+            else:
+                p = self.postings_of(t)
+                if p.size == 0:
+                    return np.empty(0, dtype=np.int32)
+                pos = np.minimum(np.searchsorted(p, candidates), p.size - 1)
+                keep &= p[pos] == candidates
+        return candidates[keep]
+
+    # ------------------------------------------------------------------
+    def memory_usage(self) -> int:
+        return int(self.bitmaps.size * 4 + self.postings.size * 4 +
+                   self.deleted.size * 4)

@@ -1,0 +1,176 @@
+"""Bitmap kernels: the dense-term data plane.
+
+Documents are bits in fixed-width uint32 word vectors (doc j lives at bit
+``j % 32`` of word ``j // 32``). Dense n-gram terms each own one bitmap row
+of an HBM-resident matrix; SEARCH AND/OR over dense terms is a row-gather +
+bitwise reduce, COUNT is a popcount — replacing the reference's Roaring
+set ops (posting_list.cpp) with VPU-shaped word arithmetic.
+
+Row index conventions used by callers (see index/device_index.py):
+the bitmap matrix is materialized with two sentinel rows appended —
+row D   = all-ones  (AND identity, used to pad missing terms)
+row D+1 = all-zeros (OR identity)
+so kernels need no validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import runtime
+
+U32_ONES = 0xFFFFFFFF
+
+# Pallas word-block: 8 sublanes x 128 lanes of uint32 = 4096 words/block.
+WBLOCK = 1024
+
+
+def popcount_words(words: jax.Array) -> jax.Array:
+    """Sum of set bits along the last axis. words: (..., W) uint32 -> (...)"""
+    return jnp.sum(jnp.bitwise_count(words).astype(jnp.int32), axis=-1)
+
+
+def count_bitmap(words: jax.Array) -> jax.Array:
+    return popcount_words(words)
+
+
+def andnot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.bitwise_and(a, jnp.bitwise_not(b))
+
+
+# ---------------------------------------------------------------------------
+# Row-gather + reduce (AND / OR)
+# ---------------------------------------------------------------------------
+
+def _reduce_rows_jnp(bitmaps: jax.Array, rows: jax.Array, op: str) -> jax.Array:
+    """(V+2, W) x (B, K) -> (B, W) via gather + bitwise reduce over K."""
+    g = bitmaps[rows]  # (B, K, W)
+    if op == "and":
+        init = jnp.uint32(U32_ONES)
+        fn = jnp.bitwise_and
+    else:
+        init = jnp.uint32(0)
+        fn = jnp.bitwise_or
+    return jax.lax.reduce(g, init, fn, dimensions=(1,))
+
+
+def _reduce_rows_kernel(op: str):
+    def kern(rows_ref, bm_ref, out_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[...] = bm_ref[...]
+
+        @pl.when(k > 0)
+        def _():
+            if op == "and":
+                out_ref[...] = jnp.bitwise_and(out_ref[...], bm_ref[...])
+            else:
+                out_ref[...] = jnp.bitwise_or(out_ref[...], bm_ref[...])
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def _reduce_rows_pallas(bitmaps: jax.Array, rows: jax.Array, op: str = "and",
+                        interpret: bool = False) -> jax.Array:
+    """Pallas row-gather-reduce: grid (B, W/WBLOCK, K), scalar-prefetched row
+    ids drive the HBM->VMEM block index map so only K*WBLOCK words are live
+    in VMEM per program — no (B, K, W) materialization in HBM."""
+    B, K = rows.shape
+    V, W = bitmaps.shape
+    assert W % WBLOCK == 0, f"bitmap width {W} not a multiple of {WBLOCK}"
+    nblk = W // WBLOCK
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nblk, K),
+        in_specs=[
+            pl.BlockSpec((1, WBLOCK), lambda b, w, k, rows_ref:
+                         (rows_ref[b, k], w)),
+        ],
+        out_specs=pl.BlockSpec((1, WBLOCK), lambda b, w, k, rows_ref: (b, w)),
+    )
+    return pl.pallas_call(
+        _reduce_rows_kernel(op),
+        out_shape=jax.ShapeDtypeStruct((B, W), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows, bitmaps)
+
+
+def and_rows(bitmaps: jax.Array, rows: jax.Array,
+             force_jnp: bool = False) -> jax.Array:
+    """AND of selected bitmap rows. rows: (B, K) int32 (pad with the all-ones
+    sentinel row id). Returns (B, W) uint32."""
+    if not force_jnp and runtime.use_pallas() and bitmaps.shape[1] % WBLOCK == 0:
+        return _reduce_rows_pallas(bitmaps, rows, op="and")
+    return _reduce_rows_jnp(bitmaps, rows, "and")
+
+
+def or_rows(bitmaps: jax.Array, rows: jax.Array,
+            force_jnp: bool = False) -> jax.Array:
+    """OR of selected bitmap rows (pad with the all-zeros sentinel row id)."""
+    if not force_jnp and runtime.use_pallas() and bitmaps.shape[1] % WBLOCK == 0:
+        return _reduce_rows_pallas(bitmaps, rows, op="or")
+    return _reduce_rows_jnp(bitmaps, rows, "or")
+
+
+# ---------------------------------------------------------------------------
+# Bit expansion / extraction
+# ---------------------------------------------------------------------------
+
+def expand_bits(words: jax.Array) -> jax.Array:
+    """(..., W) uint32 -> (..., W*32) bool, bit i of word j -> doc j*32+i."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = jnp.bitwise_and(
+        jnp.right_shift(words[..., None], shifts), jnp.uint32(1))
+    return bits.reshape(*words.shape[:-1], words.shape[-1] * 32).astype(jnp.bool_)
+
+
+def bit_member(words: jax.Array, doc_ids: jax.Array) -> jax.Array:
+    """Membership probe: words (W,) or (B, W); doc_ids (..., C) -> bool."""
+    w = jnp.right_shift(doc_ids, 5)
+    b = jnp.bitwise_and(doc_ids, 31).astype(jnp.uint32)
+    if words.ndim == 1:
+        picked = words[w]
+    else:
+        picked = jnp.take_along_axis(words, w, axis=-1)
+    return jnp.bitwise_and(jnp.right_shift(picked, b), jnp.uint32(1)) == 1
+
+
+@functools.partial(jax.jit, static_argnames=("n", "descending"))
+def topn_from_bitmap(words: jax.Array, n: int,
+                     descending: bool = True) -> jax.Array:
+    """Top-n set bit positions (doc ids) of each bitmap, ordered by doc id.
+
+    words: (B, W) -> (B, n) int32, -1 padded. This is the SEARCH
+    "SORT <pk> LIMIT n" path when doc-id order == PK order (the reference's
+    Top-N shortcut, search_pipeline.h:348).
+    """
+    B, W = words.shape
+    bits = expand_bits(words)  # (B, N)
+    ids = jnp.arange(W * 32, dtype=jnp.int32)
+    if descending:
+        keys = jnp.where(bits, ids[None, :], -1)
+        vals, _ = jax.lax.top_k(keys, n)
+        return jnp.where(vals >= 0, vals, -1)
+    keys = jnp.where(bits, -ids[None, :], jnp.int32(-(2 ** 31) + 1))
+    vals, _ = jax.lax.top_k(keys, n)
+    return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+
+
+def make_bitmap_from_ids(doc_ids, n_words: int):
+    """Host helper: numpy sorted/unique doc ids -> uint32 word array."""
+    import numpy as np
+    words = np.zeros(n_words, dtype=np.uint32)
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    if ids.size:
+        np.bitwise_or.at(words, ids >> 5,
+                         np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32)))
+    return words

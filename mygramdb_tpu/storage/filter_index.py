@@ -1,0 +1,320 @@
+"""Filter index: per-(column, value) doc bitmaps + typed column vectors.
+
+Reference storage/filter_index.h:38 keeps column -> (serialized value ->
+Roaring bitmap). The TPU design keeps two complementary structures:
+
+- ``bitmap_index`` columns: host uint32 word bitmaps per distinct value with
+  a lazily-uploaded device mirror — EQ/NE filters fold into the device query
+  as extra AND/AND-NOT word rows (DeviceIndex extra_words).
+- every filter column additionally keeps doc-indexed typed numpy arrays so
+  range ops (>, >=, <, <=) vectorize host-side over candidate ids (the
+  reference's per-doc fallback, search_pipeline.cpp:785-793, but batched).
+
+FACET = value counts over a result set (filter_index.h:76-83): bitmap
+columns count by AND+popcount on device; others by np.unique over gathered
+candidate values.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops import bitmap_ops
+
+_GROW = 4096
+
+
+def _sort_key(v):
+    return (0, float(v), "") if isinstance(v, (int, float, bool)) \
+        else (1, 0.0, str(v))
+
+
+class _Column:
+    """Typed doc-indexed value array + optional per-value bitmaps."""
+
+    def __init__(self, name: str, ftype: str, bitmap_index: bool,
+                 bucket: str = ""):
+        self.name = name
+        self.ftype = ftype
+        self.bitmap_index = bitmap_index
+        self.bucket = bucket
+        self.numeric = ftype in ("int", "uint", "bigint", "float", "double",
+                                 "bool", "datetime", "date", "time",
+                                 "timestamp", "tinyint", "smallint")
+        if self.numeric:
+            self.values = np.full(_GROW, np.nan, dtype=np.float64)
+        else:
+            self.values: Any = [None] * _GROW
+        self.present = np.zeros(_GROW, dtype=bool)
+        self.value_bitmaps: Dict[Any, np.ndarray] = {}
+        self._dev_bitmaps: Dict[Any, Any] = {}
+        self.n_words = 0
+
+    def _grow(self, doc_id: int) -> None:
+        need = doc_id + 1
+        cur = len(self.values) if isinstance(self.values, list) \
+            else self.values.shape[0]
+        if need <= cur:
+            return
+        new = max(need, cur * 2)
+        if self.numeric:
+            nv = np.full(new, np.nan, dtype=np.float64)
+            nv[:cur] = self.values
+            self.values = nv
+        else:
+            self.values.extend([None] * (new - cur))
+        np_new = np.zeros(new, dtype=bool)
+        np_new[:cur] = self.present
+        self.present = np_new
+
+    def set(self, doc_id: int, value: Any) -> None:
+        self._grow(doc_id)
+        old = self.get(doc_id)
+        if self.bitmap_index and self.present[doc_id] and old != value:
+            bm = self.value_bitmaps.get(self._bm_key(old))
+            if bm is not None:
+                self._clear_bit(bm, doc_id)
+                self._dev_bitmaps.pop(self._bm_key(old), None)
+        if value is None:
+            self.present[doc_id] = False
+            if self.numeric:
+                self.values[doc_id] = np.nan
+            else:
+                self.values[doc_id] = None
+            return
+        if self.numeric:
+            self.values[doc_id] = self._to_num(value)
+        else:
+            self.values[doc_id] = str(value)
+        self.present[doc_id] = True
+        if self.bitmap_index:
+            key = self._bm_key(value)
+            bm = self.value_bitmaps.get(key)
+            need_words = (doc_id >> 5) + 1
+            if bm is None or bm.shape[0] < need_words:
+                nb = np.zeros(max(need_words, self.n_words, 128),
+                              dtype=np.uint32)
+                if bm is not None:
+                    nb[:bm.shape[0]] = bm
+                self.value_bitmaps[key] = nb
+                bm = nb
+            bm[doc_id >> 5] |= np.uint32(1) << np.uint32(doc_id & 31)
+            self._dev_bitmaps.pop(key, None)
+            self.n_words = max(self.n_words, bm.shape[0])
+
+    def unset(self, doc_id: int) -> None:
+        if doc_id >= self.present.shape[0] or not self.present[doc_id]:
+            return
+        if self.bitmap_index:
+            old = self.get(doc_id)
+            bm = self.value_bitmaps.get(self._bm_key(old))
+            if bm is not None:
+                self._clear_bit(bm, doc_id)
+                self._dev_bitmaps.pop(self._bm_key(old), None)
+        self.present[doc_id] = False
+        if self.numeric:
+            self.values[doc_id] = np.nan
+        else:
+            self.values[doc_id] = None
+
+    @staticmethod
+    def _clear_bit(bm: np.ndarray, doc_id: int) -> None:
+        if (doc_id >> 5) < bm.shape[0]:
+            bm[doc_id >> 5] &= ~(np.uint32(1) << np.uint32(doc_id & 31))
+
+    def _to_num(self, value: Any) -> float:
+        if isinstance(value, bool):
+            return 1.0 if value else 0.0
+        return float(value)
+
+    def _bm_key(self, value: Any) -> Any:
+        return self._to_num(value) if self.numeric else str(value)
+
+    def get(self, doc_id: int):
+        if doc_id >= self.present.shape[0] or not self.present[doc_id]:
+            return None
+        v = self.values[doc_id]
+        return float(v) if self.numeric else v
+
+    # ------------------------------------------------------------------
+    def eq_bitmap(self, value: Any) -> Optional[np.ndarray]:
+        return self.value_bitmaps.get(self._bm_key(value))
+
+    def match_mask(self, doc_ids: np.ndarray, op: str,
+                   value: Any) -> np.ndarray:
+        """Vectorized filter evaluation over candidate doc ids."""
+        size = self.present.shape[0]
+        in_range = doc_ids < size
+        safe = np.where(in_range, doc_ids, 0)
+        present = self.present[safe] & in_range
+        if op == "IS NULL":
+            return ~present
+        if op == "IS NOT NULL":
+            return present
+        if self.numeric:
+            vals = self.values[safe]
+            try:
+                cmp = self._to_num(value) if not isinstance(value, str) \
+                    else float(value)
+            except (TypeError, ValueError):
+                return np.zeros(doc_ids.shape[0], dtype=bool)
+            with np.errstate(invalid="ignore"):
+                if op == "=":
+                    m = vals == cmp
+                elif op == "!=":
+                    m = vals != cmp
+                elif op == ">":
+                    m = vals > cmp
+                elif op == ">=":
+                    m = vals >= cmp
+                elif op == "<":
+                    m = vals < cmp
+                elif op == "<=":
+                    m = vals <= cmp
+                else:
+                    m = np.zeros_like(present)
+            if op == "!=":
+                return m & present
+            return m & present
+        # string column
+        sval = str(value)
+        out = np.zeros(doc_ids.shape[0], dtype=bool)
+        vals_list = self.values
+        for i, (d, ok) in enumerate(zip(safe.tolist(), present.tolist())):
+            if not ok:
+                continue
+            v = vals_list[d]
+            if op == "=":
+                out[i] = v == sval
+            elif op == "!=":
+                out[i] = v != sval
+            elif op == ">":
+                out[i] = v > sval
+            elif op == ">=":
+                out[i] = v >= sval
+            elif op == "<":
+                out[i] = v < sval
+            elif op == "<=":
+                out[i] = v <= sval
+        return out
+
+    def value_counts(self, doc_ids: Optional[np.ndarray]) -> List[Tuple[str, int]]:
+        """FACET aggregation over the given doc ids (None = all present)."""
+        size = self.present.shape[0]
+        if doc_ids is None:
+            sel = np.flatnonzero(self.present)
+        else:
+            in_range = doc_ids < size
+            ids = doc_ids[in_range]
+            sel = ids[self.present[ids]]
+        if sel.size == 0:
+            return []
+        if self.numeric:
+            vals = self.values[sel]
+            uniq, counts = np.unique(vals, return_counts=True)
+            out = []
+            for v, c in zip(uniq.tolist(), counts.tolist()):
+                if v == int(v):
+                    out.append((str(int(v)), c))
+                else:
+                    out.append((repr(v), c))
+            return out
+        from collections import Counter
+        c = Counter(self.values[d] for d in sel.tolist())
+        return sorted(((str(k), v) for k, v in c.items()),
+                      key=lambda kv: kv[0])
+
+
+class FilterIndex:
+    def __init__(self):
+        self._lock = threading.RLock()
+        self._columns: Dict[str, _Column] = {}
+
+    def add_column(self, name: str, ftype: str, bitmap_index: bool = False,
+                   bucket: str = "") -> None:
+        with self._lock:
+            if name not in self._columns:
+                self._columns[name] = _Column(name, ftype, bitmap_index, bucket)
+
+    def has_column(self, name: str) -> bool:
+        return name in self._columns
+
+    def columns(self) -> List[str]:
+        return list(self._columns)
+
+    def column_type(self, name: str) -> Optional[str]:
+        col = self._columns.get(name)
+        return col.ftype if col else None
+
+    def is_bitmap(self, name: str) -> bool:
+        col = self._columns.get(name)
+        return bool(col and col.bitmap_index)
+
+    # ------------------------------------------------------------------
+    def add_document(self, doc_id: int, values: Dict[str, Any]) -> None:
+        with self._lock:
+            for name, col in self._columns.items():
+                if name in values:
+                    col.set(doc_id, values[name])
+                else:
+                    col.unset(doc_id)
+
+    def update_document(self, doc_id: int, values: Dict[str, Any]) -> None:
+        self.add_document(doc_id, values)
+
+    def remove_document(self, doc_id: int) -> None:
+        with self._lock:
+            for col in self._columns.values():
+                col.unset(doc_id)
+
+    def clear(self) -> None:
+        with self._lock:
+            for name, col in list(self._columns.items()):
+                self._columns[name] = _Column(name, col.ftype,
+                                              col.bitmap_index, col.bucket)
+
+    # ------------------------------------------------------------------
+    def eq_bitmap(self, column: str, value: Any,
+                  n_words: int) -> Optional[np.ndarray]:
+        """Padded/truncated copy of the (column == value) bitmap
+        (reference GetEqBitmap returns an independent copy)."""
+        col = self._columns.get(column)
+        if col is None or not col.bitmap_index:
+            return None
+        bm = col.eq_bitmap(value)
+        out = np.zeros(n_words, dtype=np.uint32)
+        if bm is not None:
+            n = min(n_words, bm.shape[0])
+            out[:n] = bm[:n]
+        return out
+
+    def match_mask(self, column: str, doc_ids: np.ndarray, op: str,
+                   value: Any = None) -> np.ndarray:
+        col = self._columns.get(column)
+        if col is None:
+            return np.zeros(doc_ids.shape[0], dtype=bool)
+        return col.match_mask(doc_ids, op, value)
+
+    def value_counts(self, column: str,
+                     doc_ids: Optional[np.ndarray] = None
+                     ) -> List[Tuple[str, int]]:
+        col = self._columns.get(column)
+        if col is None:
+            return []
+        with self._lock:
+            return col.value_counts(doc_ids)
+
+    def memory_usage(self) -> int:
+        total = 0
+        for col in self._columns.values():
+            if col.numeric:
+                total += col.values.nbytes
+            else:
+                total += len(col.values) * 16
+            total += col.present.nbytes
+            for bm in col.value_bitmaps.values():
+                total += bm.nbytes
+        return total

@@ -16,10 +16,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 
+# The axon TPU plugin registers itself even when JAX_PLATFORMS=cpu is set in
+# the environment, so force the platform through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 @pytest.fixture(scope="session")
 def eight_cpu_devices():
-    import jax
     devs = jax.devices()
     assert len(devs) >= 8, f"expected 8 virtual devices, got {len(devs)}"
     return devs

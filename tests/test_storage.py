@@ -1,0 +1,160 @@
+"""DocumentStore + FilterIndex tests (reference storage/ semantics)."""
+
+import numpy as np
+
+from mygramdb_tpu.storage import DocumentStore, FilterIndex
+
+
+class TestDocumentStore:
+    def test_add_and_lookup(self):
+        ds = DocumentStore()
+        d1, ins = ds.add_document("10", {"status": 1}, "hello")
+        assert d1 == 1 and ins
+        d2, ins2 = ds.add_document("20", {}, "world")
+        assert d2 == 2 and ins2
+        assert ds.doc_id("10") == 1
+        assert ds.primary_key(2) == "20"
+        assert ds.count == 2
+
+    def test_insert_or_ignore(self):
+        ds = DocumentStore()
+        d1, _ = ds.add_document("10", {}, "a")
+        d1b, ins = ds.add_document("10", {}, "b")
+        assert d1b == d1 and not ins
+        assert ds.text(d1) == "a"  # ignored, not replaced
+
+    def test_doc_ids_start_at_one(self):
+        ds = DocumentStore()
+        d, _ = ds.add_document("x")
+        assert d == 1
+
+    def test_remove(self):
+        ds = DocumentStore()
+        ds.add_document("1")
+        ds.add_document("2")
+        assert ds.remove_by_pk("1") == 1
+        assert ds.doc_id("1") is None
+        assert ds.count == 1
+        assert not ds.remove_document(1)
+
+    def test_pk_order_valid_numeric(self):
+        ds = DocumentStore()
+        for pk in ["1", "2", "10"]:  # numeric-aware: 2 < 10
+            ds.add_document(pk)
+        assert ds.pk_doc_id_order_valid
+
+    def test_pk_order_invalid(self):
+        ds = DocumentStore()
+        ds.add_document("5")
+        ds.add_document("3")
+        assert not ds.pk_doc_id_order_valid
+
+    def test_texts_disabled(self):
+        ds = DocumentStore(store_texts=False)
+        ds.add_document("1", {}, "secret")
+        assert ds.text(1) is None
+
+    def test_get_document(self):
+        ds = DocumentStore()
+        ds.add_document("7", {"status": 3, "cat": "news"}, "txt")
+        doc = ds.get_document("7")
+        assert doc.primary_key == "7"
+        assert doc.filters == {"status": 3, "cat": "news"}
+        assert doc.text == "txt"
+        assert ds.get_document("8") is None
+
+    def test_state_roundtrip(self):
+        ds = DocumentStore()
+        ds.add_document("1", {"s": 1}, "one")
+        ds.add_document("2", {"s": 2}, "two")
+        ds.remove_by_pk("1")
+        st = ds.state()
+        ds2 = DocumentStore.from_state(st)
+        assert ds2.count == 1
+        assert ds2.doc_id("2") == 2
+        assert ds2.next_doc_id == 3
+        assert ds2.text(2) == "two"
+
+    def test_change_primary_key(self):
+        ds = DocumentStore()
+        ds.add_document("1")
+        assert ds.change_primary_key("1", "99") == 1
+        assert ds.doc_id("99") == 1
+        assert ds.doc_id("1") is None
+
+
+class TestFilterIndex:
+    def make(self):
+        fi = FilterIndex()
+        fi.add_column("status", "int", bitmap_index=True)
+        fi.add_column("score", "double")
+        fi.add_column("cat", "string")
+        fi.add_document(1, {"status": 1, "score": 0.5, "cat": "a"})
+        fi.add_document(2, {"status": 2, "score": 1.5, "cat": "b"})
+        fi.add_document(3, {"status": 1, "score": 2.5, "cat": "a"})
+        fi.add_document(4, {"status": 1, "cat": "c"})  # score NULL
+        return fi
+
+    def test_eq_bitmap(self):
+        fi = self.make()
+        bm = fi.eq_bitmap("status", 1, n_words=4)
+        assert bm is not None
+        bits = np.unpackbits(bm.view(np.uint8), bitorder="little")
+        assert np.flatnonzero(bits).tolist() == [1, 3, 4]
+        assert fi.eq_bitmap("score", 1.5, 4) is None  # not bitmap-indexed
+
+    def test_match_mask_numeric(self):
+        fi = self.make()
+        ids = np.asarray([1, 2, 3, 4], dtype=np.int64)
+        assert fi.match_mask("score", ids, ">", 1.0).tolist() == \
+            [False, True, True, False]
+        assert fi.match_mask("score", ids, "<=", 1.5).tolist() == \
+            [True, True, False, False]
+        assert fi.match_mask("score", ids, "IS NULL").tolist() == \
+            [False, False, False, True]
+        assert fi.match_mask("score", ids, "IS NOT NULL").tolist() == \
+            [True, True, True, False]
+
+    def test_match_mask_string(self):
+        fi = self.make()
+        ids = np.asarray([1, 2, 3, 4], dtype=np.int64)
+        assert fi.match_mask("cat", ids, "=", "a").tolist() == \
+            [True, False, True, False]
+        assert fi.match_mask("cat", ids, "!=", "a").tolist() == \
+            [False, True, False, True]
+
+    def test_update_moves_bitmap(self):
+        fi = self.make()
+        fi.update_document(1, {"status": 2, "cat": "a"})
+        bm1 = fi.eq_bitmap("status", 1, 4)
+        bm2 = fi.eq_bitmap("status", 2, 4)
+        b1 = np.flatnonzero(np.unpackbits(bm1.view(np.uint8),
+                                          bitorder="little")).tolist()
+        b2 = np.flatnonzero(np.unpackbits(bm2.view(np.uint8),
+                                          bitorder="little")).tolist()
+        assert b1 == [3, 4]
+        assert b2 == [1, 2]
+
+    def test_remove_document(self):
+        fi = self.make()
+        fi.remove_document(1)
+        ids = np.asarray([1], dtype=np.int64)
+        assert fi.match_mask("status", ids, "=", 1).tolist() == [False]
+        bm = fi.eq_bitmap("status", 1, 4)
+        bits = np.flatnonzero(np.unpackbits(bm.view(np.uint8),
+                                            bitorder="little")).tolist()
+        assert bits == [3, 4]
+
+    def test_value_counts(self):
+        fi = self.make()
+        counts = dict(fi.value_counts("cat"))
+        assert counts == {"a": 2, "b": 1, "c": 1}
+        sub = dict(fi.value_counts("cat", np.asarray([1, 2])))
+        assert sub == {"a": 1, "b": 1}
+        st = dict(fi.value_counts("status"))
+        assert st == {"1": 3, "2": 1}
+
+    def test_unknown_column(self):
+        fi = self.make()
+        assert fi.value_counts("nope") == []
+        assert fi.match_mask("nope", np.asarray([1]), "=", 1).tolist() == [False]
