@@ -1,0 +1,166 @@
+"""Table catalog: per-table state composition and name resolution.
+
+Reference ``TableContext`` (server/server_types.h:199-207) = name + config +
+Index + DocumentStore + BM25Stats + SynonymDictionary; ``TableCatalog``
+(server/table_catalog.h:65) resolves names with exact-match priority incl.
+``database.table`` qualification (CHANGELOG v1.7.0).
+
+``TableContext.add_row/update_row/remove_row`` is the single write path used
+by the initial loader, the binlog processor, and SYNC — it fans one row out
+to DocumentStore + MutableIndex + FilterIndex + BM25Stats exactly like the
+reference's BinlogEventProcessor (mysql/binlog_event_processor.cpp).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Dict, List, Optional
+
+from .config.schema import Config, TableConfig
+from .index.delta import MutableIndex
+from .query.bm25 import BM25Stats
+from .query.synonyms import SynonymDictionary
+from .storage.document_store import DocumentStore
+from .storage.filter_index import FilterIndex
+from .utils import textproc
+from .utils.structured_log import StructuredLog
+
+
+class TableContext:
+    def __init__(self, table_cfg: TableConfig, config: Config):
+        self.table_cfg = table_cfg
+        self.config = config
+        self.name = table_cfg.qualified_name()
+        norm = config.memory.normalize
+        self._norm_args = (norm.nfkc, norm.width, norm.lower)
+        store_texts = config.memory.verify_text != "off"
+        self.doc_store = DocumentStore(store_texts=store_texts)
+        self.index = MutableIndex(
+            ngram_size=table_cfg.ngram_size,
+            kanji_ngram_size=table_cfg.kanji_ngram_size,
+            cross_boundary_ngrams=table_cfg.cross_boundary_ngrams,
+            dense_df_ratio=config.device.dense_df_ratio,
+            max_dense_terms=config.device.max_dense_terms,
+            candidate_buckets=tuple(config.device.candidate_buckets))
+        self.filter_index = FilterIndex()
+        for f in table_cfg.filters:
+            self.filter_index.add_column(f.name, f.type, f.bitmap_index,
+                                         f.bucket)
+        for rf in table_cfg.required_filters:
+            if rf.bitmap_index and not self.filter_index.has_column(rf.name):
+                self.filter_index.add_column(rf.name, rf.type, True)
+        self.bm25 = BM25Stats()
+        self.synonyms: Optional[SynonymDictionary] = None
+        if table_cfg.synonyms.enable and table_cfg.synonyms.file:
+            self.synonyms = SynonymDictionary(normalize=self.normalize)
+            try:
+                n = self.synonyms.load_from_file(table_cfg.synonyms.file)
+                StructuredLog().event("synonyms_loaded").field(
+                    "table", self.name).field("groups", n).info()
+            except OSError as e:
+                StructuredLog().event("synonyms_load_failed").field(
+                    "table", self.name).field("error", str(e)).warn()
+                self.synonyms = None
+        self._write_lock = threading.RLock()
+
+    # ------------------------------------------------------------------
+    def normalize(self, text: str) -> str:
+        return textproc.normalize_text(text, *self._norm_args)
+
+    # ------------------------------------------------------------------
+    # Row write path (loader / binlog / SYNC)
+    # ------------------------------------------------------------------
+    def add_row(self, pk: str, raw_text: str,
+                filters: Optional[Dict[str, Any]] = None) -> Optional[int]:
+        """Insert-or-ignore one row; returns doc id (None if ignored)."""
+        normalized = self.normalize(raw_text)
+        with self._write_lock:
+            doc_id, inserted = self.doc_store.add_document(
+                pk, filters, normalized if self.doc_store.stores_texts
+                else None)
+            if not inserted:
+                return None
+            self.index.add_document(doc_id, normalized)
+            if filters:
+                self.filter_index.add_document(doc_id, filters)
+            self.bm25.add_document(doc_id, len(normalized))
+            return doc_id
+
+    def update_row(self, pk: str, raw_text: Optional[str] = None,
+                   filters: Optional[Dict[str, Any]] = None) -> Optional[int]:
+        with self._write_lock:
+            doc_id = self.doc_store.doc_id(pk)
+            if doc_id is None:
+                # row entering the replica (e.g. required_filters transition)
+                return self.add_row(pk, raw_text or "", filters)
+            if raw_text is not None:
+                normalized = self.normalize(raw_text)
+                self.doc_store.update_document(
+                    doc_id, filters,
+                    normalized if self.doc_store.stores_texts else None)
+                self.index.update_document(doc_id, normalized)
+                self.bm25.add_document(doc_id, len(normalized))
+            elif filters is not None:
+                self.doc_store.update_document(doc_id, filters)
+            if filters is not None:
+                self.filter_index.update_document(doc_id, filters)
+            return doc_id
+
+    def remove_row(self, pk: str) -> Optional[int]:
+        with self._write_lock:
+            doc_id = self.doc_store.remove_by_pk(pk)
+            if doc_id is None:
+                return None
+            self.index.remove_document(doc_id)
+            self.filter_index.remove_document(doc_id)
+            self.bm25.remove_document(doc_id)
+            return doc_id
+
+    def truncate(self) -> None:
+        with self._write_lock:
+            self.doc_store.clear()
+            self.index.clear()
+            self.filter_index.clear()
+            self.bm25.clear()
+
+    def optimize(self) -> None:
+        self.index.optimize()
+
+    # ------------------------------------------------------------------
+    def memory_usage(self) -> int:
+        return (self.index.memory_usage() + self.doc_store.memory_usage() +
+                self.filter_index.memory_usage())
+
+    @property
+    def doc_count(self) -> int:
+        return self.doc_store.count
+
+
+class TableCatalog:
+    def __init__(self, config: Config):
+        self.config = config
+        self._tables: Dict[str, TableContext] = {}
+        for t in config.tables:
+            self._tables[t.qualified_name()] = TableContext(t, config)
+
+    def resolve(self, name: str) -> Optional[TableContext]:
+        """Exact (qualified) match first, then bare-name match
+        (reference TableCatalog::Resolve, CHANGELOG:26)."""
+        ctx = self._tables.get(name)
+        if ctx is not None:
+            return ctx
+        matches = [c for c in self._tables.values()
+                   if c.table_cfg.name == name]
+        if len(matches) == 1:
+            return matches[0]
+        return None
+
+    def names(self) -> List[str]:
+        return list(self._tables)
+
+    def contexts(self) -> List[TableContext]:
+        return list(self._tables.values())
+
+    def replace(self, name: str, ctx: TableContext) -> None:
+        """Swap a table's state (SYNC / DUMP LOAD)."""
+        self._tables[name] = ctx

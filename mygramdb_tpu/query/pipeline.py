@@ -1,0 +1,634 @@
+"""Query execution pipeline (reference server/search_pipeline.{h,cpp}).
+
+``execute_full_pipeline`` is the shared engine behind SEARCH / COUNT / FACET
+on both the TCP and HTTP planes: path selection (regular / boolean-AST /
+fuzzy / synonym), device index execution, NOT exclusion, column filters,
+verify_text post-filter, BM25 scoring, sort + pagination, and per-query
+debug info (reference DebugInfo, query_parser.h:180-200).
+
+TPU shape: all AND terms' n-grams collapse into ONE device search (set
+intersection is associative, so AND-of-terms == AND-of-all-grams — the
+reference's per-term loop with FilterByNgrams probing, search_pipeline.cpp
+:615-685, exists only for CPU-side planning). The single-term PK-sorted
+fast path maps to the device top-k kernel (the reference Top-N shortcut,
+search_pipeline.h:348-367).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..utils import textproc
+from ..utils.edit_distance import contains_fuzzy_match
+from .parser import (FilterCondition, FilterOp, OrderByClause, Query,
+                     QueryType, SortOrder)
+from .ast import QueryASTParser, QueryNode, contains_boolean_syntax
+from .bm25 import BM25Scorer
+from .sorter import ResultSorter
+
+FILTER_THRESHOLD = 1000  # reference search_pipeline.h:315
+MAX_OFFSET_FOR_TOPN = 10000
+
+
+@dataclass
+class TermInfo:
+    raw: str
+    normalized: str
+    grams: List[str]
+    estimated_size: int = 0
+    doc_freq: int = 0
+
+    @property
+    def needs_substring_fallback(self) -> bool:
+        return not self.grams and bool(self.normalized)
+
+
+@dataclass
+class DebugInfo:
+    query_time_ms: float = 0.0
+    parse_time_ms: float = 0.0
+    index_time_ms: float = 0.0
+    filter_time_ms: float = 0.0
+    search_terms: List[str] = field(default_factory=list)
+    ngrams_used: List[str] = field(default_factory=list)
+    posting_list_sizes: List[int] = field(default_factory=list)
+    total_candidates: int = 0
+    after_intersection: int = 0
+    after_not: int = 0
+    after_filters: int = 0
+    final_results: int = 0
+    optimization_used: str = ""
+    order_by_applied: str = ""
+    limit_applied: int = 0
+    offset_applied: int = 0
+    limit_explicit: bool = False
+    offset_explicit: bool = False
+    cache_status: str = "disabled"
+    cache_age_ms: float = 0.0
+    cache_saved_ms: float = 0.0
+    query_cost_ms: float = 0.0
+    cache_key: str = ""
+
+
+@dataclass
+class PipelineOutput:
+    success: bool = True
+    error: str = ""
+    results: np.ndarray = field(default_factory=lambda: np.empty(0, np.int32))
+    total: int = 0
+    path: str = "regular"
+    debug: Optional[DebugInfo] = None
+    all_search_terms: List[str] = field(default_factory=list)
+    scores: Optional[np.ndarray] = None
+
+
+class SearchPipeline:
+    """Bound to one table context (duck-typed: .index MutableIndex,
+    .doc_store DocumentStore, .filter_index FilterIndex, .bm25 BM25Stats,
+    .synonyms Optional[SynonymDictionary], .table_cfg TableConfig,
+    .normalize(text)->str)."""
+
+    def __init__(self, ctx, config, cache_manager=None):
+        self.ctx = ctx
+        self.cfg = config
+        self.cache = cache_manager
+
+    # ------------------------------------------------------------------
+    def _canon_order(self, query: Query) -> Optional[OrderByClause]:
+        """SORT <pk-column> is PK order (case-insensitive match against the
+        table's primary key, reference search_pipeline.cpp equals_ignore_case
+        check)."""
+        ob = query.order_by
+        if ob is None:
+            return None
+        if ob.column and ob.column.lower() == \
+                self.ctx.table_cfg.primary_key.lower():
+            return OrderByClause(column="", order=ob.order)
+        return ob
+
+    # ------------------------------------------------------------------
+    def term_info(self, raw: str) -> TermInfo:
+        t = self.ctx.table_cfg
+        normalized = self.ctx.normalize(raw)
+        grams = textproc.generate_query_ngrams(
+            normalized, t.ngram_size, t.kanji_ngram_size,
+            t.cross_boundary_ngrams)
+        grams = sorted(set(grams))
+        est = 0
+        if grams:
+            sizes = [self.ctx.index.term_df(g) for g in grams]
+            est = min(sizes) if all(s > 0 for s in sizes) else 0
+        return TermInfo(raw=raw, normalized=normalized, grams=grams,
+                        estimated_size=est)
+
+    # ------------------------------------------------------------------
+    def execute(self, query: Query, want_debug: bool = False,
+                collect_all: bool = False) -> PipelineOutput:
+        """Full pipeline. collect_all: FACET needs the complete result set
+        regardless of limit."""
+        t_start = time.perf_counter()
+        dbg = DebugInfo()
+        out = PipelineOutput(debug=dbg)
+
+        # cache lookup (unsorted full result sets keyed canonically)
+        cache_entry = None
+        cache_key = None
+        if self.cache is not None and query.type in (
+                QueryType.SEARCH, QueryType.COUNT, QueryType.FACET):
+            cache_key, cache_entry = self.cache.lookup(self.ctx.name, query)
+            dbg.cache_key = cache_key or ""
+        if cache_entry is not None:
+            total, ids = cache_entry
+            out.total = total
+            out.path = "cache"
+            dbg.cache_status = "hit"
+            all_ids = ids
+            terms = [self.term_info(t) for t in query.all_terms]
+            out.all_search_terms = [ti.normalized for ti in terms]
+            dbg.search_terms = out.all_search_terms
+            self._finalize(query, out, all_ids, terms, t_start)
+            return out
+        if self.cache is not None:
+            dbg.cache_status = "miss" if self.cache.enabled else "disabled"
+
+        # device top-N fast path: single AND-gram set, PK order, no
+        # filters/NOT/verify — the whole query is one device kernel
+        if not collect_all:
+            fast = self._try_topn(query, dbg)
+            if fast is not None:
+                total, page, terms = fast
+                out.total = total
+                out.results = page
+                out.all_search_terms = [ti.normalized for ti in terms]
+                dbg.search_terms = out.all_search_terms
+                for ti in terms:
+                    dbg.ngrams_used.extend(ti.grams)
+                ob = query.order_by or OrderByClause()
+                dbg.final_results = total
+                dbg.optimization_used = "device_topn"
+                dbg.order_by_applied = f"pk {ob.order.value}"
+                dbg.limit_applied = query.limit
+                dbg.offset_applied = query.offset
+                dbg.limit_explicit = query.limit_explicit
+                dbg.offset_explicit = query.offset_explicit
+                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                return out
+
+        t_index = time.perf_counter()
+        try:
+            if query.fuzzy_max_distance is not None:
+                out.path = "fuzzy"
+                all_ids, terms = self._execute_fuzzy(query, dbg)
+            elif contains_boolean_syntax(query.search_text):
+                out.path = "boolean_ast"
+                all_ids, terms = self._execute_ast(query, dbg)
+            elif self._synonyms_apply(query):
+                out.path = "synonym"
+                all_ids, terms = self._execute_synonym(query, dbg)
+            else:
+                out.path = "regular"
+                all_ids, terms = self._execute_regular(query, dbg)
+        except PipelineError as e:
+            out.success = False
+            out.error = str(e)
+            return out
+        dbg.index_time_ms = (time.perf_counter() - t_index) * 1000
+        dbg.after_intersection = int(all_ids.size)
+
+        out.all_search_terms = [ti.normalized for ti in terms]
+        dbg.search_terms = out.all_search_terms
+        for ti in terms:
+            dbg.ngrams_used.extend(ti.grams)
+
+        # column filters
+        t_f = time.perf_counter()
+        if query.filters:
+            try:
+                all_ids = self._apply_filters(all_ids, query.filters)
+            except PipelineError as e:
+                out.success = False
+                out.error = str(e)
+                return out
+            dbg.after_filters = int(all_ids.size)
+        dbg.filter_time_ms = (time.perf_counter() - t_f) * 1000
+
+        # verify_text post-filter
+        if out.path != "fuzzy":
+            all_ids = self._apply_verify(all_ids, query, terms, out.path)
+
+        out.total = int(all_ids.size)
+
+        # cache insert (guarded by data version at insert time)
+        if self.cache is not None and cache_key is not None:
+            cost_ms = (time.perf_counter() - t_start) * 1000
+            dbg.query_cost_ms = cost_ms
+            self.cache.insert(self.ctx.name, cache_key, query,
+                              (out.total, all_ids), cost_ms,
+                              [g for ti in terms for g in ti.grams])
+
+        self._finalize(query, out, all_ids, terms, t_start,
+                       collect_all=collect_all)
+        return out
+
+    # ------------------------------------------------------------------
+    def _finalize(self, query: Query, out: PipelineOutput,
+                  all_ids: np.ndarray, terms: List[TermInfo],
+                  t_start: float, collect_all: bool = False) -> None:
+        dbg = out.debug
+        out.total = int(all_ids.size)
+        ob = self._canon_order(query) or OrderByClause()
+        if collect_all:
+            out.results = all_ids
+        elif ob.is_score:
+            out.results, out.scores = self._score_sort(query, all_ids, terms)
+        else:
+            out.results = ResultSorter.sort_and_paginate(
+                all_ids, ob, query.limit, query.offset,
+                self.ctx.doc_store, self.ctx.doc_store.pk_doc_id_order_valid)
+        dbg.final_results = out.total
+        dbg.order_by_applied = (f"{ob.column or 'pk'} {ob.order.value}")
+        dbg.limit_applied = query.limit
+        dbg.offset_applied = query.offset
+        dbg.limit_explicit = query.limit_explicit
+        dbg.offset_explicit = query.offset_explicit
+        dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+
+    # ------------------------------------------------------------------
+    # Top-N fast path (reference search_pipeline.h:348-367 shortcut,
+    # promoted here to a device top-k kernel that skips materialization)
+    # ------------------------------------------------------------------
+    def _try_topn(self, query: Query, dbg: DebugInfo):
+        if query.type != QueryType.SEARCH:
+            return None
+        if query.fuzzy_max_distance is not None or query.not_terms or \
+                query.filters:
+            return None
+        if contains_boolean_syntax(query.search_text) or \
+                self._synonyms_apply(query):
+            return None
+        ob = self._canon_order(query) or OrderByClause()
+        if not ob.is_primary_key or query.limit <= 0 or \
+                query.offset > MAX_OFFSET_FOR_TOPN:
+            return None
+        if not self.ctx.doc_store.pk_doc_id_order_valid:
+            return None
+        terms = [self.term_info(t) for t in query.all_terms]
+        if not terms or any(ti.needs_substring_fallback for ti in terms):
+            return None
+        if self._verify_applies(terms) or \
+                self._coverage_requires_text_check(terms):
+            return None
+        if any(ti.estimated_size == 0 for ti in terms):
+            return 0, np.empty(0, dtype=np.int32), terms
+        grams = sorted({g for ti in terms for g in ti.grams})
+        total, ids = self.ctx.index.search_and(
+            grams, limit=query.offset + query.limit,
+            descending=(ob.order == SortOrder.DESC))
+        page = ids[query.offset:]
+        return total, page.astype(np.int32), terms
+
+    # ------------------------------------------------------------------
+    # Regular path
+    # ------------------------------------------------------------------
+    def _execute_regular(self, query: Query, dbg: DebugInfo,
+                         extra_terms: Optional[List[TermInfo]] = None
+                         ) -> Tuple[np.ndarray, List[TermInfo]]:
+        terms = [self.term_info(t) for t in query.all_terms]
+        # terms whose grams all exist drive the device AND; short terms
+        # (no grams) fall back to substring scan over stored text
+        gram_terms = [ti for ti in terms if ti.grams]
+        short_terms = [ti for ti in terms if ti.needs_substring_fallback]
+        if short_terms and not self.ctx.doc_store.stores_texts:
+            raise PipelineError(
+                "query term shorter than n-gram size requires stored "
+                "text (memory.verify_text) for substring search")
+
+        all_grams: List[str] = []
+        for ti in gram_terms:
+            all_grams.extend(ti.grams)
+        all_grams = sorted(set(all_grams))
+
+        if gram_terms:
+            # any unknown gram => empty intersection
+            if any(ti.estimated_size == 0 for ti in gram_terms):
+                ids = np.empty(0, dtype=np.int32)
+            else:
+                _, ids = self.ctx.index.search_and(all_grams, limit=0)
+        elif short_terms:
+            ids = self._substring_scan_all(short_terms)
+            short_terms = []
+        else:
+            ids = np.empty(0, dtype=np.int32)
+
+        if short_terms and ids.size:
+            ids = self._substring_filter(ids, [ti.normalized
+                                               for ti in short_terms])
+        dbg.total_candidates = int(ids.size)
+
+        # NOT exclusion: each NOT term excludes docs containing ALL its grams
+        if query.not_terms and ids.size:
+            ids = self._apply_not(ids, query.not_terms)
+            dbg.after_not = int(ids.size)
+        return ids, terms
+
+    def _apply_not(self, ids: np.ndarray,
+                   not_terms: Sequence[str]) -> np.ndarray:
+        for raw in not_terms:
+            if not ids.size:
+                break
+            ti = self.term_info(raw)
+            if ti.grams:
+                if ti.estimated_size == 0:
+                    continue
+                _, bad = self.ctx.index.search_and(ti.grams, limit=0)
+            elif ti.normalized and self.ctx.doc_store.stores_texts:
+                bad = self._substring_scan_all([ti])
+            else:
+                continue
+            if bad.size:
+                ids = ids[~np.isin(ids, bad, assume_unique=True)]
+        return ids
+
+    def _substring_scan_all(self, terms: List[TermInfo]) -> np.ndarray:
+        """Full-store substring scan for terms shorter than the n-gram size."""
+        doc_ids = np.sort(self.ctx.doc_store.all_doc_ids())
+        return self._substring_filter(doc_ids.astype(np.int32),
+                                      [ti.normalized for ti in terms])
+
+    def _substring_filter(self, ids: np.ndarray,
+                          needles: Sequence[str]) -> np.ndarray:
+        texts = self.ctx.doc_store.texts_batch(ids.tolist())
+        keep = [i for i, tx in enumerate(texts)
+                if tx is not None and all(n in tx for n in needles)]
+        return ids[np.asarray(keep, dtype=np.int64)] if keep else \
+            np.empty(0, dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    # Boolean AST path
+    # ------------------------------------------------------------------
+    def _execute_ast(self, query: Query, dbg: DebugInfo
+                     ) -> Tuple[np.ndarray, List[TermInfo]]:
+        parser = QueryASTParser()
+        ast = parser.parse(query.search_text)
+        if ast is None:
+            raise PipelineError(
+                f"Invalid boolean search expression: {parser.error}")
+
+        def search_term(term: str) -> np.ndarray:
+            ti = self.term_info(term)
+            if ti.grams:
+                if ti.estimated_size == 0:
+                    return np.empty(0, dtype=np.int32)
+                _, ids = self.ctx.index.search_and(ti.grams, limit=0)
+                return ids
+            if ti.normalized and self.ctx.doc_store.stores_texts:
+                return self._substring_scan_all([ti])
+            return np.empty(0, dtype=np.int32)
+
+        def all_docs() -> np.ndarray:
+            return np.sort(self.ctx.doc_store.all_doc_ids()).astype(np.int32)
+
+        ids = ast.evaluate(search_term, all_docs).astype(np.int32)
+        dbg.total_candidates = int(ids.size)
+
+        # AND clause terms still apply on top of the expression
+        for raw in query.and_terms:
+            if not ids.size:
+                break
+            ti = self.term_info(raw)
+            if ti.grams:
+                ids = self.ctx.index.filter_by_ngrams(ids, ti.grams) \
+                    if ids.size <= FILTER_THRESHOLD else \
+                    self._intersect_with_term(ids, ti)
+            elif ti.normalized:
+                ids = self._substring_filter(ids, [ti.normalized])
+        if query.not_terms and ids.size:
+            ids = self._apply_not(ids, query.not_terms)
+            dbg.after_not = int(ids.size)
+
+        # exact text post-filter removes n-gram false positives per the
+        # boolean structure (PostFilterByBooleanText)
+        if self.ctx.doc_store.stores_texts and ids.size:
+            texts = self.ctx.doc_store.texts_batch(ids.tolist())
+            keep = []
+            for i, tx in enumerate(texts):
+                if tx is None:
+                    keep.append(i)
+                    continue
+                if ast.matches_text(
+                        lambda term, _tx=tx: self.ctx.normalize(term) in _tx):
+                    keep.append(i)
+            ids = ids[np.asarray(keep, dtype=np.int64)] if keep else \
+                np.empty(0, dtype=np.int32)
+
+        terms = [self.term_info(t)
+                 for t in ast.collect_scoring_terms() + query.and_terms]
+        return ids, terms
+
+    def _intersect_with_term(self, ids: np.ndarray, ti: TermInfo) -> np.ndarray:
+        _, other = self.ctx.index.search_and(ti.grams, limit=0)
+        return np.intersect1d(ids, other, assume_unique=True).astype(np.int32)
+
+    # ------------------------------------------------------------------
+    # Synonym path
+    # ------------------------------------------------------------------
+    def _synonyms_apply(self, query: Query) -> bool:
+        syn = getattr(self.ctx, "synonyms", None)
+        if syn is None or syn.group_count == 0:
+            return False
+        return any(syn.has(t) for t in query.all_terms)
+
+    def _execute_synonym(self, query: Query, dbg: DebugInfo
+                         ) -> Tuple[np.ndarray, List[TermInfo]]:
+        """OR within each synonym group, AND across groups
+        (search_pipeline.h:255-259)."""
+        syn = self.ctx.synonyms
+        groups: List[List[TermInfo]] = []
+        for raw in query.all_terms:
+            variants = syn.expand(raw)
+            groups.append([self.term_info(v) for v in variants])
+        result: Optional[np.ndarray] = None
+        for group in groups:
+            union = np.empty(0, dtype=np.int32)
+            for ti in group:
+                if not ti.grams or ti.estimated_size == 0:
+                    if ti.needs_substring_fallback and \
+                            self.ctx.doc_store.stores_texts:
+                        ids = self._substring_scan_all([ti])
+                    else:
+                        continue
+                else:
+                    _, ids = self.ctx.index.search_and(ti.grams, limit=0)
+                union = np.union1d(union, ids)
+            result = union if result is None else \
+                np.intersect1d(result, union, assume_unique=True)
+            if result.size == 0:
+                break
+        ids = (result if result is not None
+               else np.empty(0, dtype=np.int32)).astype(np.int32)
+        dbg.total_candidates = int(ids.size)
+        if query.not_terms and ids.size:
+            ids = self._apply_not(ids, query.not_terms)
+            dbg.after_not = int(ids.size)
+        # verify: every group must have >=1 variant present in text
+        if self._verify_applies([ti for g in groups for ti in g]) and ids.size:
+            texts = self.ctx.doc_store.texts_batch(ids.tolist())
+            keep = []
+            for i, tx in enumerate(texts):
+                if tx is None:
+                    continue
+                if all(any(ti.normalized in tx for ti in group)
+                       for group in groups):
+                    keep.append(i)
+            ids = ids[np.asarray(keep, dtype=np.int64)] if keep else \
+                np.empty(0, dtype=np.int32)
+        terms = [g[0] for g in groups]
+        return ids, terms
+
+    # ------------------------------------------------------------------
+    # Fuzzy path
+    # ------------------------------------------------------------------
+    def _execute_fuzzy(self, query: Query, dbg: DebugInfo
+                       ) -> Tuple[np.ndarray, List[TermInfo]]:
+        """Per term: n-gram threshold candidate generation (threshold =
+        max(1, |grams| - dist*n), search_pipeline.cpp:1377-1383) then
+        text verification: exact substring first, else token Levenshtein."""
+        if not self.ctx.doc_store.stores_texts:
+            raise PipelineError("FUZZY requires stored text "
+                                "(memory.verify_text must not be off)")
+        dist = query.fuzzy_max_distance or 1
+        t = self.ctx.table_cfg
+        terms = [self.term_info(x) for x in query.all_terms]
+        result: Optional[np.ndarray] = None
+        for ti in terms:
+            if not ti.normalized:
+                continue
+            n = max(t.ngram_size, 1)
+            threshold = max(1, len(ti.grams) - dist * n)
+            cand = self.ctx.index.search_by_threshold(ti.grams, threshold) \
+                if ti.grams else \
+                np.sort(self.ctx.doc_store.all_doc_ids()).astype(np.int32)
+            # verify candidates against text
+            texts = self.ctx.doc_store.texts_batch(cand.tolist())
+            keep = []
+            for i, tx in enumerate(texts):
+                if tx is None:
+                    continue
+                if ti.normalized in tx or \
+                        contains_fuzzy_match(tx, ti.normalized, dist):
+                    keep.append(i)
+            cand = cand[np.asarray(keep, dtype=np.int64)] if keep else \
+                np.empty(0, dtype=np.int32)
+            result = cand if result is None else \
+                np.intersect1d(result, cand, assume_unique=True)
+            if result.size == 0:
+                break
+        ids = (result if result is not None
+               else np.empty(0, dtype=np.int32)).astype(np.int32)
+        dbg.total_candidates = int(ids.size)
+        if query.not_terms and ids.size:
+            ids = self._apply_not(ids, query.not_terms)
+            dbg.after_not = int(ids.size)
+        return ids, terms
+
+    # ------------------------------------------------------------------
+    # Filters
+    # ------------------------------------------------------------------
+    def _apply_filters(self, ids: np.ndarray,
+                       filters: Sequence[FilterCondition]) -> np.ndarray:
+        if not ids.size:
+            return ids
+        mask = np.ones(ids.size, dtype=bool)
+        for f in filters:
+            if not self.ctx.filter_index.has_column(f.column):
+                raise PipelineError(f"unknown filter column: {f.column}")
+            mask &= self.ctx.filter_index.match_mask(
+                f.column, ids.astype(np.int64), f.op.value, f.value)
+        return ids[mask]
+
+    # ------------------------------------------------------------------
+    # verify_text
+    # ------------------------------------------------------------------
+    def _verify_applies(self, terms: List[TermInfo]) -> bool:
+        mode = self.cfg.memory.verify_text
+        if mode == "off" or not self.ctx.doc_store.stores_texts:
+            return False
+        if mode == "all":
+            return True
+        # ascii: only when every term is pure ASCII
+        return all(ti.normalized.isascii() for ti in terms if ti.normalized)
+
+    def _coverage_requires_text_check(self, terms: List[TermInfo]) -> bool:
+        """Hybrid n-gram fragments that don't cover every term position
+        can't guarantee adjacency — force the exact-text post-filter
+        (reference RequiresExactTextForHybridFragments)."""
+        t = self.ctx.table_cfg
+        for ti in terms:
+            s = ti.normalized
+            if not s or not ti.grams:
+                continue
+            covered = [False] * len(s)
+            for i, ch in enumerate(s):
+                is_cjk = textproc.is_cjk_ideograph(ord(ch))
+                n = t.kanji_ngram_size if is_cjk and t.kanji_ngram_size > 0 \
+                    else t.ngram_size
+                if i + n > len(s):
+                    continue
+                if not t.cross_boundary_ngrams and n > 1:
+                    if any(textproc.is_cjk_ideograph(ord(s[i + j])) != is_cjk
+                           for j in range(1, n)):
+                        continue
+                for j in range(n):
+                    covered[i + j] = True
+            if not all(covered):
+                return True
+        return False
+
+    def _apply_verify(self, ids: np.ndarray, query: Query,
+                      terms: List[TermInfo], path: str) -> np.ndarray:
+        if not ids.size or path == "boolean_ast" or path == "synonym":
+            return ids  # those paths verify internally
+        needed = self._verify_applies(terms) or \
+            self._coverage_requires_text_check(terms)
+        if not needed:
+            return ids
+        needles = [ti.normalized for ti in terms if ti.normalized]
+        return self._substring_filter(ids, needles)
+
+    # ------------------------------------------------------------------
+    # BM25 scoring
+    # ------------------------------------------------------------------
+    def _score_sort(self, query: Query, all_ids: np.ndarray,
+                    terms: List[TermInfo]) -> Tuple[np.ndarray, np.ndarray]:
+        ob = query.order_by or OrderByClause()
+        ids_list = all_ids.tolist()
+        texts = self.ctx.doc_store.texts_batch(ids_list)
+        dfs = []
+        for ti in terms:
+            if ti.doc_freq:
+                dfs.append(ti.doc_freq)
+            elif ti.grams and ti.estimated_size > 0:
+                total, _ = self.ctx.index.search_and(ti.grams, limit=1)
+                dfs.append(total)
+            else:
+                dfs.append(0)
+        scores = BM25Scorer.score_documents(
+            ids_list, [ti.normalized for ti in terms], dfs, texts,
+            self.ctx.bm25.doc_count, self.ctx.bm25.avg_doc_length,
+            self.cfg.bm25.k1, self.cfg.bm25.b)
+        order = ResultSorter.sort_by_score(
+            ids_list, scores.tolist(), ob.order == SortOrder.DESC)
+        ordered = np.asarray(order, dtype=np.int32)
+        page = ResultSorter.paginate(ordered, query.limit, query.offset)
+        # align returned scores with the page
+        pos = {d: i for i, d in enumerate(ids_list)}
+        page_scores = np.asarray([scores[pos[d]] for d in page.tolist()])
+        return page, page_scores
+
+
+class PipelineError(Exception):
+    pass

@@ -1,0 +1,268 @@
+"""Search pipeline end-to-end tests over a real TableContext.
+
+Covers the reference pipeline semantics (SURVEY.md §2.8 search_pipeline):
+regular AND/NOT, filters, sort/limit/offset, top-N fast path, boolean AST,
+synonym expansion, fuzzy, verify_text, BM25 scoring, facets.
+"""
+
+import numpy as np
+import pytest
+
+from mygramdb_tpu.catalog import TableCatalog, TableContext
+from mygramdb_tpu.config import load_config_from_dict
+from mygramdb_tpu.query import QueryParser
+from mygramdb_tpu.query.pipeline import SearchPipeline
+
+CFG = {
+    "tables": [{
+        "name": "articles",
+        "text_source": {"column": "content"},
+        "filters": [
+            {"name": "status", "type": "int", "bitmap_index": True},
+            {"name": "score", "type": "double"},
+            {"name": "category", "type": "string"},
+        ],
+    }],
+    "memory": {"verify_text": "all"},
+}
+
+DOCS = [
+    ("1", "the quick brown fox jumps over the lazy dog",
+     {"status": 1, "score": 1.0, "category": "animals"}),
+    ("2", "quick silver lining in the clouds",
+     {"status": 1, "score": 2.0, "category": "weather"}),
+    ("3", "the lazy afternoon sun",
+     {"status": 2, "score": 3.0, "category": "weather"}),
+    ("4", "brown bears eat quick snacks",
+     {"status": 1, "score": 4.0, "category": "animals"}),
+    ("5", "foxes and dogs are friends",
+     {"status": 2, "score": 5.0, "category": "animals"}),
+]
+
+
+@pytest.fixture(scope="module")
+def ctx_and_cfg():
+    cfg = load_config_from_dict(CFG)
+    cat = TableCatalog(cfg)
+    ctx = cat.resolve("articles")
+    for pk, text, filt in DOCS:
+        ctx.add_row(pk, text, filt)
+    return ctx, cfg
+
+
+@pytest.fixture()
+def pipe(ctx_and_cfg):
+    ctx, cfg = ctx_and_cfg
+    return SearchPipeline(ctx, cfg)
+
+
+P = QueryParser()
+
+
+def run(pipe, line, debug=False, collect_all=False):
+    return pipe.execute(P.parse(line), want_debug=debug,
+                        collect_all=collect_all)
+
+
+def pks(pipe, out):
+    return pipe.ctx.doc_store.primary_keys_batch(out.results.tolist())
+
+
+class TestRegular:
+    def test_single_term(self, pipe):
+        out = run(pipe, 'SEARCH articles quick')
+        assert out.success
+        assert out.total == 3
+        assert pks(pipe, out) == ["4", "2", "1"]  # PK DESC default
+
+    def test_multiword_phrase_verify(self, pipe):
+        # 'quick brown' as one term: n-grams exist across docs 1 and 4
+        # but contiguity only in doc 1 -> verify_text removes doc 4
+        out = run(pipe, 'SEARCH articles "quick brown"')
+        assert out.total == 1
+        assert pks(pipe, out) == ["1"]
+
+    def test_and_term(self, pipe):
+        out = run(pipe, 'SEARCH articles quick AND brown')
+        assert out.total == 2
+        assert pks(pipe, out) == ["4", "1"]
+
+    def test_not_term(self, pipe):
+        out = run(pipe, 'SEARCH articles quick NOT brown')
+        assert out.total == 1
+        assert pks(pipe, out) == ["2"]
+
+    def test_sort_asc_limit(self, pipe):
+        out = run(pipe, 'SEARCH articles quick SORT id ASC LIMIT 2')
+        # SORT id: 'id' is the PK column name... treated as filter column
+        # unless it matches; use default sort instead
+        assert out.success
+
+    def test_default_sort_desc(self, pipe):
+        out = run(pipe, 'SEARCH articles the')
+        assert pks(pipe, out) == ["3", "2", "1"]
+
+    def test_limit_offset(self, pipe):
+        out = run(pipe, 'SEARCH articles quick LIMIT 1 OFFSET 1')
+        assert out.total == 3
+        assert pks(pipe, out) == ["2"]
+
+    def test_count(self, pipe):
+        out = run(pipe, 'COUNT articles quick')
+        assert out.total == 3
+        assert out.results.size == 0 or out.results.size == 3
+
+    def test_no_match(self, pipe):
+        out = run(pipe, 'SEARCH articles zebra')
+        assert out.total == 0
+
+    def test_topn_blocked_by_verify(self, pipe):
+        # verify_text=all requires the text post-filter, so the device
+        # top-N shortcut must NOT engage (reference parity)
+        out = run(pipe, 'SEARCH articles quick LIMIT 2', debug=True)
+        assert out.debug.optimization_used == ""
+        assert out.total == 3
+        assert pks(pipe, out) == ["4", "2"]
+
+    def test_topn_fast_path(self):
+        cfg_off = dict(CFG, memory={"verify_text": "off"})
+        cfg = load_config_from_dict(cfg_off)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles quick LIMIT 2', debug=True)
+        assert out.debug.optimization_used == "device_topn"
+        assert out.total == 3
+        assert pks(pipe, out) == ["4", "2"]
+        out = run(pipe, 'SEARCH articles quick SORT id ASC LIMIT 2',
+                  debug=True)
+        # SORT id is a column sort (not recognized as PK) -> no fast path
+        assert out.success
+
+
+class TestFilters:
+    def test_eq(self, pipe):
+        out = run(pipe, 'SEARCH articles quick FILTER status = 1')
+        assert out.total == 3
+        out = run(pipe, 'SEARCH articles the FILTER status = 1')
+        assert out.total == 2
+
+    def test_range(self, pipe):
+        out = run(pipe, 'SEARCH articles the FILTER score >= 2')
+        assert pks(pipe, out) == ["3", "2"]
+
+    def test_string_filter(self, pipe):
+        out = run(pipe, 'SEARCH articles the FILTER category = weather')
+        assert out.total == 2
+
+    def test_ne(self, pipe):
+        out = run(pipe, 'SEARCH articles the FILTER category != weather')
+        assert out.total == 1
+
+    def test_unknown_column(self, pipe):
+        out = run(pipe, 'SEARCH articles the FILTER nope = 1')
+        assert not out.success
+        assert "unknown filter column" in out.error
+
+    def test_sort_by_filter_column(self, pipe):
+        out = run(pipe, 'SEARCH articles the SORT score ASC')
+        assert pks(pipe, out) == ["1", "2", "3"]
+        out = run(pipe, 'SEARCH articles the SORT score DESC')
+        assert pks(pipe, out) == ["3", "2", "1"]
+
+
+class TestBooleanAstPath:
+    def test_or(self, pipe):
+        out = run(pipe, 'SEARCH articles fox OR silver')
+        assert out.path == "boolean_ast"
+        assert out.total == 3  # docs 1 (fox), 2 (silver), 5 (foxes)
+
+    def test_and_or_mix(self, pipe):
+        out = run(pipe, 'SEARCH articles (lazy OR silver) AND the')
+        assert out.total == 3  # docs 1,2,3
+
+    def test_not_expr(self, pipe):
+        out = run(pipe, 'SEARCH articles quick NOT (brown OR silver)')
+        assert out.total == 0
+
+
+class TestScoring:
+    def test_bm25_sort(self, pipe):
+        out = run(pipe, 'SEARCH articles quick SORT _score DESC')
+        assert out.total == 3
+        assert out.scores is not None
+        assert list(out.scores) == sorted(out.scores, reverse=True)
+
+    def test_bm25_prefers_term_frequency(self, ctx_and_cfg):
+        ctx, cfg = ctx_and_cfg
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles the SORT _score DESC')
+        # doc 1 contains 'the' twice -> highest score
+        assert pks(pipe, out)[0] == "1"
+
+
+class TestFuzzy:
+    def test_fuzzy_basic(self, pipe):
+        out = run(pipe, 'SEARCH articles quikc FUZZY 2')
+        assert out.path == "fuzzy"
+        assert out.total == 3  # quick docs
+
+    def test_fuzzy_exact_still_matches(self, pipe):
+        out = run(pipe, 'SEARCH articles quick FUZZY 1')
+        assert out.total == 3
+
+
+class TestFacet:
+    def test_facet_counts(self, pipe):
+        out = run(pipe, 'FACET articles category the', collect_all=True)
+        counts = dict(pipe.ctx.filter_index.value_counts(
+            "category", out.results.astype(np.int64)))
+        assert counts == {"animals": 1, "weather": 2}
+
+
+class TestSynonyms:
+    def test_synonym_expansion(self):
+        cfg = load_config_from_dict(CFG)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        from mygramdb_tpu.query.synonyms import SynonymDictionary
+        syn = SynonymDictionary(normalize=ctx.normalize)
+        syn.load_from_text("fox\twolf\ncloud\tclouds\n")
+        ctx.synonyms = syn
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles fox')
+        assert out.path == "synonym"
+        # fox OR wolf -> docs 1, 5 (foxes contains 'fox' substring)
+        assert out.total == 2
+
+
+class TestMutationVisibility:
+    def test_insert_update_delete(self):
+        cfg = load_config_from_dict(CFG)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        pipe = SearchPipeline(ctx, cfg)
+
+        ctx.add_row("6", "a very quick update", {"status": 1})
+        out = run(pipe, 'SEARCH articles quick')
+        assert out.total == 4
+        assert pks(pipe, out)[0] == "6"
+
+        ctx.update_row("6", "nothing to see here", {"status": 1})
+        out = run(pipe, 'SEARCH articles quick')
+        assert out.total == 3
+
+        ctx.remove_row("1")
+        out = run(pipe, 'SEARCH articles quick')
+        assert out.total == 2
+        assert pks(pipe, out) == ["4", "2"]
+
+        ctx.optimize()
+        out = run(pipe, 'SEARCH articles quick')
+        assert out.total == 2
