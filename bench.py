@@ -1,0 +1,122 @@
+"""Benchmark: batched SEARCH throughput on one chip.
+
+Builds a synthetic English corpus (10k docs, bigram index), compacts it into
+the device bitmap/CSR layout, then measures the steady-state throughput of
+the fused batched SEARCH step (dense_query + top-k) — the device kernel the
+server's micro-batcher dispatches per batch of concurrent connections.
+
+Baseline: the reference engine's concurrent-throughput headline, 11,766 QPS
+over 4 connections on 1.1M docs (README.md:28, BASELINE.md). vs_baseline is
+ours/theirs (>1 = faster).
+
+Prints ONE JSON line on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+K = 8
+TOPN = 128
+N_DOCS = int(os.environ.get("BENCH_DOCS", "10000"))
+ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+BASELINE_QPS = 11766.0
+
+WORDS = [
+    "quick", "brown", "fox", "jumps", "lazy", "dog", "search", "engine",
+    "index", "query", "vector", "tensor", "memory", "binary", "stream",
+    "packet", "signal", "matrix", "kernel", "filter", "token", "corpus",
+    "letter", "window", "society", "journal", "market", "silver", "garden",
+    "forest", "planet", "artist", "melody", "bridge", "rocket", "sensor",
+]
+
+
+def build_corpus(rng):
+    docs = []
+    for i in range(1, N_DOCS + 1):
+        n = rng.integers(8, 30)
+        docs.append((i, " ".join(rng.choice(WORDS, size=n))))
+    return docs
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from mygramdb_tpu.index.builder import IndexBuilder
+    from mygramdb_tpu.index.device_index import DeviceIndex
+    from mygramdb_tpu.ops import bitmap_ops
+
+    rng = np.random.default_rng(1234)
+    docs = build_corpus(rng)
+    t0 = time.time()
+    b = IndexBuilder(ngram_size=2, kanji_ngram_size=1)
+    for did, text in docs:
+        b.add_document(did, text)
+    built = b.finalize()
+    build_secs = time.time() - t0
+    idx = DeviceIndex(built, dense_df_ratio=0.005, max_dense_terms=8192)
+
+    # query workload: per query, the bigrams of one random word (AND search)
+    queries = []
+    for _ in range(BATCH):
+        word = str(rng.choice(WORDS))
+        grams = [word[i:i + 2] for i in range(len(word) - 1)][:K]
+        rows = []
+        for g in grams:
+            tid = built.term_dict.get(g)
+            r = int(idx.dense_row[tid]) if tid is not None else idx.ones_row
+            rows.append(r if r >= 0 else idx.ones_row)
+        while len(rows) < K:
+            rows.append(idx.ones_row)
+        queries.append(rows)
+    rows = jnp.asarray(np.asarray(queries, dtype=np.int32))
+    nrows = jnp.asarray(np.full((BATCH, 1), idx.zeros_row, dtype=np.int32))
+    extra = idx._pack_extra([])
+
+    def step(rows):
+        count, res = bitmap_ops.dense_query(
+            idx.bitmaps, rows, nrows, idx.deleted, extra,
+            has_not=False, has_extra=False)
+        ids = bitmap_ops.topn_from_bitmap(res, TOPN, True)
+        return count, ids
+
+    # warmup / compile
+    count, ids = step(rows)
+    count.block_until_ready()
+
+    lat = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        count, ids = step(rows)
+        count.block_until_ready()
+        ids.block_until_ready()
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50_batch = lat[len(lat) // 2]
+    qps = BATCH / p50_batch
+
+    print(json.dumps({
+        "metric": "batched_search_qps",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / BASELINE_QPS, 3),
+        "detail": {
+            "batch": BATCH,
+            "p50_batch_ms": round(p50_batch * 1000, 3),
+            "p50_per_query_us": round(p50_batch / BATCH * 1e6, 2),
+            "n_docs": N_DOCS,
+            "index_build_docs_per_sec": round(N_DOCS / build_secs, 1),
+            "backend": jax.default_backend(),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,140 @@
+"""Cache manager facade (reference cache/cache_manager.h:40).
+
+Glues QueryCache + InvalidationManager + per-table data-version counters.
+The version counter closes the lookup/compute/insert race: an insert is
+dropped when the table changed while the query was computing
+(search_pipeline.cpp:1510-1513 guard).
+
+The pipeline-facing API is lookup(table, query) / insert(...): keys come
+from QueryNormalizer (LIMIT/OFFSET/SORT excluded) so one cached unsorted
+result serves all paginations.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..query.normalizer import QueryNormalizer
+from ..query.parser import Query
+from .invalidation import InvalidationManager, InvalidationQueue
+from .query_cache import QueryCache
+
+
+class CacheManager:
+    def __init__(self, cfg, normalize_term=lambda s: s):
+        self.cfg = cfg
+        self.cache = QueryCache(
+            max_memory_mb=cfg.max_memory_mb,
+            ttl_seconds=cfg.ttl_seconds,
+            min_query_cost_ms=cfg.min_query_cost_ms,
+            compression_enabled=cfg.compression_enabled)
+        self.normalizer = QueryNormalizer(normalize_term)
+        self.invalidation = InvalidationManager()
+        self.queue = InvalidationQueue(
+            self._flush_invalidations,
+            batch_size=cfg.invalidation.batch_size,
+            max_delay_ms=cfg.invalidation.max_delay_ms)
+        self.enabled = cfg.enabled
+        self.strategy = cfg.invalidation_strategy
+        self._versions: Dict[str, int] = {}
+        self._lock = threading.Lock()
+        # last lookup/insert bookkeeping for debug info
+        self.last_hit_age_ms = 0.0
+        self.last_saved_ms = 0.0
+
+    # ------------------------------------------------------------------
+    def data_version(self, table: str) -> int:
+        return self._versions.get(table, 0)
+
+    def bump_version(self, table: str) -> None:
+        with self._lock:
+            self._versions[table] = self._versions.get(table, 0) + 1
+
+    # ------------------------------------------------------------------
+    def lookup(self, table: str, query: Query
+               ) -> Tuple[Optional[str], Optional[Tuple[int, np.ndarray]]]:
+        """-> (cache_key, entry or None). Key returned even on miss so the
+        pipeline can insert after computing."""
+        if not self.enabled:
+            return None, None
+        key = table + ":" + self.normalizer.cache_key(query)
+        hit = self.cache.lookup(key)
+        if hit is None:
+            return key, None
+        total, ids, age_ms, saved_ms = hit
+        self.last_hit_age_ms = age_ms
+        self.last_saved_ms = saved_ms
+        return key, (total, ids)
+
+    def insert(self, table: str, key: str, query: Query,
+               entry: Tuple[int, np.ndarray], cost_ms: float,
+               ngrams: List[str]) -> bool:
+        if not self.enabled or key is None:
+            return False
+        version_before = self.data_version(table)
+        total, ids = entry
+        ok = self.cache.insert(key, total, ids, cost_ms)
+        if ok:
+            if self.data_version(table) != version_before:
+                # table mutated while computing: drop the stale entry
+                self.cache.invalidate(key)
+                self.invalidation.unregister(key)
+                return False
+            if self.strategy == "ngram":
+                self.invalidation.register(table, set(ngrams), key)
+        return ok
+
+    # ------------------------------------------------------------------
+    # Write-path invalidation (binlog / SYNC)
+    # ------------------------------------------------------------------
+    def invalidate_by_ngrams(self, table: str, ngrams) -> None:
+        self.bump_version(table)
+        if not self.enabled:
+            return
+        if self.strategy == "table":
+            self.clear_table(table)
+            return
+        self.queue.enqueue(table, ngrams)
+
+    def _flush_invalidations(self, pairs) -> None:
+        keys = set()
+        for table, gram in pairs:
+            keys |= self.invalidation.keys_for(table, gram)
+        for k in keys:
+            self.cache.invalidate(k)
+            self.invalidation.unregister(k)
+
+    def clear_table(self, table: str) -> int:
+        self.bump_version(table)
+        keys = self.invalidation.keys_for_table(table)
+        n = 0
+        for k in keys:
+            if self.cache.invalidate(k):
+                n += 1
+            self.invalidation.unregister(k)
+        # entries without gram registration (strategy=table) need full scan
+        prefix = table + ":"
+        for k in self.cache.keys():
+            if k.startswith(prefix):
+                if self.cache.invalidate(k):
+                    n += 1
+        return n
+
+    def clear_all(self) -> int:
+        n = self.cache.clear()
+        self.invalidation.clear()
+        with self._lock:
+            for t in list(self._versions):
+                self._versions[t] += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def set_enabled(self, enabled: bool) -> None:
+        self.enabled = enabled
+
+    @property
+    def stats(self):
+        return self.cache.stats

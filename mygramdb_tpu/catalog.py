@@ -16,6 +16,8 @@ from __future__ import annotations
 import threading
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 from .config.schema import Config, TableConfig
 from .index.delta import MutableIndex
 from .query.bm25 import BM25Stats
@@ -125,6 +127,57 @@ class TableContext:
 
     def optimize(self) -> None:
         self.index.optimize()
+
+    # ------------------------------------------------------------------
+    # checkpoint state (DUMP SAVE/LOAD)
+    # ------------------------------------------------------------------
+    def table_state(self):
+        """Compact the delta, then snapshot CSR + stores for the dump."""
+        from .storage.dump import TableState
+        with self._write_lock:
+            if len(self.index.delta) or self.index.tombstones:
+                self.index.optimize()
+            built = self.index.built
+            return TableState(
+                name=self.name,
+                terms=self.index.term_dict.state(),
+                offsets=built.offsets, lengths=built.lengths,
+                postings=built.postings, max_doc_id=built.max_doc_id,
+                n_docs=built.n_docs,
+                doc_store_state=self.doc_store.state(),
+                filter_state=self.filter_index.state(),
+                bm25_state=self.bm25.state())
+
+    def restore_from_state(self, ts) -> None:
+        """Validate-then-apply swap (reference ReplaceWithLoaded,
+        index.h:243-249)."""
+        from .index.builder import BuiltIndex
+        from .index.term_dict import TermDict
+        from .index.delta import MutableIndex
+        from .storage.document_store import DocumentStore
+        from .storage.filter_index import FilterIndex
+        td = TermDict.from_state(ts.terms)
+        built = BuiltIndex(td, ts.offsets.astype(np.int64),
+                           ts.lengths.astype(np.int32),
+                           ts.postings.astype(np.int32),
+                           int(ts.max_doc_id), int(ts.n_docs))
+        t = self.table_cfg
+        new_index = MutableIndex(
+            built, ngram_size=t.ngram_size,
+            kanji_ngram_size=t.kanji_ngram_size,
+            cross_boundary_ngrams=t.cross_boundary_ngrams,
+            dense_df_ratio=self.config.device.dense_df_ratio,
+            max_dense_terms=self.config.device.max_dense_terms,
+            candidate_buckets=tuple(self.config.device.candidate_buckets))
+        new_store = DocumentStore.from_state(ts.doc_store_state)
+        new_filters = FilterIndex.from_state(ts.filter_state)
+        from .query.bm25 import BM25Stats as _BM25
+        new_bm25 = _BM25.from_state(ts.bm25_state)
+        with self._write_lock:
+            self.index = new_index
+            self.doc_store = new_store
+            self.filter_index = new_filters
+            self.bm25 = new_bm25
 
     # ------------------------------------------------------------------
     def memory_usage(self) -> int:

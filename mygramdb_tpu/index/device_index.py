@@ -41,8 +41,11 @@ from .builder import BuiltIndex
 
 WBLOCK_WORDS = 512  # W is padded to this (16384 docs) for Pallas alignment
 
-_LIMIT_BUCKETS = (16, 128, 1024)
-_PROBE_K_BUCKETS = (1, 2, 4, 8, 16, 32)
+# Coarse shape buckets: every distinct (bucket) combination is a separate
+# XLA program, and cold compiles on tunneled TPU backends can take minutes —
+# so keep the program count small and warm the common ones at startup.
+_LIMIT_BUCKETS = (128, 1024)
+_PROBE_K_BUCKETS = (8, 32)
 
 
 def _bucket_of(value: int, buckets: Sequence[int]) -> int:
@@ -58,6 +61,45 @@ def _k_bucket(k: int) -> int:
     return _bucket_of(max(k, 1), _PROBE_K_BUCKETS)
 
 
+@functools.partial(jax.jit, static_argnames=("C", "Cmax", "limit_b",
+                                             "descending", "n_words"))
+def _sparse_query(postings, bitmaps, deleted, extra, d_off, d_len,
+                  sp_off, sp_len, sp_inv, dn_rows, dn_inv, has_extra,
+                  *, C: int, Cmax: int, limit_b: int, descending: bool,
+                  n_words: int):
+    """Fused sparse candidate-probe query (one compile per shape bucket).
+
+    The rarest term's slice (d_off/d_len) is the candidate vector; sparse
+    probe terms are checked by vectorized binary search, dense terms (incl.
+    NOT rows via sp_inv/dn_inv) by bitmap bit probes, plus tombstones and
+    extra filter bitmaps. Returns (count, top-ids, mask, candidates).
+    """
+    from ..ops.bitmap_ops import bit_member
+    from ..ops.posting_ops import bitmap_membership, mask_to_topn
+    cands = gather_slices(postings, d_off[None], d_len[None], C)[0]
+    cmask = cands != SENTINEL
+    clip = jnp.clip(cands, 0, n_words * 32 - 1)
+    sp = gather_slices(postings, sp_off, sp_len, Cmax)
+    spm = jnp.logical_xor(membership_sorted(sp, cands), sp_inv[:, None])
+    dnm = jnp.logical_xor(bitmap_membership(bitmaps, dn_rows, clip),
+                          dn_inv[:, None])
+    alive = jnp.logical_not(bit_member(deleted, clip))
+    w = jnp.right_shift(clip, 5)
+    b = jnp.bitwise_and(clip, 31).astype(jnp.uint32)
+    ew = extra[:, w]
+    em = jnp.bitwise_and(jnp.right_shift(ew, b[None, :]), jnp.uint32(1)) == 1
+    em_ok = jnp.where(has_extra == 1, jnp.all(em, axis=0),
+                      jnp.ones_like(cmask))
+    mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0)
+            & alive & em_ok)
+    count = jnp.sum(mask.astype(jnp.int32))
+    if limit_b > 0:
+        _, ids = mask_to_topn(cands, mask, limit_b, descending)
+    else:
+        ids = jnp.zeros((1,), dtype=jnp.int32)
+    return count, ids, mask, cands
+
+
 @dataclass
 class SearchOptions:
     limit: int = 0            # 0 = count/materialize all
@@ -69,7 +111,7 @@ class DeviceIndex:
     """Immutable compiled index segment resident on device."""
 
     def __init__(self, built: BuiltIndex, dense_df_ratio: float = 0.01,
-                 max_dense_terms: int = 8192, candidate_buckets=(256, 2048, 16384, 131072),
+                 max_dense_terms: int = 8192, candidate_buckets=(2048, 65536),
                  device=None):
         self.built = built
         self.candidate_buckets = tuple(candidate_buckets)
@@ -114,6 +156,8 @@ class DeviceIndex:
         self.lengths = built.lengths
         self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
         self.deleted = jax.device_put(self.deleted_host, device)
+        self._ones_words = jax.device_put(
+            np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), device)
         self._del_lock = threading.Lock()
         self._jit_cache: Dict[tuple, object] = {}
 
@@ -209,31 +253,49 @@ class DeviceIndex:
 
     # ---------------- dense path ----------------
     def _dense_and_path(self, dense_rows, ns_tids, nd_rows, extra_words, opts):
-        rows = np.asarray([dense_rows], dtype=np.int32)
-        res = bitmap_ops.and_rows(self.bitmaps, jnp.asarray(rows))[0]
-        if nd_rows:
-            nrows = np.asarray([nd_rows], dtype=np.int32)
-            nres = bitmap_ops.or_rows(self.bitmaps, jnp.asarray(nrows))[0]
-            res = bitmap_ops.andnot(res, nres)
-        res = bitmap_ops.andnot(res, self.deleted)
-        for warr in extra_words:
-            res = jnp.bitwise_and(res, warr)
+        # bucket K so jit caches a bounded set of shapes
+        rows = list(dense_rows)
+        while len(rows) < _k_bucket(len(rows)):
+            rows.append(self.ones_row)
+        nrows = list(nd_rows)
         if ns_tids:
-            # sparse NOT on a dense result: clear their bits via host bitmap
-            ids = np.concatenate([self.postings_of(t) for t in ns_tids]) \
-                if ns_tids else np.empty(0, dtype=np.int32)
+            # sparse NOT terms: synthesize a bitmap row host-side and AND-NOT
+            ids = np.concatenate([self.postings_of(t) for t in ns_tids])
             nb = bitmap_ops.make_bitmap_from_ids(ids, self.n_words)
-            res = bitmap_ops.andnot(res, jax.device_put(nb, self._device))
-        total = int(bitmap_ops.count_bitmap(res[None, :])[0])
+            extra_words = list(extra_words) + [jax.device_put(
+                np.bitwise_not(nb), self._device)]
+        has_not = bool(nrows)
+        while len(nrows) < (_k_bucket(len(nrows)) if nrows else 1):
+            nrows.append(self.zeros_row)
+        extra = self._pack_extra(extra_words)
+        F = len(extra_words)
+        count, res = bitmap_ops.dense_query(
+            self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
+            jnp.asarray([nrows], dtype=jnp.int32), self.deleted, extra,
+            has_not=has_not, has_extra=F > 0)
         if opts.limit > 0:
             n = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
                     self.n_docs_capacity)
             ids = np.asarray(bitmap_ops.topn_from_bitmap(
-                res[None, :], n, opts.descending)[0])
+                res, n, opts.descending)[0])
+            total = int(count[0])
             ids = ids[ids >= 0][:opts.limit]
             return total, ids.astype(np.int32)
-        ids = self._bitmap_to_ids(np.asarray(res))
+        total = int(count[0])
+        ids = self._bitmap_to_ids(np.asarray(res[0]))
         return total, ids
+
+    def _pack_extra(self, extra_words) -> "jax.Array":
+        """Stack extra AND-filter bitmaps padded to a bucketed row count
+        (all-ones rows are the AND identity)."""
+        F = len(extra_words)
+        if not F:
+            return self._ones_words[None, :]
+        rows = list(extra_words)
+        target = _bucket_of(F, (4,))
+        while len(rows) < target:
+            rows.append(self._ones_words)
+        return jnp.stack(rows)
 
     @staticmethod
     def _bitmap_to_ids(words: np.ndarray) -> np.ndarray:
@@ -277,8 +339,7 @@ class DeviceIndex:
             dn_inv.append(False)
 
         F = len(extra_words)
-        extra = (jnp.stack(extra_words) if F
-                 else jnp.zeros((1, self.n_words), dtype=jnp.uint32))
+        extra = self._pack_extra(extra_words)
 
         limit_b = (min(_bucket_of(opts.limit, _LIMIT_BUCKETS), C)
                    if opts.limit > 0 else 0)
@@ -303,48 +364,12 @@ class DeviceIndex:
         return total, cands_np[mask_np].astype(np.int32)
 
     def _get_sparse_kernel(self, C, Cmax, Ks, Kd, F, limit_b, descending):
-        key = (C, Cmax, Ks, Kd, F, limit_b, descending)
-        fn = self._jit_cache.get(key)
-        if fn is not None:
-            return fn
-        n_words = self.n_words
-
-        @jax.jit
-        def kernel(postings, bitmaps, deleted, extra, d_off, d_len,
-                   sp_off, sp_len, sp_inv, dn_rows, dn_inv, has_extra):
-            cands = gather_slices(postings, d_off[None], d_len[None], C)[0]
-            cmask = cands != SENTINEL
-            clip = jnp.minimum(cands, jnp.int32(n_words * 32 - 1))
-            clip = jnp.maximum(clip, 0)
-            # sparse probes
-            sp = gather_slices(postings, sp_off, sp_len, Cmax)
-            spm = membership_sorted(sp, cands)
-            spm = jnp.logical_xor(spm, sp_inv[:, None])
-            # dense probes
-            dnm = posting_ops.bitmap_membership(bitmaps, dn_rows, clip)
-            dnm = jnp.logical_xor(dnm, dn_inv[:, None])
-            # tombstones
-            alive = jnp.logical_not(bitmap_ops.bit_member(deleted, clip))
-            # extra word bitmaps (filters)
-            w = jnp.right_shift(clip, 5)
-            b = jnp.bitwise_and(clip, 31).astype(jnp.uint32)
-            ew = extra[:, w]  # (F, C)
-            em = jnp.bitwise_and(jnp.right_shift(ew, b[None, :]),
-                                 jnp.uint32(1)) == 1
-            em_ok = jnp.where(has_extra == 1, jnp.all(em, axis=0),
-                              jnp.ones_like(cmask))
-            mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0)
-                    & alive & em_ok)
-            count = jnp.sum(mask.astype(jnp.int32))
-            if limit_b > 0:
-                _, ids = posting_ops.mask_to_topn(cands, mask, limit_b,
-                                                  descending)
-            else:
-                ids = jnp.zeros((1,), dtype=jnp.int32)
-            return count, ids, mask, cands
-
-        self._jit_cache[key] = kernel
-        return kernel
+        # module-level jit keyed by (shapes, statics): compiled code is
+        # shared across DeviceIndex instances and survives restarts via the
+        # persistent compilation cache
+        return functools.partial(_sparse_query, C=C, Cmax=Cmax,
+                                 limit_b=limit_b, descending=descending,
+                                 n_words=self.n_words)
 
     # ------------------------------------------------------------------
     def search_or(self, tids: Sequence[int]) -> np.ndarray:
@@ -456,6 +481,24 @@ class DeviceIndex:
                 pos = np.minimum(np.searchsorted(p, candidates), p.size - 1)
                 keep &= p[pos] == candidates
         return candidates[keep]
+
+    # ------------------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile the common query programs up front (server start / bench
+        prep). With the persistent compilation cache this is one-time per
+        machine per corpus shape."""
+        opts_all = SearchOptions(limit=0)
+        opts_top = SearchOptions(limit=100, descending=True)
+        dense_rows = [self.ones_row]
+        for opts in (opts_all, opts_top):
+            self._dense_and_path(dense_rows, [], [], [], opts)
+        # sparse path: fabricate a driver over the first posting slice
+        if self.postings.shape[0] > 0:
+            tid = int(np.argmax(self.lengths > 0)) \
+                if bool((self.lengths > 0).any()) else None
+            if tid is not None and self.dense_row[tid] < 0:
+                for opts in (opts_all, opts_top):
+                    self._sparse_and_path([tid], [], [], [], [], opts)
 
     # ------------------------------------------------------------------
     def memory_usage(self) -> int:

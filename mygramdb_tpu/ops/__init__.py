@@ -11,7 +11,12 @@ intersection (index.cpp:286-352), bitmap filter AND, threshold k-way merge
 """
 
 from . import runtime
-from .bitmap_ops import (
+
+# Persistent XLA compilation cache: kernel compiles survive restarts (vital
+# on tunneled TPU backends where each compile is a network roundtrip).
+runtime.configure_compilation_cache()
+
+from .bitmap_ops import (  # noqa: E402
     popcount_words, and_rows, or_rows, andnot, expand_bits,
     topn_from_bitmap, count_bitmap, bit_member, make_bitmap_from_ids,
 )

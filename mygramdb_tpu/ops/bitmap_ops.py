@@ -47,6 +47,7 @@ def andnot(a: jax.Array, b: jax.Array) -> jax.Array:
 # Row-gather + reduce (AND / OR)
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("op",))
 def _reduce_rows_jnp(bitmaps: jax.Array, rows: jax.Array, op: str) -> jax.Array:
     """(V+2, W) x (B, K) -> (B, W) via gather + bitwise reduce over K."""
     g = bitmaps[rows]  # (B, K, W)
@@ -57,6 +58,30 @@ def _reduce_rows_jnp(bitmaps: jax.Array, rows: jax.Array, op: str) -> jax.Array:
         init = jnp.uint32(0)
         fn = jnp.bitwise_or
     return jax.lax.reduce(g, init, fn, dimensions=(1,))
+
+
+@functools.partial(jax.jit, static_argnames=("has_not", "has_extra"))
+def dense_query(bitmaps: jax.Array, rows: jax.Array, nrows: jax.Array,
+                deleted: jax.Array, extra: jax.Array,
+                has_not: bool = False, has_extra: bool = False):
+    """Fused dense AND query: one compile, one dispatch.
+
+    rows (B, K) AND-reduced (pad with the all-ones sentinel row);
+    nrows (B, Kn) OR-reduced and removed (pad with all-zeros sentinel);
+    deleted (W,) tombstones; extra (F, W) filter bitmaps AND'ed in.
+    -> (count (B,), result_words (B, W)).
+    """
+    res = _reduce_rows_jnp(bitmaps, rows, "and")
+    if has_not:
+        res = jnp.bitwise_and(
+            res, jnp.bitwise_not(_reduce_rows_jnp(bitmaps, nrows, "or")))
+    res = jnp.bitwise_and(res, jnp.bitwise_not(deleted)[None, :])
+    if has_extra:
+        acc = jax.lax.reduce(extra, jnp.uint32(U32_ONES), jnp.bitwise_and,
+                             dimensions=(0,))
+        res = jnp.bitwise_and(res, acc[None, :])
+    count = jnp.sum(jnp.bitwise_count(res).astype(jnp.int32), axis=-1)
+    return count, res
 
 
 def _reduce_rows_kernel(op: str):

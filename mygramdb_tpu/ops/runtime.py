@@ -5,6 +5,36 @@ from __future__ import annotations
 import functools
 import os
 
+_cache_configured = False
+
+
+def configure_compilation_cache(path: str = "") -> None:
+    """Persistent XLA compilation cache: compiles survive process restarts,
+    which matters doubly on tunneled TPU backends where every compile is a
+    network roundtrip."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    import jax
+    try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT artifacts are machine-feature specific (SIGILL risk
+            # across hosts) and CPU compiles are fast anyway — skip.
+            _cache_configured = True
+            return
+    except Exception:
+        return
+    cache_dir = path or os.environ.get(
+        "MYGRAM_XLA_CACHE", os.path.expanduser("~/.cache/mygramdb_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        _cache_configured = True
+    except Exception:
+        pass
+
 
 @functools.lru_cache(maxsize=1)
 def backend() -> str:

@@ -1,0 +1,164 @@
+"""Multi-chip sharding of the bitmap index (jax.sharding + shard_map).
+
+The reference is single-node by design (SURVEY.md §2.11); this module is the
+TPU-native scale-out path it never had: the document axis is sharded across
+chips (each chip owns a contiguous doc-id range of every term's bitmap row),
+queries are batch-sharded (dp), and the collectives ride ICI:
+
+- COUNT: per-shard popcount partials -> ``psum`` over the 'docs' axis.
+- SEARCH top-k: per-shard local top-k (doc ids globally offset) ->
+  ``all_gather`` over 'docs' -> merge-k. Only k ids per shard cross the
+  interconnect, never the bitmaps.
+- UPDATE (delta apply): (term_row, doc_id) pairs broadcast; each shard
+  scatters only the bits in its own range — no cross-chip traffic at all.
+
+Mesh axes: ('dp', 'docs'). dp shards the query batch (pure data
+parallelism); 'docs' shards the corpus (the tensor-parallel analog for an
+inverted index).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import bitmap_ops
+
+
+def make_mesh(n_devices: Optional[int] = None, dp: int = 1,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devices)
+    assert n % dp == 0, f"dp={dp} must divide device count {n}"
+    docs = n // dp
+    arr = np.asarray(devices).reshape(dp, docs)
+    return Mesh(arr, axis_names=("dp", "docs"))
+
+
+def shard_index_arrays(mesh: Mesh, bitmaps: jax.Array,
+                       deleted: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Place (V, W) bitmaps and (W,) tombstones doc-sharded on the mesh."""
+    bm = jax.device_put(bitmaps, NamedSharding(mesh, P(None, "docs")))
+    dl = jax.device_put(deleted, NamedSharding(mesh, P("docs")))
+    return bm, dl
+
+
+def _local_query(bitmaps, rows, deleted, n: int, descending: bool,
+                 shard_words: int):
+    """Per-shard body: AND-reduce rows, mask tombstones, local count+topk."""
+    g = bitmaps[rows]  # (B, K, Wl)
+    res = jax.lax.reduce(g, jnp.uint32(0xFFFFFFFF), jnp.bitwise_and,
+                         dimensions=(1,))
+    res = jnp.bitwise_and(res, jnp.bitwise_not(deleted)[None, :])
+    count_local = jnp.sum(jnp.bitwise_count(res).astype(jnp.int32), axis=-1)
+    ids_local = bitmap_ops.topn_from_bitmap(res, n, descending)  # (B, n)
+    shard = jax.lax.axis_index("docs")
+    offset = shard.astype(jnp.int32) * jnp.int32(shard_words * 32)
+    ids_local = jnp.where(ids_local >= 0, ids_local + offset, -1)
+    return count_local, ids_local
+
+
+def sharded_query_step(mesh: Mesh, n: int = 128, descending: bool = True,
+                       shard_words: int = 0):
+    """Build the jitted multi-chip batched query step.
+
+    fn(bitmaps (V, W) sharded P(None,'docs'), rows (B, K) sharded P('dp',),
+       deleted (W,) sharded P('docs',))
+      -> counts (B,) P('dp'), top_ids (B, n) P('dp')
+    """
+    from jax import shard_map
+
+    def step(bitmaps, rows, deleted):
+        def body(bm, rw, dl):
+            count_l, ids_l = _local_query(bm, rw, dl, n, descending,
+                                          shard_words)
+            count = jax.lax.psum(count_l, "docs")
+            gathered = jax.lax.all_gather(ids_l, "docs")  # (S, B, n)
+            S = gathered.shape[0]
+            cat = jnp.swapaxes(gathered, 0, 1).reshape(rw.shape[0], S * n)
+            if descending:
+                vals, _ = jax.lax.top_k(cat, n)
+                ids = jnp.where(vals >= 0, vals, -1)
+            else:
+                keys = jnp.where(cat >= 0, -cat, jnp.int32(-(2 ** 31) + 1))
+                vals, _ = jax.lax.top_k(keys, n)
+                ids = jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+            return count, ids
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, "docs"), P("dp", None), P("docs")),
+            out_specs=(P("dp"), P("dp", None)),
+            check_vma=False)(bitmaps, rows, deleted)
+
+    return jax.jit(step)
+
+
+def sharded_update_step(mesh: Mesh, shard_words: int):
+    """Build the jitted multi-chip delta-apply step (index mutation).
+
+    fn(bitmaps (V, W) P(None,'docs'), term_rows (U,) replicated,
+       doc_ids (U,) replicated) -> new bitmaps. Each shard sets only the
+    bits falling in its doc range; pad entries with doc_id = -1.
+    """
+    from jax import shard_map
+
+    def step(bitmaps, term_rows, doc_ids):
+        def body(bm, tr, di):
+            shard = jax.lax.axis_index("docs").astype(jnp.int32)
+            lo = shard * jnp.int32(shard_words * 32)
+            local = di - lo
+            valid = (di >= 0) & (local >= 0) & (local < shard_words * 32)
+            word = jnp.where(valid, jnp.right_shift(local, 5), 0)
+            bit = jnp.left_shift(
+                jnp.uint32(1),
+                jnp.bitwise_and(local, 31).astype(jnp.uint32))
+            bit = jnp.where(valid, bit, jnp.uint32(0))
+            rows = jnp.where(valid, tr, 0)
+            upd = jnp.zeros_like(bm)
+            # distinct bits per (row, word) pair: add == bitwise-or
+            upd = upd.at[rows, word].add(bit)
+            return jnp.bitwise_or(bm, upd)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, "docs"), P(None), P(None)),
+            out_specs=P(None, "docs"),
+            check_vma=False)(bitmaps, term_rows, doc_ids)
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+class ShardedQueryEngine:
+    """Convenience wrapper owning sharded arrays + compiled steps."""
+
+    def __init__(self, mesh: Mesh, bitmaps: np.ndarray, deleted: np.ndarray,
+                 topk: int = 128):
+        self.mesh = mesh
+        n_docs_shards = mesh.shape["docs"]
+        V, W = bitmaps.shape
+        assert W % n_docs_shards == 0, \
+            f"bitmap width {W} not divisible by docs axis {n_docs_shards}"
+        self.shard_words = W // n_docs_shards
+        self.bitmaps, self.deleted = shard_index_arrays(
+            mesh, jnp.asarray(bitmaps), jnp.asarray(deleted))
+        self.query = sharded_query_step(mesh, n=topk,
+                                        shard_words=self.shard_words)
+        self.update = sharded_update_step(mesh, self.shard_words)
+
+    def search(self, rows: np.ndarray):
+        counts, ids = self.query(self.bitmaps,
+                                 jnp.asarray(rows, dtype=jnp.int32),
+                                 self.deleted)
+        return np.asarray(counts), np.asarray(ids)
+
+    def apply_delta(self, term_rows: np.ndarray, doc_ids: np.ndarray) -> None:
+        self.bitmaps = self.update(self.bitmaps,
+                                   jnp.asarray(term_rows, dtype=jnp.int32),
+                                   jnp.asarray(doc_ids, dtype=jnp.int32))

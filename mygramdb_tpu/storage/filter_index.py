@@ -318,3 +318,35 @@ class FilterIndex:
             for bm in col.value_bitmaps.values():
                 total += bm.nbytes
         return total
+
+    # ------------------------------------------------------------------
+    # dump/load state
+    # ------------------------------------------------------------------
+    def state(self) -> Dict[str, Any]:
+        with self._lock:
+            cols = {}
+            for name, col in self._columns.items():
+                present_idx = np.flatnonzero(col.present)
+                if col.numeric:
+                    vals = col.values[present_idx].tolist()
+                else:
+                    vals = [col.values[i] for i in present_idx.tolist()]
+                cols[name] = {
+                    "type": col.ftype,
+                    "bitmap_index": col.bitmap_index,
+                    "bucket": col.bucket,
+                    "doc_ids": present_idx.tolist(),
+                    "values": vals,
+                }
+            return {"columns": cols}
+
+    @classmethod
+    def from_state(cls, state: Dict[str, Any]) -> "FilterIndex":
+        fi = cls()
+        for name, cs in state.get("columns", {}).items():
+            fi.add_column(name, cs["type"], cs.get("bitmap_index", False),
+                          cs.get("bucket", ""))
+            col = fi._columns[name]
+            for d, v in zip(cs["doc_ids"], cs["values"]):
+                col.set(int(d), v)
+        return fi

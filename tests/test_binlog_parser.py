@@ -1,0 +1,200 @@
+"""Binlog event parsing tests over synthesized byte streams
+(reference tests/mysql/binlog_parsing_test.cpp, binlog_crc32_test.cpp,
+rows_parser_*_test.cpp analogs)."""
+
+import pytest
+
+from mygramdb_tpu.replication import binlog_events as ev
+from mygramdb_tpu.replication import rows as rowmod
+from mygramdb_tpu.replication.gtid import Gtid, GtidSet, MariadbGtid
+from mygramdb_tpu.utils.errors import ProtocolError
+
+from binlog_builder import EventBuilder
+
+SID = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+COLS = [rowmod.T_LONG, rowmod.T_VARCHAR, rowmod.T_TINY]
+METAS = [0, 255, 0]
+
+
+def make_parser(builder):
+    p = ev.BinlogParser()
+    assert p.parse_event(builder.fde()).kind == "format_description"
+    assert p.checksum == ev.CHECKSUM_CRC32
+    return p
+
+
+class TestGtidSet:
+    def test_parse_format_roundtrip(self):
+        s = GtidSet.parse(f"{SID}:1-5:7,{SID[:-1]}3:1-3")
+        text = str(s)
+        assert GtidSet.parse(text) == s
+
+    def test_contains_merge(self):
+        s = GtidSet.parse(f"{SID}:1-5")
+        assert s.contains(Gtid(SID, 3))
+        assert not s.contains(Gtid(SID, 6))
+        s.add(Gtid(SID, 6))
+        assert s.contains(Gtid(SID, 6))
+        assert str(s) == f"{SID}:1-6"
+
+    def test_normalized_single(self):
+        s = GtidSet()
+        s.add_gtid_normalized(Gtid(SID, 42))
+        assert str(s) == f"{SID}:1-42"
+
+    def test_binary_roundtrip(self):
+        s = GtidSet.parse(f"{SID}:1-5:8-9")
+        assert GtidSet.decode(s.encode()) == s
+
+    def test_mariadb(self):
+        g = MariadbGtid.parse("0-1-42")
+        assert (g.domain, g.server_id, g.seq) == (0, 1, 42)
+        assert str(g) == "0-1-42"
+
+
+class TestEventParsing:
+    def test_gtid_event(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        e = p.parse_event(b.gtid(SID, 7))
+        assert e.kind == "gtid"
+        assert e.gtid == Gtid(SID, 7)
+
+    def test_mariadb_gtid_event(self):
+        b = EventBuilder(server_id=3)
+        p = make_parser(b)
+        e = p.parse_event(b.mariadb_gtid(0, 99))
+        assert e.kind == "gtid"
+        assert e.mariadb_gtid == MariadbGtid(0, 3, 99)
+
+    def test_crc_mismatch_fails_fast(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        tm = b.table_map(9, "db", "t", COLS, METAS)
+        p.parse_event(tm)
+        bad = b.rows(9, "insert", COLS, METAS, [[1, "x", 0]],
+                     corrupt_crc=True)
+        with pytest.raises(ProtocolError, match="CRC32"):
+            p.parse_event(bad)
+
+    def test_insert_rows(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "articles", COLS, METAS,
+                                  col_names=["id", "content", "status"]))
+        e = p.parse_event(b.rows(9, "insert", COLS, METAS,
+                                 [[1, "hello world", 1],
+                                  [2, "goodbye", 0]]))
+        assert e.kind == "rows"
+        assert e.rows.kind == "insert"
+        assert e.rows.rows == [[1, "hello world", 1], [2, "goodbye", 0]]
+        assert e.rows.table_map.col_names == ["id", "content", "status"]
+        assert e.rows.table_map.schema == "db"
+        assert e.rows.table_map.table == "articles"
+
+    def test_update_rows_before_after(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "t", COLS, METAS))
+        e = p.parse_event(b.rows(9, "update", COLS, METAS,
+                                 [([1, "old", 1], [1, "new", 2])]))
+        before, after = e.rows.rows[0]
+        assert before == [1, "old", 1]
+        assert after == [1, "new", 2]
+
+    def test_delete_rows(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "t", COLS, METAS))
+        e = p.parse_event(b.rows(9, "delete", COLS, METAS, [[7, "x", 1]]))
+        assert e.rows.kind == "delete"
+        assert e.rows.rows == [[7, "x", 1]]
+
+    def test_null_values(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "t", COLS, METAS))
+        e = p.parse_event(b.rows(9, "insert", COLS, METAS,
+                                 [[3, None, None]]))
+        assert e.rows.rows == [[3, None, None]]
+
+    def test_unsigned_metadata(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "t", [rowmod.T_TINY], [0],
+                                  unsigned=[True]))
+        e = p.parse_event(b.rows(9, "insert", [rowmod.T_TINY], [0], [[200]]))
+        assert e.rows.rows == [[200]]  # unsigned: stays 200, not -56
+
+    def test_signed_default(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        p.parse_event(b.table_map(9, "db", "t", [rowmod.T_TINY], [0]))
+        e = p.parse_event(b.rows(9, "insert", [rowmod.T_TINY], [0], [[200]]))
+        assert e.rows.rows == [[-56]]
+
+    def test_xid_commit(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        assert p.parse_event(b.xid()).kind == "xid"
+
+    def test_begin_and_ddl(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        assert p.parse_event(b.begin()).kind == "begin"
+        e = p.parse_event(b.query("TRUNCATE TABLE articles"))
+        assert e.kind == "query" and e.ddl_type == "truncate"
+        e = p.parse_event(b.query("ALTER TABLE db.articles ADD COLUMN x INT"))
+        assert e.ddl_type == "alter"
+        e = p.parse_event(b.query("DROP TABLE IF EXISTS articles"))
+        assert e.ddl_type == "drop"
+        e = p.parse_event(b.query("RENAME TABLE a TO b"))
+        assert e.ddl_type == "rename"
+
+    def test_ddl_target(self):
+        assert ev.ddl_target_table("TRUNCATE TABLE articles") == \
+            ("", "articles")
+        assert ev.ddl_target_table("ALTER TABLE db.articles ADD x INT") == \
+            ("db", "articles")
+
+    def test_rotate(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        e = p.parse_event(b.rotate("binlog.000007", 4))
+        assert e.kind == "rotate"
+        assert e.next_log == "binlog.000007"
+
+    def test_datetime2(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        cols = [rowmod.T_LONG, rowmod.T_DATETIME2]
+        metas = [0, 0]
+        p.parse_event(b.table_map(9, "db", "t", cols, metas))
+        e = p.parse_event(b.rows(9, "insert", cols, metas,
+                                 [[1, (2024, 3, 15, 12, 30, 45)]]))
+        import calendar
+        expect = calendar.timegm((2024, 3, 15, 12, 30, 45, 0, 0, 0))
+        assert e.rows.rows[0][1] == expect
+
+    def test_unknown_table_id(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        with pytest.raises(ProtocolError, match="unknown table id"):
+            p.parse_event(b.rows(1234, "insert", COLS, METAS, [[1, "x", 0]]))
+
+
+class TestDecimal:
+    def test_newdecimal(self):
+        # precision 10, scale 2 value 1234567.89
+        from mygramdb_tpu.replication.rows import ByteReader, decode_newdecimal
+        # construct via known encoding: use MySQL doc example 1234567890.1234
+        # simpler: verify sign handling with a round-trip-ish small case
+        # 3 digits int (prec 5, scale 2) => int 1 group of rem 3 (2 bytes),
+        # frac rem 2 (1 byte)
+        raw = bytearray()
+        raw += (123).to_bytes(2, "big")
+        raw += (45).to_bytes(1, "big")
+        raw[0] |= 0x80  # positive sign bit
+        out = decode_newdecimal(ByteReader(bytes(raw)), 5, 2)
+        assert out == "123.45"

@@ -1,0 +1,220 @@
+"""ServerCore command-plane tests (dispatcher + handlers, no sockets)."""
+
+import os
+
+import pytest
+
+from mygramdb_tpu.catalog import TableCatalog
+from mygramdb_tpu.config import load_config_from_dict
+from mygramdb_tpu.server.core import ConnState, ServerCore
+
+CFG = {
+    "tables": [{
+        "name": "articles",
+        "text_source": {"column": "content"},
+        "filters": [
+            {"name": "status", "type": "int", "bitmap_index": True},
+            {"name": "category", "type": "string"},
+        ],
+    }],
+    "memory": {"verify_text": "all"},
+    "cache": {"min_query_cost_ms": 0.0},
+}
+
+DOCS = [
+    ("1", "hello world", {"status": 1, "category": "a"}),
+    ("2", "hello there", {"status": 2, "category": "b"}),
+    ("3", "goodbye world", {"status": 1, "category": "a"}),
+]
+
+
+@pytest.fixture()
+def core(tmp_path):
+    cfg_dict = dict(CFG)
+    cfg_dict["dump"] = {"dir": str(tmp_path), "default_filename": "t.dmp"}
+    cfg = load_config_from_dict(cfg_dict)
+    cat = TableCatalog(cfg)
+    ctx = cat.resolve("articles")
+    for pk, text, f in DOCS:
+        ctx.add_row(pk, text, f)
+    return ServerCore(cfg, cat)
+
+
+class TestSearchCommands:
+    def test_search(self, core):
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
+
+    def test_search_sort_asc(self, core):
+        assert core.handle_line("SEARCH articles hello SORT id ASC") == \
+            "OK RESULTS 2 1 2"
+
+    def test_search_filter(self, core):
+        assert core.handle_line(
+            "SEARCH articles world FILTER status = 1") == "OK RESULTS 2 3 1"
+
+    def test_count(self, core):
+        assert core.handle_line("COUNT articles hello") == "OK COUNT 2"
+
+    def test_get(self, core):
+        resp = core.handle_line("GET articles 1")
+        assert resp.startswith("OK DOC 1")
+        assert "status=1" in resp and "category=a" in resp
+
+    def test_get_missing(self, core):
+        assert core.handle_line("GET articles 99") == \
+            "ERROR Document not found"
+
+    def test_unknown_table(self, core):
+        assert core.handle_line("SEARCH nope x") == \
+            "ERROR Table not found: nope"
+
+    def test_parse_error(self, core):
+        assert core.handle_line("SEARCH articles").startswith("ERROR")
+        assert core.handle_line("BOGUS").startswith("ERROR")
+
+    def test_facet(self, core):
+        resp = core.handle_line("FACET articles category world")
+        lines = resp.split("\r\n")
+        assert lines[0] == "OK FACET 1"
+        assert lines[1] == "a\t2"
+
+    def test_facet_no_search(self, core):
+        resp = core.handle_line("FACET articles category")
+        assert resp.startswith("OK FACET 2")
+
+    def test_highlight(self, core):
+        resp = core.handle_line(
+            'SEARCH articles hello HIGHLIGHT TAG <b> </b>')
+        assert resp.startswith("OK RESULTS 2")
+        assert "<b>hello</b>" in resp
+
+    def test_debug_block(self, core):
+        conn = ConnState()
+        core.handle_line("DEBUG ON", conn)
+        assert conn.debug
+        resp = core.handle_line("SEARCH articles hello", conn)
+        assert "# DEBUG" in resp
+        assert "query_time:" in resp
+        core.handle_line("DEBUG OFF", conn)
+        assert not conn.debug
+
+
+class TestInfoAndVariables:
+    def test_info(self, core):
+        resp = core.handle_line("INFO")
+        assert resp.startswith("OK INFO")
+        assert "version:" in resp
+        assert "table_articles_documents: 3" in resp
+        assert resp.endswith("END")
+
+    def test_set_show(self, core):
+        assert core.handle_line("SET cache.enabled = off") == "OK"
+        resp = core.handle_line("SHOW VARIABLES LIKE 'cache.enabled'")
+        assert "cache.enabled\tOFF" in resp
+        assert core.handle_line("SET api.tcp.port = 1").startswith("ERROR")
+
+    def test_config_show(self, core):
+        resp = core.handle_line("CONFIG SHOW api.tcp")
+        assert '"port": 11016' in resp
+        assert core.handle_line("CONFIG SHOW no.such").startswith("ERROR")
+
+    def test_config_help(self, core):
+        resp = core.handle_line("CONFIG HELP")
+        assert "cache.enabled" in resp
+
+    def test_cache_commands(self, core):
+        assert core.handle_line("CACHE DISABLE") == "OK CACHE_DISABLED"
+        assert core.handle_line("CACHE ENABLE") == "OK CACHE_ENABLED"
+        assert core.handle_line("CACHE CLEAR").startswith("OK CACHE_CLEARED")
+        assert core.handle_line("CACHE STATS").startswith("OK CACHE_STATS")
+
+    def test_replication_status(self, core):
+        resp = core.handle_line("REPLICATION STATUS")
+        assert resp.startswith("OK REPLICATION")
+        assert "state: disabled" in resp
+
+
+class TestCacheIntegration:
+    def test_cache_hit(self, core):
+        r1 = core.handle_line("SEARCH articles hello")
+        conn = ConnState()
+        core.handle_line("DEBUG ON", conn)
+        r2 = core.handle_line("SEARCH articles hello", conn)
+        assert "cache: hit" in r2
+        assert r2.startswith(r1)
+
+    def test_cache_invalidation_on_write(self, core):
+        core.handle_line("SEARCH articles hello")
+        ctx = core.catalog.resolve("articles")
+        grams = ctx.index.shred(ctx.normalize("hello world"))
+        core.cache.invalidate_by_ngrams(ctx.name, grams)
+        core.cache.queue.flush()
+        conn = ConnState()
+        core.handle_line("DEBUG ON", conn)
+        resp = core.handle_line("SEARCH articles hello", conn)
+        assert "cache: miss" in resp
+
+
+class TestDumpCommands:
+    def test_save_load_roundtrip(self, core, tmp_path):
+        resp = core.handle_line("DUMP SAVE test.dmp")
+        assert resp.startswith("OK DUMP_STARTED")
+        assert core.dump_manager.wait(30)
+        status = core.handle_line("DUMP STATUS")
+        assert "state=done" in status
+
+        # verify + info
+        v = core.handle_line("DUMP VERIFY test.dmp")
+        assert v.startswith("OK DUMP_VERIFIED")
+        i = core.handle_line("DUMP INFO test.dmp")
+        assert "table_articles" in i
+
+        # mutate, then restore
+        ctx = core.catalog.resolve("articles")
+        ctx.add_row("9", "extra doc", {"status": 1})
+        assert core.handle_line("COUNT articles hello") == "OK COUNT 2"
+        core.handle_line("SEARCH articles extra")
+        resp = core.handle_line("DUMP LOAD test.dmp")
+        assert resp.startswith("OK DUMP_STARTED")
+        assert core.dump_manager.wait(30)
+        assert "state=done" in core.handle_line("DUMP STATUS")
+        assert core.handle_line("SEARCH articles extra") == "OK RESULTS 0"
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
+
+    def test_verify_missing_file(self, core):
+        assert core.handle_line("DUMP VERIFY nope.dmp").startswith("ERROR")
+
+    def test_optimize(self, core):
+        ctx = core.catalog.resolve("articles")
+        ctx.add_row("50", "fresh delta doc", {"status": 1})
+        assert len(ctx.index.delta) >= 1
+        resp = core.handle_line("OPTIMIZE articles")
+        assert resp == "OK OPTIMIZED articles"
+        assert len(ctx.index.delta) == 0
+        assert core.handle_line("SEARCH articles fresh") == "OK RESULTS 1 50"
+
+
+class TestSync:
+    def test_sync_without_source(self, core):
+        assert core.handle_line("SYNC articles").startswith("ERROR")
+
+    def test_sync_with_file_source(self, tmp_path):
+        seed = tmp_path / "seed.jsonl"
+        import json
+        with open(seed, "w") as f:
+            for pk, text, filt in DOCS:
+                f.write(json.dumps(
+                    {"id": pk, "content": text, **filt}) + "\n")
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        from mygramdb_tpu.loader.file_loader import make_sync_loader
+        core = ServerCore(cfg, cat,
+                          sync_loader_factory=make_sync_loader(str(seed)))
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 0"
+        resp = core.handle_line("SYNC articles")
+        assert "started" in resp
+        core.sync_manager.wait_all(30)
+        assert "done" in core.handle_line("SYNC STATUS")
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
