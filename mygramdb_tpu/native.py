@@ -1,0 +1,278 @@
+"""ctypes bindings for the C++ host kernels (native/mygram_native.cpp).
+
+Loads ``libmygram_native.so`` (built by ``make -C native``; auto-built on
+first import when a compiler is available) and exposes vectorized host
+operations with transparent Python fallbacks:
+
+- ``substring_verify(texts, needles)`` — verify_text post-filter
+- ``count_occurrences(texts, terms)``  — BM25 TF matrix + doc lengths
+- ``fuzzy_verify(texts, term, d)``     — fuzzy candidate verification
+- ``levenshtein / contains_fuzzy``
+- ``intersect/union/difference_sorted``— host id-set algebra
+- ``hybrid_ngrams(cps, ...)``          — (start, len, hash) gram triples
+
+Text crosses the boundary as UTF-32 code points: ``str.encode('utf-32-le')``
+is a C-speed conversion and code-point offsets match the reference's
+semantics exactly.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_NAME = "libmygram_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_c_u32p = ctypes.POINTER(ctypes.c_uint32)
+_c_i64p = ctypes.POINTER(ctypes.c_int64)
+_c_i32p = ctypes.POINTER(ctypes.c_int32)
+_c_u8p = ctypes.POINTER(ctypes.c_uint8)
+_c_u64p = ctypes.POINTER(ctypes.c_uint64)
+
+
+def _candidate_paths() -> List[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(here)
+    return [
+        os.environ.get("MYGRAM_NATIVE_LIB", ""),
+        os.path.join(root, "native", _LIB_NAME),
+        os.path.join(here, _LIB_NAME),
+    ]
+
+
+def _try_build() -> Optional[str]:
+    here = os.path.dirname(os.path.abspath(__file__))
+    native_dir = os.path.join(os.path.dirname(here), "native")
+    if not os.path.isfile(os.path.join(native_dir, "mygram_native.cpp")):
+        return None
+    try:
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       capture_output=True, timeout=120)
+        path = os.path.join(native_dir, _LIB_NAME)
+        return path if os.path.isfile(path) else None
+    except Exception:
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("MYGRAM_DISABLE_NATIVE") == "1":
+        return None
+    path = next((p for p in _candidate_paths()
+                 if p and os.path.isfile(p)), None)
+    if path is None:
+        path = _try_build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.mg_levenshtein.restype = ctypes.c_int64
+    lib.mg_levenshtein.argtypes = [_c_u32p, ctypes.c_int64, _c_u32p,
+                                   ctypes.c_int64, ctypes.c_int64]
+    lib.mg_contains_fuzzy.restype = ctypes.c_int32
+    lib.mg_contains_fuzzy.argtypes = [_c_u32p, ctypes.c_int64, _c_u32p,
+                                      ctypes.c_int64, ctypes.c_int64]
+    lib.mg_substring_verify.restype = None
+    lib.mg_substring_verify.argtypes = [_c_u32p, _c_i64p, ctypes.c_int64,
+                                        _c_u32p, _c_i64p, ctypes.c_int64,
+                                        _c_u8p]
+    lib.mg_count_occurrences.restype = None
+    lib.mg_count_occurrences.argtypes = [_c_u32p, _c_i64p, ctypes.c_int64,
+                                         _c_u32p, _c_i64p, ctypes.c_int64,
+                                         _c_i32p, _c_i32p]
+    lib.mg_fuzzy_verify.restype = None
+    lib.mg_fuzzy_verify.argtypes = [_c_u32p, _c_i64p, ctypes.c_int64,
+                                    _c_u32p, ctypes.c_int64, ctypes.c_int64,
+                                    _c_u8p]
+    for name in ("mg_intersect_sorted", "mg_union_sorted",
+                 "mg_difference_sorted"):
+        fn = getattr(lib, name)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [_c_i32p, ctypes.c_int64, _c_i32p, ctypes.c_int64,
+                       _c_i32p]
+    lib.mg_hybrid_ngrams.restype = ctypes.c_int64
+    lib.mg_hybrid_ngrams.argtypes = [_c_u32p, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     ctypes.c_int32, _c_i32p, _c_i32p,
+                                     _c_u64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# conversion helpers
+# ---------------------------------------------------------------------------
+
+def to_cp(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+def pack_texts(texts: Sequence[Optional[str]]) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (concat codepoints, offsets (n+1,))."""
+    parts = [to_cp(t or "") for t in texts]
+    offsets = np.zeros(len(parts) + 1, dtype=np.int64)
+    np.cumsum([p.size for p in parts], out=offsets[1:])
+    buf = np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint32)
+    return np.ascontiguousarray(buf), offsets
+
+
+def _ptr(arr: np.ndarray, typ):
+    return arr.ctypes.data_as(typ)
+
+
+# ---------------------------------------------------------------------------
+# public operations (with fallbacks)
+# ---------------------------------------------------------------------------
+
+def substring_verify(texts: Sequence[Optional[str]],
+                     needles: Sequence[str]) -> np.ndarray:
+    """bool mask: text contains ALL needles."""
+    lib = _load()
+    if lib is None:
+        return np.asarray([t is not None and all(n in t for n in needles)
+                           for t in texts], dtype=bool)
+    tbuf, toff = pack_texts(texts)
+    nbuf, noff = pack_texts(needles)
+    out = np.zeros(len(texts), dtype=np.uint8)
+    lib.mg_substring_verify(_ptr(tbuf, _c_u32p), _ptr(toff, _c_i64p),
+                            len(texts), _ptr(nbuf, _c_u32p),
+                            _ptr(noff, _c_i64p), len(needles),
+                            _ptr(out, _c_u8p))
+    mask = out.astype(bool)
+    # None texts never verify
+    for i, t in enumerate(texts):
+        if t is None:
+            mask[i] = False
+    return mask
+
+
+def count_occurrences(texts: Sequence[Optional[str]],
+                      terms: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """-> (tf matrix (n_texts, n_terms) int32, doc lengths int32)."""
+    lib = _load()
+    if lib is None:
+        tf = np.zeros((len(texts), len(terms)), dtype=np.int32)
+        dl = np.zeros(len(texts), dtype=np.int32)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            dl[i] = len(t)
+            for j, term in enumerate(terms):
+                tf[i, j] = t.count(term)
+        return tf, dl
+    tbuf, toff = pack_texts(texts)
+    qbuf, qoff = pack_texts(terms)
+    tf = np.zeros((len(texts), len(terms)), dtype=np.int32)
+    dl = np.zeros(len(texts), dtype=np.int32)
+    lib.mg_count_occurrences(_ptr(tbuf, _c_u32p), _ptr(toff, _c_i64p),
+                             len(texts), _ptr(qbuf, _c_u32p),
+                             _ptr(qoff, _c_i64p), len(terms),
+                             _ptr(tf, _c_i32p), _ptr(dl, _c_i32p))
+    return tf, dl
+
+
+def fuzzy_verify(texts: Sequence[Optional[str]], term: str,
+                 max_distance: int) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .utils.edit_distance import contains_fuzzy_match
+        return np.asarray(
+            [t is not None and (term in t or
+                                contains_fuzzy_match(t, term, max_distance))
+             for t in texts], dtype=bool)
+    tbuf, toff = pack_texts(texts)
+    tcp = to_cp(term)
+    out = np.zeros(len(texts), dtype=np.uint8)
+    lib.mg_fuzzy_verify(_ptr(tbuf, _c_u32p), _ptr(toff, _c_i64p), len(texts),
+                        _ptr(np.ascontiguousarray(tcp), _c_u32p), tcp.size,
+                        max_distance, _ptr(out, _c_u8p))
+    mask = out.astype(bool)
+    for i, t in enumerate(texts):
+        if t is None:
+            mask[i] = False
+    return mask
+
+
+def levenshtein(a: str, b: str, max_distance: int = 2 ** 30) -> int:
+    lib = _load()
+    if lib is None:
+        from .utils.edit_distance import levenshtein as py_lev
+        return py_lev(a, b, max_distance)
+    ca, cb = to_cp(a), to_cp(b)
+    return int(lib.mg_levenshtein(
+        _ptr(np.ascontiguousarray(ca), _c_u32p), ca.size,
+        _ptr(np.ascontiguousarray(cb), _c_u32p), cb.size, max_distance))
+
+
+def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    if lib is None:
+        return np.intersect1d(a, b, assume_unique=True).astype(np.int32)
+    out = np.empty(min(a.size, b.size), dtype=np.int32)
+    n = lib.mg_intersect_sorted(_ptr(a, _c_i32p), a.size,
+                                _ptr(b, _c_i32p), b.size, _ptr(out, _c_i32p))
+    return out[:n]
+
+
+def union_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    if lib is None:
+        return np.union1d(a, b).astype(np.int32)
+    out = np.empty(a.size + b.size, dtype=np.int32)
+    n = lib.mg_union_sorted(_ptr(a, _c_i32p), a.size,
+                            _ptr(b, _c_i32p), b.size, _ptr(out, _c_i32p))
+    return out[:n]
+
+
+def difference_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    lib = _load()
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    b = np.ascontiguousarray(b, dtype=np.int32)
+    if lib is None:
+        return np.setdiff1d(a, b, assume_unique=True).astype(np.int32)
+    out = np.empty(a.size, dtype=np.int32)
+    n = lib.mg_difference_sorted(_ptr(a, _c_i32p), a.size,
+                                 _ptr(b, _c_i32p), b.size,
+                                 _ptr(out, _c_i32p))
+    return out[:n]
+
+
+def hybrid_ngrams(text: str, ascii_n: int, kanji_n: int,
+                  cross_boundary: bool
+                  ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """-> (starts, lens, hashes) or None when the native lib is absent."""
+    lib = _load()
+    if lib is None:
+        return None
+    cps = np.ascontiguousarray(to_cp(text))
+    n = cps.size
+    if n == 0:
+        z32 = np.zeros(0, dtype=np.int32)
+        return z32, z32, np.zeros(0, dtype=np.uint64)
+    starts = np.empty(n, dtype=np.int32)
+    lens = np.empty(n, dtype=np.int32)
+    hashes = np.empty(n, dtype=np.uint64)
+    count = lib.mg_hybrid_ngrams(_ptr(cps, _c_u32p), n, ascii_n, kanji_n,
+                                 1 if cross_boundary else 0,
+                                 _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
+                                 _ptr(hashes, _c_u64p))
+    return starts[:count], lens[:count], hashes[:count]

@@ -107,14 +107,10 @@ class BM25Scorer:
             return np.zeros(n, dtype=np.float64)
         idf = np.asarray([BM25Scorer.compute_idf(total_docs, df)
                           for df in term_doc_freqs], dtype=np.float64)
-        tf = np.zeros((n, t), dtype=np.float64)
-        dl = np.zeros(n, dtype=np.float64)
-        for i, text in enumerate(texts):
-            if not text:
-                continue
-            dl[i] = len(text)
-            for j, term in enumerate(search_terms):
-                tf[i, j] = text.count(term)
+        from .. import native
+        tf_i, dl_i = native.count_occurrences(texts, list(search_terms))
+        tf = tf_i.astype(np.float64)
+        dl = dl_i.astype(np.float64)
         if avg_doc_length <= 0:
             avg_doc_length = 1.0
         norm = k1 * (1.0 - b + b * dl / avg_doc_length)

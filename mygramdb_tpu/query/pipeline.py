@@ -362,10 +362,9 @@ class SearchPipeline:
     def _substring_filter(self, ids: np.ndarray,
                           needles: Sequence[str]) -> np.ndarray:
         texts = self.ctx.doc_store.texts_batch(ids.tolist())
-        keep = [i for i, tx in enumerate(texts)
-                if tx is not None and all(n in tx for n in needles)]
-        return ids[np.asarray(keep, dtype=np.int64)] if keep else \
-            np.empty(0, dtype=np.int32)
+        from .. import native
+        mask = native.substring_verify(texts, list(needles))
+        return ids[mask].astype(np.int32)
 
     # ------------------------------------------------------------------
     # Boolean AST path
@@ -512,17 +511,12 @@ class SearchPipeline:
             cand = self.ctx.index.search_by_threshold(ti.grams, threshold) \
                 if ti.grams else \
                 np.sort(self.ctx.doc_store.all_doc_ids()).astype(np.int32)
-            # verify candidates against text
+            # verify candidates against text (exact substring, then token
+            # Levenshtein) — native batch kernel
+            from .. import native
             texts = self.ctx.doc_store.texts_batch(cand.tolist())
-            keep = []
-            for i, tx in enumerate(texts):
-                if tx is None:
-                    continue
-                if ti.normalized in tx or \
-                        contains_fuzzy_match(tx, ti.normalized, dist):
-                    keep.append(i)
-            cand = cand[np.asarray(keep, dtype=np.int64)] if keep else \
-                np.empty(0, dtype=np.int32)
+            mask = native.fuzzy_verify(texts, ti.normalized, dist)
+            cand = cand[mask].astype(np.int32)
             result = cand if result is None else \
                 np.intersect1d(result, cand, assume_unique=True)
             if result.size == 0:

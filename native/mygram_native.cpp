@@ -1,0 +1,258 @@
+// Native host-path kernels for mygramdb-tpu.
+//
+// The reference engine is C++17 throughout; in this framework the TPU owns
+// the index data plane and these C++ kernels own the host-side hot loops
+// that remain: verify_text substring scans, BM25 term-frequency counting,
+// fuzzy Levenshtein verification, hybrid n-gram shredding, and sorted-set
+// operations. Exposed as a plain C ABI consumed via ctypes
+// (mygramdb_tpu/native.py); all buffers are caller-allocated numpy arrays.
+//
+// Text is passed as UTF-32 code points (numpy uint32) — Python's
+// str.encode('utf-32-le') produces it at C speed, and code-point indexing
+// matches the reference's semantics (lengths and offsets in code points).
+//
+// Build: make -C native   (produces libmygram_native.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Levenshtein (banded, O(min) space) — reference utils/edit_distance.cpp
+// ---------------------------------------------------------------------------
+int64_t mg_levenshtein(const uint32_t* a, int64_t la, const uint32_t* b,
+                       int64_t lb, int64_t max_d) {
+  if (la > lb) {
+    std::swap(a, b);
+    std::swap(la, lb);
+  }
+  if (lb - la > max_d) return max_d + 1;
+  std::vector<int64_t> prev(la + 1), cur(la + 1);
+  for (int64_t i = 0; i <= la; ++i) prev[i] = i;
+  for (int64_t j = 1; j <= lb; ++j) {
+    cur[0] = j;
+    uint32_t bj = b[j - 1];
+    int64_t row_min = cur[0];
+    for (int64_t i = 1; i <= la; ++i) {
+      int64_t cost = (a[i - 1] == bj) ? 0 : 1;
+      int64_t v = std::min({prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + cost});
+      cur[i] = v;
+      if (v < row_min) row_min = v;
+    }
+    if (row_min > max_d) return max_d + 1;
+    std::swap(prev, cur);
+  }
+  return prev[la] <= max_d ? prev[la] : max_d + 1;
+}
+
+// token-level fuzzy contains: any whitespace-delimited token of text within
+// max_d of term (reference ContainsFuzzyMatch)
+static bool is_space_cp(uint32_t c) {
+  return c == 0x20 || c == 0x09 || c == 0x0A || c == 0x0D || c == 0x3000;
+}
+
+int32_t mg_contains_fuzzy(const uint32_t* text, int64_t lt,
+                          const uint32_t* term, int64_t lterm,
+                          int64_t max_d) {
+  if (lterm == 0) return 1;
+  int64_t i = 0;
+  while (i < lt) {
+    while (i < lt && is_space_cp(text[i])) ++i;
+    int64_t start = i;
+    while (i < lt && !is_space_cp(text[i])) ++i;
+    int64_t len = i - start;
+    if (len > 0 && llabs(len - lterm) <= max_d) {
+      if (mg_levenshtein(text + start, len, term, lterm, max_d) <= max_d)
+        return 1;
+    }
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Substring search over code points
+// ---------------------------------------------------------------------------
+static bool contains_cp(const uint32_t* hay, int64_t lh, const uint32_t* nee,
+                        int64_t ln) {
+  if (ln == 0) return true;
+  if (ln > lh) return false;
+  const uint32_t first = nee[0];
+  for (int64_t i = 0; i + ln <= lh; ++i) {
+    if (hay[i] != first) continue;
+    if (std::memcmp(hay + i, nee, sizeof(uint32_t) * ln) == 0) return true;
+  }
+  return false;
+}
+
+// verify_text: out_mask[d] = 1 iff every needle is a substring of text d.
+// texts: concatenated code points with offsets (n_texts+1 entries).
+void mg_substring_verify(const uint32_t* text_buf, const int64_t* text_off,
+                         int64_t n_texts, const uint32_t* needle_buf,
+                         const int64_t* needle_off, int64_t n_needles,
+                         uint8_t* out_mask) {
+  for (int64_t d = 0; d < n_texts; ++d) {
+    const uint32_t* t = text_buf + text_off[d];
+    int64_t lt = text_off[d + 1] - text_off[d];
+    uint8_t ok = 1;
+    for (int64_t n = 0; n < n_needles; ++n) {
+      const uint32_t* ne = needle_buf + needle_off[n];
+      int64_t ln = needle_off[n + 1] - needle_off[n];
+      if (!contains_cp(t, lt, ne, ln)) {
+        ok = 0;
+        break;
+      }
+    }
+    out_mask[d] = ok;
+  }
+}
+
+// BM25 TF: out[d * n_terms + k] = non-overlapping occurrences of term k in
+// text d; out_len[d] = text length in code points.
+void mg_count_occurrences(const uint32_t* text_buf, const int64_t* text_off,
+                          int64_t n_texts, const uint32_t* term_buf,
+                          const int64_t* term_off, int64_t n_terms,
+                          int32_t* out_tf, int32_t* out_len) {
+  for (int64_t d = 0; d < n_texts; ++d) {
+    const uint32_t* t = text_buf + text_off[d];
+    int64_t lt = text_off[d + 1] - text_off[d];
+    out_len[d] = static_cast<int32_t>(lt);
+    for (int64_t k = 0; k < n_terms; ++k) {
+      const uint32_t* te = term_buf + term_off[k];
+      int64_t ln = term_off[k + 1] - term_off[k];
+      int32_t count = 0;
+      if (ln > 0) {
+        int64_t i = 0;
+        while (i + ln <= lt) {
+          if (t[i] == te[0] &&
+              std::memcmp(t + i, te, sizeof(uint32_t) * ln) == 0) {
+            ++count;
+            i += ln;  // non-overlapping
+          } else {
+            ++i;
+          }
+        }
+      }
+      out_tf[d * n_terms + k] = count;
+    }
+  }
+}
+
+// fuzzy verification batch: out_mask[d] = 1 iff term is an exact substring
+// OR a whitespace token within max_d.
+void mg_fuzzy_verify(const uint32_t* text_buf, const int64_t* text_off,
+                     int64_t n_texts, const uint32_t* term, int64_t lterm,
+                     int64_t max_d, uint8_t* out_mask) {
+  for (int64_t d = 0; d < n_texts; ++d) {
+    const uint32_t* t = text_buf + text_off[d];
+    int64_t lt = text_off[d + 1] - text_off[d];
+    out_mask[d] = contains_cp(t, lt, term, lterm) ||
+                  mg_contains_fuzzy(t, lt, term, lterm, max_d);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Sorted-set operations (int32 doc ids) — host-side AST/merge paths
+// ---------------------------------------------------------------------------
+int64_t mg_intersect_sorted(const int32_t* a, int64_t la, const int32_t* b,
+                            int64_t lb, int32_t* out) {
+  int64_t i = 0, j = 0, n = 0;
+  while (i < la && j < lb) {
+    if (a[i] < b[j])
+      ++i;
+    else if (a[i] > b[j])
+      ++j;
+    else {
+      out[n++] = a[i];
+      ++i;
+      ++j;
+    }
+  }
+  return n;
+}
+
+int64_t mg_union_sorted(const int32_t* a, int64_t la, const int32_t* b,
+                        int64_t lb, int32_t* out) {
+  int64_t i = 0, j = 0, n = 0;
+  while (i < la && j < lb) {
+    int32_t v;
+    if (a[i] < b[j])
+      v = a[i++];
+    else if (a[i] > b[j])
+      v = b[j++];
+    else {
+      v = a[i];
+      ++i;
+      ++j;
+    }
+    out[n++] = v;
+  }
+  while (i < la) out[n++] = a[i++];
+  while (j < lb) out[n++] = b[j++];
+  return n;
+}
+
+int64_t mg_difference_sorted(const int32_t* a, int64_t la, const int32_t* b,
+                             int64_t lb, int32_t* out) {
+  int64_t i = 0, j = 0, n = 0;
+  while (i < la) {
+    while (j < lb && b[j] < a[i]) ++j;
+    if (j >= lb || b[j] != a[i]) out[n++] = a[i];
+    ++i;
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// Hybrid n-gram shredding over code points (reference
+// string_utils.cpp:460-517 semantics). Emits (start, len) pairs; Python
+// slices the original string once per gram only for unseen hashes.
+// Also emits FNV-1a 64-bit hashes for fast term-dict probing.
+// ---------------------------------------------------------------------------
+static bool is_cjk_ideograph(uint32_t cp) {
+  return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+         (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
+         (cp >= 0x2B740 && cp <= 0x2B81F) || (cp >= 0xF900 && cp <= 0xFAFF);
+}
+
+// returns number of grams; caller buffers sized >= n_cps
+int64_t mg_hybrid_ngrams(const uint32_t* cps, int64_t n, int32_t ascii_n,
+                         int32_t kanji_n, int32_t cross_boundary,
+                         int32_t* out_start, int32_t* out_len,
+                         uint64_t* out_hash) {
+  if (ascii_n <= 0 || kanji_n <= 0 || n <= 0) return 0;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    bool start_cjk = is_cjk_ideograph(cps[i]);
+    int32_t size = start_cjk ? kanji_n : ascii_n;
+    if (i + size > n) continue;
+    if (!cross_boundary && size > 1) {
+      bool crossed = false;
+      for (int32_t j = 1; j < size; ++j) {
+        if (is_cjk_ideograph(cps[i + j]) != start_cjk) {
+          crossed = true;
+          break;
+        }
+      }
+      if (crossed) continue;
+    }
+    uint64_t h = 1469598103934665603ULL;  // FNV-1a 64
+    for (int32_t j = 0; j < size; ++j) {
+      uint32_t c = cps[i + j];
+      for (int b = 0; b < 4; ++b) {
+        h ^= (c >> (b * 8)) & 0xFF;
+        h *= 1099511628211ULL;
+      }
+    }
+    out_start[count] = static_cast<int32_t>(i);
+    out_len[count] = size;
+    out_hash[count] = h;
+    ++count;
+  }
+  return count;
+}
+
+}  // extern "C"
