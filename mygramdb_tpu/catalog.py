@@ -37,13 +37,18 @@ class TableContext:
         self._norm_args = (norm.nfkc, norm.width, norm.lower)
         store_texts = config.memory.verify_text != "off"
         self.doc_store = DocumentStore(store_texts=store_texts)
+        microbatch = None
+        if config.device.enable and config.device.microbatch_size > 1:
+            microbatch = (config.device.microbatch_size,
+                          config.device.microbatch_window_us)
         self.index = MutableIndex(
             ngram_size=table_cfg.ngram_size,
             kanji_ngram_size=table_cfg.kanji_ngram_size,
             cross_boundary_ngrams=table_cfg.cross_boundary_ngrams,
             dense_df_ratio=config.device.dense_df_ratio,
             max_dense_terms=config.device.max_dense_terms,
-            candidate_buckets=tuple(config.device.candidate_buckets))
+            candidate_buckets=tuple(config.device.candidate_buckets),
+            microbatch=microbatch)
         self.filter_index = FilterIndex()
         for f in table_cfg.filters:
             self.filter_index.add_column(f.name, f.type, f.bitmap_index,
@@ -162,13 +167,19 @@ class TableContext:
                            ts.postings.astype(np.int32),
                            int(ts.max_doc_id), int(ts.n_docs))
         t = self.table_cfg
+        microbatch = None
+        if self.config.device.enable and \
+                self.config.device.microbatch_size > 1:
+            microbatch = (self.config.device.microbatch_size,
+                          self.config.device.microbatch_window_us)
         new_index = MutableIndex(
             built, ngram_size=t.ngram_size,
             kanji_ngram_size=t.kanji_ngram_size,
             cross_boundary_ngrams=t.cross_boundary_ngrams,
             dense_df_ratio=self.config.device.dense_df_ratio,
             max_dense_terms=self.config.device.max_dense_terms,
-            candidate_buckets=tuple(self.config.device.candidate_buckets))
+            candidate_buckets=tuple(self.config.device.candidate_buckets),
+            microbatch=microbatch)
         new_store = DocumentStore.from_state(ts.doc_store_state)
         new_filters = FilterIndex.from_state(ts.filter_state)
         from .query.bm25 import BM25Stats as _BM25

@@ -93,13 +93,15 @@ class MutableIndex:
                  ngram_size: int = 2, kanji_ngram_size: int = 1,
                  cross_boundary_ngrams: bool = True,
                  dense_df_ratio: float = 0.01, max_dense_terms: int = 8192,
-                 candidate_buckets=(256, 2048, 16384, 131072)):
+                 candidate_buckets=(2048, 65536),
+                 microbatch: Optional[Tuple[int, int]] = None):
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
         self._dense_df_ratio = dense_df_ratio
         self._max_dense_terms = max_dense_terms
         self._candidate_buckets = candidate_buckets
+        self._microbatch = microbatch
         if built is None:
             built = IndexBuilder(ngram_size, kanji_ngram_size,
                                  cross_boundary_ngrams).finalize()
@@ -117,6 +119,11 @@ class MutableIndex:
             built, dense_df_ratio=self._dense_df_ratio,
             max_dense_terms=self._max_dense_terms,
             candidate_buckets=self._candidate_buckets)
+        if self._microbatch is not None:
+            from ..server.microbatch import MicroBatcher
+            max_batch, window_us = self._microbatch
+            self.device.batcher = MicroBatcher(self.device, max_batch,
+                                               window_us)
         self._device_v = built.n_terms
         self._device_doc_max = built.max_doc_id
 

@@ -160,6 +160,7 @@ class DeviceIndex:
             np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), device)
         self._del_lock = threading.Lock()
         self._jit_cache: Dict[tuple, object] = {}
+        self.batcher = None  # optional MicroBatcher (server attaches)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -253,6 +254,16 @@ class DeviceIndex:
 
     # ---------------- dense path ----------------
     def _dense_and_path(self, dense_rows, ns_tids, nd_rows, extra_words, opts):
+        # micro-batched fast path: plain dense AND with a limit — share one
+        # device dispatch with concurrent queries (server/microbatch.py)
+        if (self.batcher is not None and opts.limit > 0 and not ns_tids
+                and not nd_rows and not extra_words):
+            limit_b = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
+                          self.n_docs_capacity)
+            total, ids = self.batcher.submit(list(dense_rows), limit_b,
+                                             opts.descending)
+            ids = ids[ids >= 0][:opts.limit]
+            return total, ids.astype(np.int32)
         # bucket K so jit caches a bounded set of shapes
         rows = list(dense_rows)
         while len(rows) < _k_bucket(len(rows)):

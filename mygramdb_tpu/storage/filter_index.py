@@ -70,7 +70,23 @@ class _Column:
         np_new[:cur] = self.present
         self.present = np_new
 
+    _BUCKET_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
+
+    def _apply_bucket(self, value: Any) -> Any:
+        """Datetime bucketing (reference filters[].bucket minute/hour/day):
+        truncate epoch values to the bucket boundary to cut cardinality."""
+        if not self.bucket or value is None:
+            return value
+        step = self._BUCKET_SECONDS.get(self.bucket)
+        if step is None:
+            return value
+        try:
+            return (int(float(value)) // step) * step
+        except (TypeError, ValueError):
+            return value
+
     def set(self, doc_id: int, value: Any) -> None:
+        value = self._apply_bucket(value)
         self._grow(doc_id)
         old = self.get(doc_id)
         if self.bitmap_index and self.present[doc_id] and old != value:
@@ -141,7 +157,7 @@ class _Column:
 
     # ------------------------------------------------------------------
     def eq_bitmap(self, value: Any) -> Optional[np.ndarray]:
-        return self.value_bitmaps.get(self._bm_key(value))
+        return self.value_bitmaps.get(self._bm_key(self._apply_bucket(value)))
 
     def match_mask(self, doc_ids: np.ndarray, op: str,
                    value: Any) -> np.ndarray:

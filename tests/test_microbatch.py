@@ -1,0 +1,85 @@
+"""Micro-batcher tests: correctness under concurrent submission."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from mygramdb_tpu.index import IndexBuilder, DeviceIndex, SearchOptions
+from mygramdb_tpu.server.microbatch import MicroBatcher
+
+DOCS = {i: f"doc {w}" for i, w in enumerate(
+    ["alpha beta", "alpha gamma", "beta gamma", "alpha beta gamma",
+     "delta epsilon", "alpha delta"], start=1)}
+
+
+@pytest.fixture(scope="module")
+def idx():
+    b = IndexBuilder()
+    for d, t in DOCS.items():
+        b.add_document(d, t)
+    built = b.finalize()
+    # force everything dense so the batched path covers all queries
+    ix = DeviceIndex(built, dense_df_ratio=0.0000001)
+    ix.batcher = MicroBatcher(ix, max_batch=4, window_us=20000)
+    return ix, built
+
+
+def expect(built, grams):
+    sets = []
+    for g in grams:
+        tid = built.term_dict.get(g)
+        sets.append(set(built.postings_of(tid).tolist()) if tid is not None
+                    else set())
+    out = sets[0]
+    for s in sets[1:]:
+        out &= s
+    return sorted(out, reverse=True)
+
+
+def test_batched_matches_unbatched(idx):
+    ix, built = idx
+    grams = ["al", "lp"]
+    tids = [built.term_dict.get(g) for g in grams]
+    total, ids = ix.search_and(tids, opts=SearchOptions(limit=10))
+    exp = expect(built, grams)
+    assert total == len(exp)
+    assert ids.tolist() == exp[:10]
+    assert ix.batcher.batches_executed >= 1
+
+
+def test_concurrent_submissions_share_batches(idx):
+    ix, built = idx
+    queries = [["al"], ["be"], ["ga"], ["de"], ["al", "be"], ["be", "ga"]]
+    results = [None] * len(queries)
+
+    def worker(i):
+        tids = [built.term_dict.get(g) for g in queries[i]]
+        results[i] = ix.search_and(tids, opts=SearchOptions(limit=10))
+
+    before = ix.batcher.batches_executed
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(queries))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    for i, q in enumerate(queries):
+        total, ids = results[i]
+        exp = expect(built, q)
+        assert total == len(exp), q
+        assert ids.tolist() == exp[:10], q
+    batches = ix.batcher.batches_executed - before
+    assert batches < len(queries)  # some queries shared a dispatch
+
+
+def test_unbatchable_paths_still_work(idx):
+    ix, built = idx
+    # NOT terms bypass the batcher
+    al = built.term_dict.get("al")
+    be = built.term_dict.get("be")
+    total, ids = ix.search_and([al], not_tids=[be],
+                               opts=SearchOptions(limit=10))
+    exp = sorted(set(built.postings_of(al).tolist())
+                 - set(built.postings_of(be).tolist()), reverse=True)
+    assert ids.tolist() == exp

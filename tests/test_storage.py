@@ -158,3 +158,26 @@ class TestFilterIndex:
         fi = self.make()
         assert fi.value_counts("nope") == []
         assert fi.match_mask("nope", np.asarray([1]), "=", 1).tolist() == [False]
+
+
+class TestDatetimeBucketing:
+    def test_bucket_minute(self):
+        fi = FilterIndex()
+        fi.add_column("created", "datetime", bitmap_index=True,
+                      bucket="minute")
+        fi.add_document(1, {"created": 1700000075})  # :01:15 -> :01:00
+        fi.add_document(2, {"created": 1700000090})  # same minute bucket
+        fi.add_document(3, {"created": 1700000125})  # next minute
+        bm = fi.eq_bitmap("created", 1700000061, n_words=4)  # probe bucketed
+        bits = np.flatnonzero(np.unpackbits(bm.view(np.uint8),
+                                            bitorder="little")).tolist()
+        assert bits == [1, 2]
+        counts = dict(fi.value_counts("created"))
+        assert counts == {"1700000040": 2, "1700000100": 1}
+
+    def test_bucket_day(self):
+        fi = FilterIndex()
+        fi.add_column("d", "date", bucket="day")
+        fi.add_document(1, {"d": 86400 + 3600})
+        ids = np.asarray([1], dtype=np.int64)
+        assert fi.match_mask("d", ids, "=", 86400).tolist() == [True]
