@@ -214,19 +214,22 @@ class MutableIndex:
         not_tids = [t for t in (self.term_dict.get(g) for g in not_grams)
                     if t is not None]
 
+        # Snapshot under the lock (device segments are immutable; optimize
+        # swaps the reference), then run the device query OUTSIDE the lock so
+        # concurrent queries overlap on the device (the reference gets the
+        # same effect from RCU posting snapshots, index.cpp:628-647).
         with self._lock:
-            # device part: terms unknown to the device segment have zero
-            # device postings => device result empty; delta may still match
-            dev_ok = all(t < self._device_v for t in tids)
-            if dev_ok:
-                dev_not = [t for t in not_tids if t < self._device_v]
-                total_dev, ids_dev = self.device.search_and(
-                    tids, dev_not, extra_words,
-                    SearchOptions(limit=limit, descending=descending))
-            else:
-                total_dev, ids_dev = 0, np.empty(0, dtype=np.int32)
-            # delta part
+            device = self.device
+            device_v = self._device_v
+            dev_ok = all(t < device_v for t in tids)
             delta_ids = self._delta_and(tids, not_tids)
+        if dev_ok:
+            dev_not = [t for t in not_tids if t < device_v]
+            total_dev, ids_dev = device.search_and(
+                tids, dev_not, extra_words,
+                SearchOptions(limit=limit, descending=descending))
+        else:
+            total_dev, ids_dev = 0, np.empty(0, dtype=np.int32)
         if delta_ids.size and delta_filter is not None:
             delta_ids = delta_filter(delta_ids)
         return self._merge(total_dev, ids_dev, delta_ids, limit, descending)
@@ -261,8 +264,10 @@ class MutableIndex:
         if not tids:
             return np.empty(0, dtype=np.int32)
         with self._lock:
-            dev = self.device.search_or([t for t in tids if t < self._device_v])
+            device = self.device
+            device_v = self._device_v
             delta_docs = self.delta.docs_with_any(tids)
+        dev = device.search_or([t for t in tids if t < device_v])
         if self.tombstones:
             dev = dev[~np.isin(dev, np.asarray(list(self.tombstones)))] \
                 if dev.size else dev
@@ -286,10 +291,12 @@ class MutableIndex:
         if not tids:
             return np.empty(0, dtype=np.int32)
         with self._lock:
-            dev_tids = [t for t in tids if t < self._device_v]
-            dev = (self.device.search_by_threshold(dev_tids, min_count, max_out)
-                   if dev_tids else np.empty(0, dtype=np.int32))
+            device = self.device
+            device_v = self._device_v
             counts = self.delta.count_terms_per_doc(tids)
+        dev_tids = [t for t in tids if t < device_v]
+        dev = (device.search_by_threshold(dev_tids, min_count, max_out)
+               if dev_tids else np.empty(0, dtype=np.int32))
         delta_ids = np.asarray(sorted(d for d, c in counts.items()
                                       if c >= min_count), dtype=np.int32)
         if self.tombstones and dev.size:

@@ -1,0 +1,164 @@
+"""Cross-verification: engine results vs a brute-force reference model.
+
+Analog of the reference's e2e/tests/search/test_cross_verify.py (results
+compared against MySQL): here the oracle is a direct Python scan applying
+the same normalization + substring semantics over a randomized EN+JA corpus,
+exercising AND/NOT/filters/boolean/fuzzy/CJK paths with verify_text on.
+"""
+
+import numpy as np
+import pytest
+
+from mygramdb_tpu.catalog import TableCatalog
+from mygramdb_tpu.config import load_config_from_dict
+from mygramdb_tpu.query import QueryParser
+from mygramdb_tpu.query.pipeline import SearchPipeline
+from mygramdb_tpu.utils.edit_distance import contains_fuzzy_match
+
+CFG = {
+    "tables": [{
+        "name": "t",
+        "text_source": {"column": "content"},
+        "filters": [
+            {"name": "status", "type": "int", "bitmap_index": True},
+            {"name": "score", "type": "double"},
+        ],
+    }],
+    "memory": {"verify_text": "all"},
+    "cache": {"enabled": False},
+}
+
+EN = ["alpha", "beta", "gamma", "delta", "omega", "sigma", "quick",
+      "brown", "search", "tensor"]
+JA = ["日本語", "東京", "検索", "高速", "形態素", "漢字"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(777)
+    docs = {}
+    for i in range(1, 1501):
+        words = list(rng.choice(EN, size=int(rng.integers(3, 9))))
+        if i % 4 == 0:
+            words.extend(rng.choice(JA, size=int(rng.integers(1, 3))))
+        text = " ".join(words)
+        docs[i] = {
+            "content": text,
+            "status": int(rng.integers(0, 3)),
+            "score": float(rng.integers(0, 100)) / 10,
+        }
+    return docs
+
+
+@pytest.fixture(scope="module")
+def engine(corpus):
+    cfg = load_config_from_dict(CFG)
+    cat = TableCatalog(cfg)
+    ctx = cat.resolve("t")
+    for pk, d in corpus.items():
+        ctx.add_row(str(pk), d["content"],
+                    {"status": d["status"], "score": d["score"]})
+    ctx.optimize()  # exercise the device path, not just the delta
+    return SearchPipeline(ctx, cfg), ctx
+
+
+P = QueryParser()
+
+
+def oracle(corpus, ctx, require=(), forbid=(), status_eq=None,
+           score_gte=None, fuzzy=None):
+    """Brute-force: normalized substring semantics (verify_text=all)."""
+    out = []
+    for pk, d in corpus.items():
+        text = ctx.normalize(d["content"])
+        ok = all(ctx.normalize(r) in text for r in require)
+        if ok and forbid:
+            ok = not any(ctx.normalize(f) in text for f in forbid)
+        if ok and fuzzy is not None:
+            term, dist = fuzzy
+            norm = ctx.normalize(term)
+            ok = norm in text or contains_fuzzy_match(text, norm, dist)
+        if ok and status_eq is not None:
+            ok = d["status"] == status_eq
+        if ok and score_gte is not None:
+            ok = d["score"] >= score_gte
+        if ok:
+            out.append(pk)
+    return sorted(out, reverse=True)
+
+
+def run(pipe, line):
+    out = pipe.execute(P.parse(line))
+    assert out.success, out.error
+    return out
+
+
+class TestCrossVerify:
+    def test_single_terms(self, engine, corpus):
+        pipe, ctx = engine
+        for term in EN + JA:
+            out = run(pipe, f'SEARCH t "{term}" LIMIT 2000')
+            exp = oracle(corpus, ctx, require=[term])
+            got = out.results.tolist()
+            assert out.total == len(exp), term
+            assert got == exp, term
+
+    def test_and_pairs(self, engine, corpus):
+        pipe, ctx = engine
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            a, b = rng.choice(EN, size=2, replace=False)
+            out = run(pipe, f'SEARCH t "{a}" AND "{b}" LIMIT 2000')
+            exp = oracle(corpus, ctx, require=[a, b])
+            assert out.total == len(exp), (a, b)
+            assert out.results.tolist() == exp, (a, b)
+
+    def test_not(self, engine, corpus):
+        pipe, ctx = engine
+        for a, b in [("alpha", "beta"), ("quick", "日本語")]:
+            out = run(pipe, f'SEARCH t "{a}" NOT "{b}" LIMIT 2000')
+            exp = oracle(corpus, ctx, require=[a], forbid=[b])
+            assert out.total == len(exp), (a, b)
+            assert out.results.tolist() == exp, (a, b)
+
+    def test_filters(self, engine, corpus):
+        pipe, ctx = engine
+        out = run(pipe, 'SEARCH t alpha FILTER status = 1 LIMIT 2000')
+        exp = oracle(corpus, ctx, require=["alpha"], status_eq=1)
+        assert out.results.tolist() == exp
+        out = run(pipe, 'SEARCH t alpha FILTER score >= 5 LIMIT 2000')
+        exp = oracle(corpus, ctx, require=["alpha"], score_gte=5.0)
+        assert out.results.tolist() == exp
+
+    def test_boolean_or(self, engine, corpus):
+        pipe, ctx = engine
+        out = run(pipe, 'SEARCH t alpha OR 東京 LIMIT 2000')
+        exp_a = set(oracle(corpus, ctx, require=["alpha"]))
+        exp_b = set(oracle(corpus, ctx, require=["東京"]))
+        exp = sorted(exp_a | exp_b, reverse=True)
+        assert out.total == len(exp)
+        assert out.results.tolist() == exp
+
+    def test_fuzzy(self, engine, corpus):
+        pipe, ctx = engine
+        out = run(pipe, 'SEARCH t alpah FUZZY 2 LIMIT 2000')
+        exp = oracle(corpus, ctx, fuzzy=("alpah", 2))
+        assert out.total == len(exp)
+        assert out.results.tolist() == exp
+
+    def test_count_parity(self, engine, corpus):
+        pipe, ctx = engine
+        for term in ["alpha", "日本語", "sigma"]:
+            out = run(pipe, f'COUNT t "{term}"')
+            assert out.total == len(oracle(corpus, ctx, require=[term]))
+
+    def test_mutation_then_verify(self, engine, corpus):
+        pipe, ctx = engine
+        ctx.add_row("9001", "alpha special mutation", {"status": 1})
+        out = run(pipe, 'SEARCH t "alpha special" LIMIT 10')
+        assert out.total == 1
+        assert ctx.doc_store.primary_keys_batch(
+            out.results.tolist()) == ["9001"]
+        ctx.remove_row("9001")
+        out = run(pipe, 'SEARCH t "alpha special" LIMIT 10')
+        assert out.total == 0
