@@ -57,6 +57,7 @@ class TableContext:
             if rf.bitmap_index and not self.filter_index.has_column(rf.name):
                 self.filter_index.add_column(rf.name, rf.type, True)
         self.bm25 = BM25Stats()
+        self.device_text = None  # DeviceTextStore after compaction
         self.synonyms: Optional[SynonymDictionary] = None
         if table_cfg.synonyms.enable and table_cfg.synonyms.file:
             self.synonyms = SynonymDictionary(normalize=self.normalize)
@@ -132,6 +133,22 @@ class TableContext:
 
     def optimize(self) -> None:
         self.index.optimize()
+        self._rebuild_device_text()
+
+    def _rebuild_device_text(self) -> None:
+        """Pack normalized texts into HBM for the device verify kernel."""
+        self.device_text = None
+        if not (self.config.device.enable and
+                self.doc_store.stores_texts):
+            return
+        try:
+            from .storage.device_text import DeviceTextStore
+            self.device_text = DeviceTextStore(
+                self.doc_store.texts_snapshot(),
+                self.index.device.n_docs_capacity)
+        except Exception as e:  # noqa: BLE001 — fall back to host verify
+            StructuredLog().event("device_text_build_failed").field(
+                "table", self.name).field("error", str(e)).warn()
 
     # ------------------------------------------------------------------
     # checkpoint state (DUMP SAVE/LOAD)

@@ -1,0 +1,69 @@
+"""Device-side verify_text: batched substring check over packed texts.
+
+The reference's verify_text post-filter scans candidate documents' stored
+normalized text for every query term (search_pipeline.h:159-190) — a
+host hot loop. Here the normalized corpus lives in HBM as one flat
+code-point array (+ per-doc offset/length), and verification is a fused
+window-compare kernel:
+
+    match_at(i) = AND_k ( k >= needle_len  OR  text[i+k] == needle[k] )
+    contains    = OR_i ( match_at(i) AND i + needle_len <= doc_len )
+
+evaluated for every candidate x needle in one dispatch — O(C * maxT * L)
+vectorized compares on the VPU instead of per-doc Python/C host scans.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEEDLE_CAP = 32  # needles longer than this fall back to host verification
+
+
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn"))
+def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
+                            lengths: jax.Array, cand_ids: jax.Array,
+                            needles: jax.Array, needle_lens: jax.Array,
+                            *, C: int, maxT: int, Nn: int) -> jax.Array:
+    """-> (C,) bool: candidate text contains ALL needles.
+
+    codepoints: (P,) uint32 packed corpus; offsets/lengths: (N,) int32
+    indexed by doc id; cand_ids: (C,) int32 (pad with -1);
+    needles: (Nn, NEEDLE_CAP) uint32 (0 padded); needle_lens: (Nn,) int32
+    (0 len = vacuously true row).
+    """
+    ids = jnp.maximum(cand_ids, 0)
+    off = offsets[ids]
+    doc_len = lengths[ids]
+    # gather each candidate's text slice padded to maxT (+CAP tail slack)
+    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
+    idx = off[:, None] + pos
+    valid = pos < doc_len[:, None]
+    idx = jnp.where(valid, idx, 0)
+    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
+    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+
+    def one_needle(n, acc):
+        ndl = needles[n]
+        nlen = needle_lens[n]
+
+        def step(k, m):
+            window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
+            cmp = jnp.logical_or(k >= nlen, window == ndl[k])
+            return jnp.logical_and(m, cmp)
+
+        match_at = jax.lax.fori_loop(
+            0, NEEDLE_CAP, step,
+            jnp.ones((C, maxT), dtype=jnp.bool_))
+        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+        in_range = starts + nlen <= doc_len[:, None]
+        contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
+        contains = jnp.logical_or(contains, nlen == 0)
+        return jnp.logical_and(acc, contains)
+
+    mask = jax.lax.fori_loop(0, Nn, one_needle,
+                             jnp.ones((C,), dtype=jnp.bool_))
+    return jnp.logical_and(mask, cand_ids >= 0)

@@ -361,6 +361,13 @@ class SearchPipeline:
 
     def _substring_filter(self, ids: np.ndarray,
                           needles: Sequence[str]) -> np.ndarray:
+        dev_text = getattr(self.ctx, "device_text", None)
+        if dev_text is not None and ids.size >= 256:
+            dirty = self.ctx.index.delta.doc_terms.keys()
+            mask = dev_text.verify(ids, list(needles),
+                                   self.ctx.doc_store.texts_batch,
+                                   dirty=dirty)
+            return ids[mask].astype(np.int32)
         texts = self.ctx.doc_store.texts_batch(ids.tolist())
         from .. import native
         mask = native.substring_verify(texts, list(needles))

@@ -1,0 +1,125 @@
+"""Device-resident normalized text store for verify_text.
+
+Packs the corpus's normalized texts into one flat HBM code-point array at
+compaction time; `verify()` runs the fused substring kernel over candidate
+batches, with automatic host fallback for docs that exceed the packed
+length cap, for needles longer than the kernel cap, and for delta docs not
+yet packed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.verify_ops import NEEDLE_CAP, substring_verify_device
+from .. import native
+
+_C_BUCKETS = (2048, 16384)
+_MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+class DeviceTextStore:
+    def __init__(self, texts_by_doc: Dict[int, str], capacity: int,
+                 device=None):
+        """texts_by_doc: doc id -> normalized text (snapshot at build)."""
+        self.capacity = capacity
+        lengths = np.zeros(capacity, dtype=np.int32)
+        offsets = np.zeros(capacity, dtype=np.int32)
+        # choose maxT covering ~p99 of lengths (cap 4096)
+        if texts_by_doc:
+            lens = np.asarray([len(t) for t in texts_by_doc.values()])
+            p99 = int(np.percentile(lens, 99)) if lens.size else 0
+            self.maxT = next((m for m in _MAXT_CHOICES if m >= p99),
+                             _MAXT_CHOICES[-1])
+        else:
+            self.maxT = _MAXT_CHOICES[0]
+        parts: List[np.ndarray] = []
+        pos = 0
+        self._overflow: set = set()
+        for doc_id, text in texts_by_doc.items():
+            if doc_id >= capacity:
+                self._overflow.add(doc_id)
+                continue
+            if len(text) > self.maxT:
+                self._overflow.add(doc_id)
+                continue
+            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            offsets[doc_id] = pos
+            lengths[doc_id] = cp.size
+            parts.append(cp)
+            pos += cp.size
+        flat = np.concatenate(parts) if parts else \
+            np.zeros(1, dtype=np.uint32)
+        self.codepoints = jax.device_put(flat, device)
+        self.offsets = jax.device_put(offsets, device)
+        self.lengths = jax.device_put(lengths, device)
+        self.n_packed = len(texts_by_doc) - len(self._overflow)
+
+    # ------------------------------------------------------------------
+    def verify(self, cand_ids: np.ndarray, needles: Sequence[str],
+               texts_fallback, dirty=frozenset()) -> np.ndarray:
+        """-> bool mask over cand_ids (contains ALL needles).
+
+        texts_fallback(ids) -> list[Optional[str]] used for overflow docs,
+        ``dirty`` docs (mutated since the pack — their packed text is
+        stale), and for needles beyond the kernel cap.
+        """
+        if cand_ids.size == 0:
+            return np.zeros(0, dtype=bool)
+        needles = [n for n in needles if n]
+        if not needles:
+            return np.ones(cand_ids.size, dtype=bool)
+        if any(len(n) > NEEDLE_CAP for n in needles):
+            return native.substring_verify(texts_fallback(cand_ids.tolist()),
+                                           list(needles))
+        device_ok = np.asarray(
+            [0 < d < self.capacity and d not in self._overflow
+             and d not in dirty for d in cand_ids.tolist()])
+        # overflow/out-of-range docs -> host
+        host_ids = cand_ids[~device_ok]
+        mask = np.zeros(cand_ids.size, dtype=bool)
+        if host_ids.size:
+            mask[~device_ok] = native.substring_verify(
+                texts_fallback(host_ids.tolist()), list(needles))
+        dev_ids = cand_ids[device_ok]
+        if dev_ids.size:
+            mask[device_ok] = self._verify_device(dev_ids, needles)
+        return mask
+
+    def _verify_device(self, ids: np.ndarray,
+                       needles: List[str]) -> np.ndarray:
+        Nn = len(needles)
+        ndl = np.zeros((Nn, NEEDLE_CAP), dtype=np.uint32)
+        nlens = np.zeros(Nn, dtype=np.int32)
+        for i, n in enumerate(needles):
+            cp = np.frombuffer(n.encode("utf-32-le"), dtype=np.uint32)
+            ndl[i, :cp.size] = cp
+            nlens[i] = cp.size
+        out = np.zeros(ids.size, dtype=bool)
+        pos = 0
+        while pos < ids.size:
+            chunk = ids[pos:pos + _C_BUCKETS[-1]]
+            C = _bucket(chunk.size, _C_BUCKETS)
+            padded = np.full(C, -1, dtype=np.int32)
+            padded[:chunk.size] = chunk
+            m = substring_verify_device(
+                self.codepoints, self.offsets, self.lengths,
+                jnp.asarray(padded), jnp.asarray(ndl), jnp.asarray(nlens),
+                C=C, maxT=self.maxT, Nn=Nn)
+            out[pos:pos + chunk.size] = np.asarray(m)[:chunk.size]
+            pos += chunk.size
+        return out
+
+    def memory_usage(self) -> int:
+        return int(self.codepoints.size * 4 + self.offsets.size * 8)

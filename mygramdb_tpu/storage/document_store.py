@@ -206,6 +206,11 @@ class DocumentStore:
         enabling the device top-N shortcut."""
         return self._pk_order_valid
 
+    def texts_snapshot(self) -> Dict[int, str]:
+        """Copy of doc_id -> normalized text (device text-store build)."""
+        with self._lock:
+            return dict(self._texts)
+
     def all_doc_ids(self) -> np.ndarray:
         with self._lock:
             return np.fromiter(self._doc_to_pk.keys(), dtype=np.int64,

@@ -1,0 +1,90 @@
+"""Device text-store verify kernel tests (CPU jnp path)."""
+
+import numpy as np
+import pytest
+
+from mygramdb_tpu.storage.device_text import DeviceTextStore
+
+
+def make_store(texts, capacity=64):
+    return DeviceTextStore({i: t for i, t in texts.items()}, capacity)
+
+
+TEXTS = {
+    1: "the quick brown fox",
+    2: "quick silver lining",
+    3: "slow day",
+    4: "日本語の検索エンジン",
+    5: "quantity antique stump",  # bigram false-positive source for quantum
+}
+
+
+class TestDeviceVerify:
+    def test_single_needle(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([1, 2, 3, 4, 5], dtype=np.int32)
+        m = st.verify(ids, ["quick"], lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [True, True, False, False, False]
+
+    def test_multi_needle_and(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([1, 2], dtype=np.int32)
+        m = st.verify(ids, ["quick", "fox"],
+                      lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [True, False]
+
+    def test_cjk(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([4, 1], dtype=np.int32)
+        m = st.verify(ids, ["検索"], lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [True, False]
+
+    def test_false_positive_elimination(self):
+        # 'quantum' bigrams all exist in doc 5 but not contiguously
+        st = make_store(TEXTS)
+        ids = np.asarray([5], dtype=np.int32)
+        m = st.verify(ids, ["quantum"], lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [False]
+
+    def test_dirty_docs_use_fallback(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([1], dtype=np.int32)
+        # doc 1 mutated: packed text stale; fallback has new text
+        m = st.verify(ids, ["mutated"], lambda i: ["totally mutated"],
+                      dirty={1})
+        assert m.tolist() == [True]
+
+    def test_long_needle_falls_back(self):
+        st = make_store(TEXTS)
+        long_needle = "x" * 40
+        ids = np.asarray([1], dtype=np.int32)
+        m = st.verify(ids, [long_needle],
+                      lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [False]
+
+    def test_needle_at_end(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([1], dtype=np.int32)
+        m = st.verify(ids, ["fox"], lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [True]
+
+    def test_needle_equals_doc(self):
+        st = make_store({1: "exact"})
+        ids = np.asarray([1], dtype=np.int32)
+        m = st.verify(ids, ["exact"], lambda i: ["exact"])
+        assert m.tolist() == [True]
+        m = st.verify(ids, ["exact!"], lambda i: ["exact"])
+        assert m.tolist() == [False]
+
+    def test_random_parity_with_host(self):
+        rng = np.random.default_rng(11)
+        alphabet = list("abcde日本語xyz ")
+        texts = {i: "".join(rng.choice(alphabet, size=int(rng.integers(5, 60))))
+                 for i in range(1, 201)}
+        st = make_store(texts, capacity=256)
+        ids = np.asarray(sorted(texts), dtype=np.int32)
+        for needle in ["ab", "日本", "xy", "e日", "abc"]:
+            m = st.verify(ids, [needle],
+                          lambda i: [texts.get(x) for x in i])
+            expect = [needle in texts[int(d)] for d in ids]
+            assert m.tolist() == expect, needle
