@@ -205,6 +205,7 @@ class MutableIndex:
     def search_and(self, grams: Sequence[str], not_grams: Sequence[str] = (),
                    extra_words=None, limit: int = 0, descending: bool = True,
                    delta_filter: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                   count_only: bool = False,
                    ) -> Tuple[int, np.ndarray]:
         """AND search. Returns (total, ids). ids = top-limit in doc-id order
         when limit>0, else all matches ascending."""
@@ -227,7 +228,8 @@ class MutableIndex:
             dev_not = [t for t in not_tids if t < device_v]
             total_dev, ids_dev = device.search_and(
                 tids, dev_not, extra_words,
-                SearchOptions(limit=limit, descending=descending))
+                SearchOptions(limit=limit, descending=descending,
+                              count_only=count_only))
         else:
             total_dev, ids_dev = 0, np.empty(0, dtype=np.int32)
         if delta_ids.size and delta_filter is not None:

@@ -104,7 +104,7 @@ def _sparse_query(postings, bitmaps, deleted, extra, d_off, d_len,
 class SearchOptions:
     limit: int = 0            # 0 = count/materialize all
     descending: bool = True   # doc-id (PK) order
-    return_mask: bool = False
+    count_only: bool = False  # COUNT fast path: skip id materialization
 
 
 class DeviceIndex:
@@ -284,6 +284,8 @@ class DeviceIndex:
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([nrows], dtype=jnp.int32), self.deleted, extra,
             has_not=has_not, has_extra=F > 0)
+        if opts.count_only:
+            return int(count[0]), np.empty(0, dtype=np.int32)
         if opts.limit > 0:
             n = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
                     self.n_docs_capacity)
@@ -366,6 +368,8 @@ class DeviceIndex:
             jnp.asarray(dn_inv, dtype=jnp.bool_),
             jnp.int32(1 if F else 0))
         total = int(count)
+        if opts.count_only:
+            return total, np.empty(0, dtype=np.int32)
         if opts.limit > 0:
             out = np.asarray(ids)
             out = out[out >= 0][:opts.limit]

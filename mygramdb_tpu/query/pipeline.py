@@ -155,6 +155,19 @@ class SearchPipeline:
         if self.cache is not None:
             dbg.cache_status = "miss" if self.cache.enabled else "disabled"
 
+        # COUNT fast path: one device dispatch, no id materialization
+        if not collect_all and query.type == QueryType.COUNT:
+            fast_count = self._try_count(query, dbg)
+            if fast_count is not None:
+                total, terms = fast_count
+                out.total = total
+                out.all_search_terms = [ti.normalized for ti in terms]
+                dbg.search_terms = out.all_search_terms
+                dbg.final_results = total
+                dbg.optimization_used = "device_count"
+                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                return out
+
         # device top-N fast path: single AND-gram set, PK order, no
         # filters/NOT/verify — the whole query is one device kernel
         if not collect_all:
@@ -256,6 +269,28 @@ class SearchPipeline:
         dbg.limit_explicit = query.limit_explicit
         dbg.offset_explicit = query.offset_explicit
         dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+
+    # ------------------------------------------------------------------
+    # COUNT fast path: no NOT/filters/verify => the popcount IS the answer
+    # ------------------------------------------------------------------
+    def _try_count(self, query: Query, dbg: DebugInfo):
+        if query.fuzzy_max_distance is not None or query.not_terms or \
+                query.filters:
+            return None
+        if contains_boolean_syntax(query.search_text) or \
+                self._synonyms_apply(query):
+            return None
+        terms = [self.term_info(t) for t in query.all_terms]
+        if not terms or any(ti.needs_substring_fallback for ti in terms):
+            return None
+        if self._verify_applies(terms) or \
+                self._coverage_requires_text_check(terms):
+            return None
+        if any(ti.estimated_size == 0 for ti in terms):
+            return 0, terms
+        grams = sorted({g for ti in terms for g in ti.grams})
+        total, _ = self.ctx.index.search_and(grams, count_only=True)
+        return total, terms
 
     # ------------------------------------------------------------------
     # Top-N fast path (reference search_pipeline.h:348-367 shortcut,
