@@ -49,15 +49,22 @@ def andnot(a: jax.Array, b: jax.Array) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("op",))
 def _reduce_rows_jnp(bitmaps: jax.Array, rows: jax.Array, op: str) -> jax.Array:
-    """(V+2, W) x (B, K) -> (B, W) via gather + bitwise reduce over K."""
-    g = bitmaps[rows]  # (B, K, W)
+    """(V+2, W) x (B, K) -> (B, W): scan over K so peak HBM traffic is
+    K x (B, W) instead of one (B, K, W) materialized gather."""
+    B, K = rows.shape
+    W = bitmaps.shape[1]
     if op == "and":
-        init = jnp.uint32(U32_ONES)
-        fn = jnp.bitwise_and
+        init = jnp.full((B, W), U32_ONES, dtype=jnp.uint32)
     else:
-        init = jnp.uint32(0)
-        fn = jnp.bitwise_or
-    return jax.lax.reduce(g, init, fn, dimensions=(1,))
+        init = jnp.zeros((B, W), dtype=jnp.uint32)
+
+    def body(k, acc):
+        g = bitmaps[rows[:, k]]  # (B, W)
+        if op == "and":
+            return jnp.bitwise_and(acc, g)
+        return jnp.bitwise_or(acc, g)
+
+    return jax.lax.fori_loop(0, K, body, init)
 
 
 @functools.partial(jax.jit, static_argnames=("has_not", "has_extra"))
@@ -169,15 +176,12 @@ def bit_member(words: jax.Array, doc_ids: jax.Array) -> jax.Array:
     return jnp.bitwise_and(jnp.right_shift(picked, b), jnp.uint32(1)) == 1
 
 
-@functools.partial(jax.jit, static_argnames=("n", "descending"))
-def topn_from_bitmap(words: jax.Array, n: int,
-                     descending: bool = True) -> jax.Array:
-    """Top-n set bit positions (doc ids) of each bitmap, ordered by doc id.
+_HIER_MIN_WORDS = 1024   # >= 32k docs: use the hierarchical extractor
+_BLK_WORDS = 16          # 512 docs per block
 
-    words: (B, W) -> (B, n) int32, -1 padded. This is the SEARCH
-    "SORT <pk> LIMIT n" path when doc-id order == PK order (the reference's
-    Top-N shortcut, search_pipeline.h:348).
-    """
+
+@functools.partial(jax.jit, static_argnames=("n", "descending"))
+def _topn_direct(words: jax.Array, n: int, descending: bool) -> jax.Array:
     B, W = words.shape
     bits = expand_bits(words)  # (B, N)
     ids = jnp.arange(W * 32, dtype=jnp.int32)
@@ -188,6 +192,69 @@ def topn_from_bitmap(words: jax.Array, n: int,
     keys = jnp.where(bits, -ids[None, :], jnp.int32(-(2 ** 31) + 1))
     vals, _ = jax.lax.top_k(keys, n)
     return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "descending"))
+def _topn_hierarchical(words: jax.Array, n: int,
+                       descending: bool) -> jax.Array:
+    """Two-stage top-n set-bit extraction for large corpora.
+
+    Stage 1: 512-doc block popcounts + directional prefix ranks select the
+    <= n blocks that can contain top-n bits (a block qualifies iff the bits
+    ranked before it number < n and it is non-empty). Stage 2 expands only
+    those blocks. Avoids the O(n_docs) top_k of the direct path.
+    """
+    B, W = words.shape
+    nblk = W // _BLK_WORDS
+    blocks = words.reshape(B, nblk, _BLK_WORDS)
+    pc = jnp.sum(jnp.bitwise_count(blocks).astype(jnp.int32), axis=-1)
+    if descending:
+        suffix = jnp.cumsum(pc[:, ::-1], axis=-1)[:, ::-1]
+        rank_before = suffix - pc
+    else:
+        rank_before = jnp.cumsum(pc, axis=-1) - pc
+    eligible = jnp.logical_and(rank_before < n, pc > 0)
+    blkid = jnp.arange(nblk, dtype=jnp.int32)[None, :]
+    m = min(n, nblk)
+    if descending:
+        key = jnp.where(eligible, blkid, -1)
+        sel, _ = jax.lax.top_k(key, m)          # block ids, -1 padded
+        sel_valid = sel >= 0
+        sel_ids = jnp.maximum(sel, 0)
+    else:
+        key = jnp.where(eligible, nblk - 1 - blkid, -1)
+        enc, _ = jax.lax.top_k(key, m)
+        sel_valid = enc >= 0
+        sel_ids = jnp.where(sel_valid, nblk - 1 - enc, 0)
+    # gather selected blocks: (B, m, BLK)
+    sel_words = jnp.take_along_axis(blocks, sel_ids[:, :, None], axis=1)
+    bits = expand_bits(sel_words)               # (B, m, BLK*32)
+    local = jnp.arange(_BLK_WORDS * 32, dtype=jnp.int32)[None, None, :]
+    docids = sel_ids[:, :, None] * (_BLK_WORDS * 32) + local
+    ok = jnp.logical_and(bits, sel_valid[:, :, None])
+    flat_ok = ok.reshape(B, -1)
+    flat_ids = jnp.broadcast_to(docids, ok.shape).reshape(B, -1)
+    if descending:
+        keys2 = jnp.where(flat_ok, flat_ids, -1)
+        vals, _ = jax.lax.top_k(keys2, n)
+        return jnp.where(vals >= 0, vals, -1)
+    keys2 = jnp.where(flat_ok, -flat_ids, jnp.int32(-(2 ** 31) + 1))
+    vals, _ = jax.lax.top_k(keys2, n)
+    return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+
+
+def topn_from_bitmap(words: jax.Array, n: int,
+                     descending: bool = True) -> jax.Array:
+    """Top-n set bit positions (doc ids) of each bitmap, ordered by doc id.
+
+    words: (B, W) -> (B, n) int32, -1 padded. This is the SEARCH
+    "SORT <pk> LIMIT n" path when doc-id order == PK order (the reference's
+    Top-N shortcut, search_pipeline.h:348).
+    """
+    W = words.shape[-1]
+    if W >= _HIER_MIN_WORDS and W % _BLK_WORDS == 0:
+        return _topn_hierarchical(words, n, descending)
+    return _topn_direct(words, n, descending)
 
 
 def make_bitmap_from_ids(doc_ids, n_words: int):

@@ -266,3 +266,33 @@ class TestMutationVisibility:
         ctx.optimize()
         out = run(pipe, 'SEARCH articles quick')
         assert out.total == 2
+
+
+class TestPagination:
+    def test_deep_offset_topn(self):
+        cfg_off = dict(CFG, memory={"verify_text": "off"})
+        cfg = load_config_from_dict(cfg_off)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for i in range(1, 301):
+            ctx.add_row(str(i), "common token here", {"status": 1})
+        ctx.optimize()
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles common LIMIT 10 OFFSET 150',
+                  debug=True)
+        assert out.total == 300
+        # DESC by PK: offset 150 -> ids 150..141
+        assert pks(pipe, out) == [str(i) for i in range(150, 140, -1)]
+        out2 = run(pipe, 'SEARCH articles common SORT id ASC LIMIT 5 '
+                         'OFFSET 295')
+        assert pks(pipe, out2) == [str(i) for i in range(296, 301)]
+
+    def test_offset_past_end(self):
+        cfg = load_config_from_dict(CFG)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles quick LIMIT 10 OFFSET 100')
+        assert out.total == 3 and out.results.size == 0
