@@ -167,6 +167,8 @@ class HttpServer:
         app.router.add_get("/replication/status", self._replication)
         app.router.add_get("/metrics", self._metrics)
         app.router.add_get("/tables/{table}/{pk}", self._get_doc)
+        if http.enable_cors:
+            app.router.add_route("OPTIONS", "/{tail:.*}", self._preflight)
         self._runner = web.AppRunner(app, access_log=None)
         await self._runner.setup()
         site = web.TCPSite(self._runner, http.bind, http.port)
@@ -207,6 +209,15 @@ class HttpServer:
             resp.headers["Access-Control-Allow-Origin"] = \
                 http.cors_allow_origin or "*"
         return resp
+
+    async def _preflight(self, request: web.Request) -> web.Response:
+        http = self.config.api.http
+        return web.Response(status=204, headers={
+            "Access-Control-Allow-Origin": http.cors_allow_origin or "*",
+            "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+            "Access-Control-Allow-Headers": "Content-Type",
+            "Access-Control-Max-Age": "600",
+        })
 
     async def _json_body(self, request: web.Request) -> Dict[str, Any]:
         try:
