@@ -80,7 +80,7 @@ def main() -> int:
     extra = idx._pack_extra([])
 
     def step(rows):
-        count, res = bitmap_ops.dense_query(
+        count, res = bitmap_ops.dense_query_auto(
             idx.bitmaps, rows, nrows, idx.deleted, extra,
             has_not=False, has_extra=False)
         ids = bitmap_ops.topn_from_bitmap(res, TOPN, True)

@@ -39,7 +39,7 @@ from ..ops.posting_ops import SENTINEL, gather_slices, membership_sorted
 from ..ops.threshold_ops import threshold_merge
 from .builder import BuiltIndex
 
-WBLOCK_WORDS = 512  # W is padded to this (16384 docs) for Pallas alignment
+WBLOCK_WORDS = 1024  # W padded to this (32768 docs): (8,128) Pallas tiles
 
 # Coarse shape buckets: every distinct (bucket) combination is a separate
 # XLA program, and cold compiles on tunneled TPU backends can take minutes —
@@ -280,7 +280,7 @@ class DeviceIndex:
             nrows.append(self.zeros_row)
         extra = self._pack_extra(extra_words)
         F = len(extra_words)
-        count, res = bitmap_ops.dense_query(
+        count, res = bitmap_ops.dense_query_auto(
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([nrows], dtype=jnp.int32), self.deleted, extra,
             has_not=has_not, has_extra=F > 0)

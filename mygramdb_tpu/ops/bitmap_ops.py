@@ -91,6 +91,82 @@ def dense_query(bitmaps: jax.Array, rows: jax.Array, nrows: jax.Array,
     return count, res
 
 
+# ---------------------------------------------------------------------------
+# Fused Pallas dense query: row-gather AND reduce + tombstone mask in one
+# kernel. The bitmap matrix is viewed as (V, W/PBLOCK, 8, 128) so each tile
+# is a TPU-native (8, 128) uint32 block; grid (B, W/PBLOCK, K) with the
+# scalar-prefetched row ids driving the HBM->VMEM index map, and the output
+# tile doubling as the AND accumulator across the K axis. VMEM: 3 tiles.
+# ---------------------------------------------------------------------------
+
+PBLOCK = 1024  # words per tile: (8, 128) uint32
+
+
+def _dense_query_kernel(nsteps: int):
+    def kern(rows_ref, bm_ref, del_ref, out_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[...] = bm_ref[...]
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[...] = jnp.bitwise_and(out_ref[...], bm_ref[...])
+
+        @pl.when(k == nsteps - 1)
+        def _():
+            out_ref[...] = jnp.bitwise_and(
+                out_ref[...], jnp.bitwise_not(del_ref[...]))
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
+                       deleted: jax.Array, interpret: bool = False):
+    """Fused dense AND query (no NOT/extra rows — those queries take the
+    jnp path). -> (count (B,), result_words (B, W))."""
+    B, K = rows.shape
+    V, W = bitmaps.shape
+    assert W % PBLOCK == 0, f"W={W} not a multiple of {PBLOCK}"
+    nblk = W // PBLOCK
+    bm4 = bitmaps.reshape(V, nblk, 8, 128)
+    del4 = deleted.reshape(1, nblk, 8, 128)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, nblk, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, 128),
+                         lambda b, w, k, rows_ref: (rows_ref[b, k], w, 0, 0)),
+            pl.BlockSpec((1, 1, 8, 128),
+                         lambda b, w, k, rows_ref: (0, w, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8, 128),
+                               lambda b, w, k, rows_ref: (b, w, 0, 0)),
+    )
+    res4 = pl.pallas_call(
+        _dense_query_kernel(K),
+        out_shape=jax.ShapeDtypeStruct((B, nblk, 8, 128), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(rows, bm4, del4)
+    res = res4.reshape(B, W)
+    count = jnp.sum(jnp.bitwise_count(res).astype(jnp.int32), axis=-1)
+    return count, res
+
+
+def dense_query_auto(bitmaps, rows, nrows, deleted, extra,
+                     has_not: bool = False, has_extra: bool = False):
+    """dense_query with automatic Pallas fusion on TPU for the common
+    no-NOT/no-extra shape (the overwhelming majority of SEARCH traffic)."""
+    if (not has_not and not has_extra and runtime.use_pallas()
+            and bitmaps.shape[1] % PBLOCK == 0):
+        return dense_query_pallas(bitmaps, rows, deleted)
+    return dense_query(bitmaps, rows, nrows, deleted, extra,
+                       has_not=has_not, has_extra=has_extra)
+
+
 def _reduce_rows_kernel(op: str):
     def kern(rows_ref, bm_ref, out_ref):
         k = pl.program_id(2)
@@ -111,29 +187,33 @@ def _reduce_rows_kernel(op: str):
 @functools.partial(jax.jit, static_argnames=("op", "interpret"))
 def _reduce_rows_pallas(bitmaps: jax.Array, rows: jax.Array, op: str = "and",
                         interpret: bool = False) -> jax.Array:
-    """Pallas row-gather-reduce: grid (B, W/WBLOCK, K), scalar-prefetched row
-    ids drive the HBM->VMEM block index map so only K*WBLOCK words are live
-    in VMEM per program — no (B, K, W) materialization in HBM."""
+    """Pallas row-gather-reduce over (8, 128) uint32 tiles: grid
+    (B, W/WBLOCK, K), scalar-prefetched row ids drive the HBM->VMEM index
+    map so only K tiles are streamed per output tile — no (B, K, W)
+    materialization in HBM."""
     B, K = rows.shape
     V, W = bitmaps.shape
     assert W % WBLOCK == 0, f"bitmap width {W} not a multiple of {WBLOCK}"
     nblk = W // WBLOCK
+    bm4 = bitmaps.reshape(V, nblk, 8, 128)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, nblk, K),
         in_specs=[
-            pl.BlockSpec((1, WBLOCK), lambda b, w, k, rows_ref:
-                         (rows_ref[b, k], w)),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, w, k, rows_ref:
+                         (rows_ref[b, k], w, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, WBLOCK), lambda b, w, k, rows_ref: (b, w)),
+        out_specs=pl.BlockSpec((1, 1, 8, 128),
+                               lambda b, w, k, rows_ref: (b, w, 0, 0)),
     )
-    return pl.pallas_call(
+    out4 = pl.pallas_call(
         _reduce_rows_kernel(op),
-        out_shape=jax.ShapeDtypeStruct((B, W), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((B, nblk, 8, 128), jnp.uint32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(rows, bitmaps)
+    )(rows, bm4)
+    return out4.reshape(B, W)
 
 
 def and_rows(bitmaps: jax.Array, rows: jax.Array,

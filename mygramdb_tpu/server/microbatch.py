@@ -111,7 +111,7 @@ class MicroBatcher:
             rows[i, :len(r.rows)] = r.rows
         nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
         extra = idx._pack_extra([])
-        count, res = bitmap_ops.dense_query(
+        count, res = bitmap_ops.dense_query_auto(
             idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
             idx.deleted, extra, has_not=False, has_extra=False)
         ids = bitmap_ops.topn_from_bitmap(res, limit_b, descending)
