@@ -59,28 +59,66 @@ class IndexBuilder:
         self._cur_docs: List[int] = []
         self._max_doc_id = 0
         self._n_docs = 0
+        # native fast path: FNV64 gram hash -> tid (strings materialized only
+        # on first sight of a hash; 64-bit collision odds are ~V^2/2^65)
+        self._hash_to_tid: Dict[int, int] = {}
+        self._use_native = None  # resolved lazily
 
     def shred(self, normalized_text: str) -> List[str]:
         return textproc.generate_query_ngrams(
             normalized_text, self.ngram_size, self.kanji_ngram_size,
             self.cross_boundary)
 
+    def _native_usable(self) -> bool:
+        if self._use_native is None:
+            from .. import native
+            # the native shredder implements the hybrid dispatch semantics
+            # (kanji size in effect); plain fixed-n uses the Python path
+            self._use_native = (native.available()
+                                and self.kanji_ngram_size > 0)
+        return self._use_native
+
+    # ctypes-call overhead beats Python only on longer documents
+    _NATIVE_MIN_CPS = 200
+
     def add_document(self, doc_id: int, normalized_text: str) -> None:
-        grams = set(self.shred(normalized_text))
-        if not grams:
-            # document still counts toward corpus size even with no grams
-            self._n_docs += 1
-            self._max_doc_id = max(self._max_doc_id, doc_id)
+        if len(normalized_text) >= self._NATIVE_MIN_CPS and \
+                self._native_usable():
+            self._add_document_native(doc_id, normalized_text)
             return
+        grams = set(self.shred(normalized_text))
+        self._record(doc_id,
+                     [self.term_dict.get_or_add(g) for g in grams])
+
+    def _add_document_native(self, doc_id: int, text: str) -> None:
+        from .. import native
+        ascii_n = self.ngram_size if self.ngram_size > 0 else 2
+        out = native.hybrid_ngrams(text, ascii_n, self.kanji_ngram_size,
+                                   self.cross_boundary)
+        if out is None:
+            self._use_native = False
+            self.add_document(doc_id, text)
+            return
+        starts, lens, hashes = out
+        uniq, first_idx = np.unique(hashes, return_index=True)
+        h2t = self._hash_to_tid
         get_or_add = self.term_dict.get_or_add
-        tids = self._cur_tids
-        docs = self._cur_docs
-        for g in grams:
-            tids.append(get_or_add(g))
-            docs.append(doc_id)
+        tids = []
+        for h, i in zip(uniq.tolist(), first_idx.tolist()):
+            tid = h2t.get(h)
+            if tid is None:
+                s = int(starts[i])
+                tid = get_or_add(text[s:s + int(lens[i])])
+                h2t[h] = tid
+            tids.append(tid)
+        self._record(doc_id, tids)
+
+    def _record(self, doc_id: int, tids: List[int]) -> None:
+        self._cur_tids.extend(tids)
+        self._cur_docs.extend([doc_id] * len(tids))
         self._n_docs += 1
         self._max_doc_id = max(self._max_doc_id, doc_id)
-        if len(tids) >= _CHUNK:
+        if len(self._cur_tids) >= _CHUNK:
             self._flush()
 
     def add_batch(self, items: Iterable[Tuple[int, str]]) -> None:
