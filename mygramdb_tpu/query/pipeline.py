@@ -258,6 +258,9 @@ class SearchPipeline:
             out.results = all_ids
         elif ob.is_score:
             out.results, out.scores = self._score_sort(query, all_ids, terms)
+        elif not ob.is_primary_key and \
+                self.ctx.filter_index.has_column(ob.column):
+            out.results = self._column_sort_fast(all_ids, ob, query)
         else:
             out.results = ResultSorter.sort_and_paginate(
                 all_ids, ob, query.limit, query.offset,
@@ -634,6 +637,28 @@ class SearchPipeline:
             return ids
         needles = [ti.normalized for ti in terms if ti.normalized]
         return self._substring_filter(ids, needles)
+
+    # ------------------------------------------------------------------
+    def _column_sort_fast(self, ids: np.ndarray, ob: OrderByClause,
+                          query: Query) -> np.ndarray:
+        """Vectorized filter-column sort through the FilterIndex's typed
+        numpy columns (NULLs last both directions); falls back to the
+        generic sorter for string columns."""
+        col = self.ctx.filter_index._columns.get(ob.column)
+        if col is None or not col.numeric:
+            return ResultSorter.sort_and_paginate(
+                ids, ob, query.limit, query.offset, self.ctx.doc_store,
+                self.ctx.doc_store.pk_doc_id_order_valid)
+        size = col.present.shape[0]
+        in_range = ids < size
+        safe = np.where(in_range, ids, 0)
+        present = col.present[safe] & in_range
+        vals = col.values[safe]
+        desc = ob.order == SortOrder.DESC
+        keys = np.where(present, -vals if desc else vals, np.inf)
+        order = np.argsort(keys, kind="stable")
+        ordered = ids[order]
+        return ResultSorter.paginate(ordered, query.limit, query.offset)
 
     # ------------------------------------------------------------------
     # BM25 scoring
