@@ -228,10 +228,10 @@ class QueryParser:
         if not tokens:
             raise QueryParseError("empty query")
         cmd = tokens[0].upper()
-        handler = getattr(self, f"_parse_{cmd.lower()}", None)
+        handler = self._COMMANDS.get(cmd)
         if handler is None:
             raise QueryParseError(f"unknown command: {tokens[0]}")
-        return handler(tokens)
+        return handler(self, tokens)
 
     # ------------------------------------------------------------------
     def _parse_search(self, tokens: List[str]) -> Query:
@@ -610,3 +610,24 @@ class QueryParser:
                 raise QueryParseError(
                     f"unexpected token after SHOW VARIABLES: {tokens[2]}")
         return q
+
+    # explicit command table: never dispatch by attribute name (clause
+    # helpers like _parse_sort must not be reachable as commands)
+    _COMMANDS = {
+        "SEARCH": _parse_search,
+        "COUNT": _parse_count,
+        "FACET": _parse_facet,
+        "GET": _parse_get,
+        "INFO": _parse_info,
+        "SAVE": _parse_save,
+        "LOAD": _parse_load,
+        "DUMP": _parse_dump,
+        "REPLICATION": _parse_replication,
+        "SYNC": _parse_sync,
+        "CONFIG": _parse_config,
+        "OPTIMIZE": _parse_optimize,
+        "DEBUG": _parse_debug,
+        "CACHE": _parse_cache,
+        "SET": _parse_set,
+        "SHOW": _parse_show,
+    }
