@@ -67,3 +67,58 @@ def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
     mask = jax.lax.fori_loop(0, Nn, one_needle,
                              jnp.ones((C,), dtype=jnp.bool_))
     return jnp.logical_and(mask, cand_ids >= 0)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn"))
+def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
+                             lengths: jax.Array, cand_ids: jax.Array,
+                             needles: jax.Array, needle_lens: jax.Array,
+                             *, C: int, maxT: int, Nn: int):
+    """BM25 TF on device: -> (tf (C, Nn) int32, doc_len (C,) int32).
+
+    Counts ALL match positions, which equals the reference's
+    non-overlapping count for needles with no proper border (callers route
+    self-overlapping needles — rare — to the host path).
+    """
+    ids = jnp.maximum(cand_ids, 0)
+    off = offsets[ids]
+    doc_len = lengths[ids]
+    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
+    idx = off[:, None] + pos
+    valid = pos < doc_len[:, None]
+    idx = jnp.where(valid, idx, 0)
+    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
+    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+
+    def one_needle(n, tf):
+        ndl = needles[n]
+        nlen = needle_lens[n]
+
+        def step(k, m):
+            window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
+            cmp = jnp.logical_or(k >= nlen, window == ndl[k])
+            return jnp.logical_and(m, cmp)
+
+        match_at = jax.lax.fori_loop(
+            0, NEEDLE_CAP, step, jnp.ones((C, maxT), dtype=jnp.bool_))
+        in_range = starts + nlen <= doc_len[:, None]
+        count = jnp.sum(jnp.logical_and(match_at, in_range
+                                        ).astype(jnp.int32), axis=1)
+        count = jnp.where(nlen == 0, 0, count)
+        return tf.at[:, n].set(count)
+
+    tf = jax.lax.fori_loop(0, Nn, one_needle,
+                           jnp.zeros((C, Nn), dtype=jnp.int32))
+    alive = (cand_ids >= 0)[:, None]
+    return jnp.where(alive, tf, 0), jnp.where(cand_ids >= 0, doc_len, 0)
+
+
+def has_self_overlap(term: str) -> bool:
+    """True when the term has a proper border (prefix == suffix), i.e. the
+    all-positions count can exceed the non-overlapping count."""
+    n = len(term)
+    for i in range(1, n):
+        if term[:i] == term[n - i:]:
+            return True
+    return False

@@ -91,6 +91,22 @@ class BM25Scorer:
         return text.count(term)
 
     @staticmethod
+    def score_from_tf(tf: np.ndarray, doc_lens: np.ndarray,
+                      term_doc_freqs: Sequence[int], total_docs: int,
+                      avg_doc_length: float, k1: float = 1.2,
+                      b: float = 0.75) -> np.ndarray:
+        """BM25 combine over a precomputed (n, t) TF matrix (the TF source
+        may be the host text scan or the device counting kernel)."""
+        idf = np.asarray([BM25Scorer.compute_idf(total_docs, df)
+                          for df in term_doc_freqs], dtype=np.float64)
+        tf = tf.astype(np.float64)
+        dl = doc_lens.astype(np.float64)
+        if avg_doc_length <= 0:
+            avg_doc_length = 1.0
+        norm = k1 * (1.0 - b + b * dl / avg_doc_length)
+        return (tf * (k1 + 1.0) / (tf + norm[:, None])) @ idf
+
+    @staticmethod
     def score_documents(candidates: Sequence[int],
                         search_terms: Sequence[str],
                         term_doc_freqs: Sequence[int],

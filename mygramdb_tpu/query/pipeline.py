@@ -667,7 +667,6 @@ class SearchPipeline:
                     terms: List[TermInfo]) -> Tuple[np.ndarray, np.ndarray]:
         ob = query.order_by or OrderByClause()
         ids_list = all_ids.tolist()
-        texts = self.ctx.doc_store.texts_batch(ids_list)
         dfs = []
         for ti in terms:
             if ti.doc_freq:
@@ -677,10 +676,22 @@ class SearchPipeline:
                 dfs.append(total)
             else:
                 dfs.append(0)
-        scores = BM25Scorer.score_documents(
-            ids_list, [ti.normalized for ti in terms], dfs, texts,
-            self.ctx.bm25.doc_count, self.ctx.bm25.avg_doc_length,
-            self.cfg.bm25.k1, self.cfg.bm25.b)
+        norm_terms = [ti.normalized for ti in terms]
+        dev_text = getattr(self.ctx, "device_text", None)
+        if dev_text is not None and all_ids.size >= 512:
+            tf, dl = dev_text.count_tf(
+                all_ids, norm_terms, self.ctx.doc_store.texts_batch,
+                dirty=self.ctx.index.delta.doc_terms.keys())
+            scores = BM25Scorer.score_from_tf(
+                tf, dl, dfs, self.ctx.bm25.doc_count,
+                self.ctx.bm25.avg_doc_length,
+                self.cfg.bm25.k1, self.cfg.bm25.b)
+        else:
+            texts = self.ctx.doc_store.texts_batch(ids_list)
+            scores = BM25Scorer.score_documents(
+                ids_list, norm_terms, dfs, texts,
+                self.ctx.bm25.doc_count, self.ctx.bm25.avg_doc_length,
+                self.cfg.bm25.k1, self.cfg.bm25.b)
         order = ResultSorter.sort_by_score(
             ids_list, scores.tolist(), ob.order == SortOrder.DESC)
         ordered = np.asarray(order, dtype=np.int32)

@@ -15,7 +15,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.verify_ops import NEEDLE_CAP, substring_verify_device
+from ..ops.verify_ops import (NEEDLE_CAP, count_occurrences_device,
+                              has_self_overlap, substring_verify_device)
 from .. import native
 
 _C_BUCKETS = (2048, 16384)
@@ -120,6 +121,57 @@ class DeviceTextStore:
             out[pos:pos + chunk.size] = np.asarray(m)[:chunk.size]
             pos += chunk.size
         return out
+
+    # ------------------------------------------------------------------
+    def count_tf(self, cand_ids: np.ndarray, terms: Sequence[str],
+                 texts_fallback, dirty=frozenset()):
+        """BM25 TF matrix + doc lengths; device kernel with host fallback
+        (overflow/dirty docs; self-overlapping or over-cap needles)."""
+        n = cand_ids.size
+        tf = np.zeros((n, len(terms)), dtype=np.int32)
+        dl = np.zeros(n, dtype=np.int32)
+        if n == 0 or not terms:
+            return tf, dl
+        if any(len(t) > NEEDLE_CAP or len(t) == 0 or has_self_overlap(t)
+               for t in terms):
+            return native.count_occurrences(
+                texts_fallback(cand_ids.tolist()), list(terms))
+        device_ok = np.asarray(
+            [0 < d < self.capacity and d not in self._overflow
+             and d not in dirty for d in cand_ids.tolist()])
+        host_ids = cand_ids[~device_ok]
+        if host_ids.size:
+            h_tf, h_dl = native.count_occurrences(
+                texts_fallback(host_ids.tolist()), list(terms))
+            tf[~device_ok] = h_tf
+            dl[~device_ok] = h_dl
+        dev_ids = cand_ids[device_ok]
+        if dev_ids.size:
+            Nn = len(terms)
+            ndl = np.zeros((Nn, NEEDLE_CAP), dtype=np.uint32)
+            nlens = np.zeros(Nn, dtype=np.int32)
+            for i, t in enumerate(terms):
+                cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                ndl[i, :cp.size] = cp
+                nlens[i] = cp.size
+            d_tf = np.zeros((dev_ids.size, Nn), dtype=np.int32)
+            d_dl = np.zeros(dev_ids.size, dtype=np.int32)
+            pos = 0
+            while pos < dev_ids.size:
+                chunk = dev_ids[pos:pos + _C_BUCKETS[-1]]
+                C = _bucket(chunk.size, _C_BUCKETS)
+                padded = np.full(C, -1, dtype=np.int32)
+                padded[:chunk.size] = chunk
+                t_m, l_m = count_occurrences_device(
+                    self.codepoints, self.offsets, self.lengths,
+                    jnp.asarray(padded), jnp.asarray(ndl),
+                    jnp.asarray(nlens), C=C, maxT=self.maxT, Nn=Nn)
+                d_tf[pos:pos + chunk.size] = np.asarray(t_m)[:chunk.size]
+                d_dl[pos:pos + chunk.size] = np.asarray(l_m)[:chunk.size]
+                pos += chunk.size
+            tf[device_ok] = d_tf
+            dl[device_ok] = d_dl
+        return tf, dl
 
     def memory_usage(self) -> int:
         return int(self.codepoints.size * 4 + self.offsets.size * 8)

@@ -88,3 +88,39 @@ class TestDeviceVerify:
                           lambda i: [texts.get(x) for x in i])
             expect = [needle in texts[int(d)] for d in ids]
             assert m.tolist() == expect, needle
+
+
+class TestDeviceTF:
+    def test_tf_parity_with_host(self):
+        import numpy as np
+        from mygramdb_tpu import native
+        rng = np.random.default_rng(31)
+        words = ["alpha", "beta", "the", "omega"]
+        texts = {i: " ".join(rng.choice(words, size=int(rng.integers(3, 30))))
+                 for i in range(1, 301)}
+        st = make_store(texts, capacity=512)
+        ids = np.asarray(sorted(texts), dtype=np.int32)
+        terms = ["alpha", "the", "omega beta"]
+        tf_d, dl_d = st.count_tf(ids, terms,
+                                 lambda i: [texts.get(x) for x in i])
+        tf_h, dl_h = native.count_occurrences(
+            [texts[int(d)] for d in ids], terms)
+        assert np.array_equal(tf_d, tf_h)
+        assert np.array_equal(dl_d, dl_h)
+
+    def test_self_overlapping_falls_back(self):
+        import numpy as np
+        st = make_store({1: "aaaa"})
+        ids = np.asarray([1], dtype=np.int32)
+        tf, dl = st.count_tf(ids, ["aa"], lambda i: ["aaaa"])
+        assert tf[0, 0] == 2  # non-overlapping count, via host fallback
+        assert dl[0] == 4
+
+    def test_dirty_doc_tf(self):
+        import numpy as np
+        st = make_store({1: "old text"})
+        ids = np.asarray([1], dtype=np.int32)
+        tf, dl = st.count_tf(ids, ["new"], lambda i: ["new new text"],
+                             dirty={1})
+        assert tf[0, 0] == 2
+        assert dl[0] == len("new new text")
