@@ -48,7 +48,8 @@ class TableContext:
             dense_df_ratio=config.device.dense_df_ratio,
             max_dense_terms=config.device.max_dense_terms,
             candidate_buckets=tuple(config.device.candidate_buckets),
-            microbatch=microbatch)
+            microbatch=microbatch,
+            mesh_shards=self.config.device.mesh_shards)
         self.filter_index = FilterIndex()
         for f in table_cfg.filters:
             self.filter_index.add_column(f.name, f.type, f.bitmap_index,
@@ -196,7 +197,8 @@ class TableContext:
             dense_df_ratio=self.config.device.dense_df_ratio,
             max_dense_terms=self.config.device.max_dense_terms,
             candidate_buckets=tuple(self.config.device.candidate_buckets),
-            microbatch=microbatch)
+            microbatch=microbatch,
+            mesh_shards=self.config.device.mesh_shards)
         new_store = DocumentStore.from_state(ts.doc_store_state)
         new_filters = FilterIndex.from_state(ts.filter_state)
         from .query.bm25 import BM25Stats as _BM25

@@ -236,6 +236,7 @@ class DeviceConfig:
     """
     enable: bool = True
     platform: str = "auto"  # auto|tpu|cpu
+    mesh_shards: int = 1    # >1: shard the doc axis over this many chips
     dense_df_ratio: float = 0.01
     max_dense_terms: int = 8192
     doc_block: int = 1024

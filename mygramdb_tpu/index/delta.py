@@ -94,7 +94,8 @@ class MutableIndex:
                  cross_boundary_ngrams: bool = True,
                  dense_df_ratio: float = 0.01, max_dense_terms: int = 8192,
                  candidate_buckets=(2048, 65536),
-                 microbatch: Optional[Tuple[int, int]] = None):
+                 microbatch: Optional[Tuple[int, int]] = None,
+                 mesh_shards: int = 1):
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
@@ -102,6 +103,7 @@ class MutableIndex:
         self._max_dense_terms = max_dense_terms
         self._candidate_buckets = candidate_buckets
         self._microbatch = microbatch
+        self._mesh_shards = mesh_shards
         if built is None:
             built = IndexBuilder(ngram_size, kanji_ngram_size,
                                  cross_boundary_ngrams).finalize()
@@ -118,7 +120,8 @@ class MutableIndex:
         self.device = DeviceIndex(
             built, dense_df_ratio=self._dense_df_ratio,
             max_dense_terms=self._max_dense_terms,
-            candidate_buckets=self._candidate_buckets)
+            candidate_buckets=self._candidate_buckets,
+            mesh_shards=self._mesh_shards)
         if self._microbatch is not None:
             from ..server.microbatch import MicroBatcher
             max_batch, window_us = self._microbatch

@@ -112,9 +112,25 @@ class DeviceIndex:
 
     def __init__(self, built: BuiltIndex, dense_df_ratio: float = 0.01,
                  max_dense_terms: int = 8192, candidate_buckets=(2048, 65536),
-                 device=None):
+                 device=None, mesh_shards: int = 1):
+        """mesh_shards > 1 shards the bitmap matrix over the document axis
+        of a ('docs',) mesh via NamedSharding — the jitted query kernels are
+        unchanged and XLA auto-partitions them (popcounts meet in a psum,
+        top-k gathers ride the interconnect). Requires mesh_shards devices."""
         self.built = built
         self.candidate_buckets = tuple(candidate_buckets)
+        self.mesh = None
+        self._doc_sharding = None
+        self._row_sharding = None
+        if mesh_shards > 1:
+            import jax.sharding as jshard
+            devices = jax.devices()[:mesh_shards]
+            if len(devices) >= mesh_shards:
+                self.mesh = jshard.Mesh(np.asarray(devices), ("docs",))
+                self._doc_sharding = jshard.NamedSharding(
+                    self.mesh, jshard.PartitionSpec(None, "docs"))
+                self._row_sharding = jshard.NamedSharding(
+                    self.mesh, jshard.PartitionSpec("docs"))
         V = built.n_terms
         self.n_docs_capacity = self._capacity(built.max_doc_id)
         self.n_words = self.n_docs_capacity // 32
@@ -144,7 +160,12 @@ class DeviceIndex:
         bm[self.ones_row] = np.uint32(0xFFFFFFFF)
 
         self._device = device
-        self.bitmaps = jax.device_put(bm, device)
+        if self._doc_sharding is not None and \
+                self.n_words % self.mesh.shape["docs"] == 0:
+            self.bitmaps = jax.device_put(bm, self._doc_sharding)
+        else:
+            self._doc_sharding = self._row_sharding = None
+            self.bitmaps = jax.device_put(bm, device)
         # Sparse CSR on device (dense terms keep their postings too: the
         # boolean-AST/OR paths and compaction read them from the host mirror;
         # device copy holds only sparse slices to save HBM).
@@ -155,9 +176,10 @@ class DeviceIndex:
         self.offsets32 = built.offsets.astype(np.int32)
         self.lengths = built.lengths
         self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
-        self.deleted = jax.device_put(self.deleted_host, device)
+        del_target = self._row_sharding or device
+        self.deleted = jax.device_put(self.deleted_host, del_target)
         self._ones_words = jax.device_put(
-            np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), device)
+            np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), del_target)
         self._del_lock = threading.Lock()
         self._jit_cache: Dict[tuple, object] = {}
         self.batcher = None  # optional MicroBatcher (server attaches)
@@ -186,7 +208,7 @@ class DeviceIndex:
             np.bitwise_or.at(
                 self.deleted_host, ids >> 5,
                 np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32)))
-            self.deleted = jax.device_put(self.deleted_host, self._device)
+            self.deleted = jax.device_put(self.deleted_host, self._row_sharding or self._device)
 
     def unmark_deleted(self, doc_ids: Sequence[int]) -> None:
         ids = np.asarray([d for d in doc_ids if 0 < d < self.n_docs_capacity],
@@ -198,7 +220,7 @@ class DeviceIndex:
                 self.deleted_host, ids >> 5,
                 np.bitwise_not(
                     np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32))))
-            self.deleted = jax.device_put(self.deleted_host, self._device)
+            self.deleted = jax.device_put(self.deleted_host, self._row_sharding or self._device)
 
     def deleted_count(self) -> int:
         return int(np.sum(np.unpackbits(

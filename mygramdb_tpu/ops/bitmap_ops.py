@@ -159,9 +159,16 @@ def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
 def dense_query_auto(bitmaps, rows, nrows, deleted, extra,
                      has_not: bool = False, has_extra: bool = False):
     """dense_query with automatic Pallas fusion on TPU for the common
-    no-NOT/no-extra shape (the overwhelming majority of SEARCH traffic)."""
-    if (not has_not and not has_extra and runtime.use_pallas()
-            and bitmaps.shape[1] % PBLOCK == 0):
+    no-NOT/no-extra shape (the overwhelming majority of SEARCH traffic).
+    Multi-device (doc-sharded) inputs take the jnp path, which XLA
+    auto-partitions under the arrays' NamedSharding."""
+    single_device = True
+    try:
+        single_device = len(bitmaps.sharding.device_set) == 1
+    except AttributeError:
+        pass
+    if (single_device and not has_not and not has_extra
+            and runtime.use_pallas() and bitmaps.shape[1] % PBLOCK == 0):
         return dense_query_pallas(bitmaps, rows, deleted)
     return dense_query(bitmaps, rows, nrows, deleted, extra,
                        has_not=has_not, has_extra=has_extra)

@@ -51,3 +51,42 @@ def test_sharded_update(eight_cpu_devices):
     counts, ids = eng.search(rows)
     exp = doc_sets[0] | {4100, 4101, 4102, 4103}
     assert counts[0] == len(exp)
+
+
+class TestShardedDeviceIndex:
+    """DeviceIndex with mesh_shards: XLA auto-partitions the jitted query
+    kernels under the arrays' NamedSharding (8 virtual CPU devices)."""
+
+    def test_sharded_matches_unsharded(self, eight_cpu_devices):
+        from mygramdb_tpu.index import IndexBuilder, DeviceIndex, SearchOptions
+        rng = np.random.default_rng(17)
+        words = ["alpha", "beta", "gamma", "delta", "omega"]
+        b = IndexBuilder()
+        for i in range(1, 40001):
+            b.add_document(i, " ".join(rng.choice(words, size=4)))
+        built = b.finalize()
+        plain = DeviceIndex(built, dense_df_ratio=0.001)
+        sharded = DeviceIndex(built, dense_df_ratio=0.001, mesh_shards=8)
+        assert sharded.mesh is not None
+        tids = [built.term_dict.get(g) for g in ["al", "ph"]]
+        for opts in (SearchOptions(limit=0), SearchOptions(limit=10),
+                     SearchOptions(limit=10, descending=False),
+                     SearchOptions(count_only=True)):
+            t1, i1 = plain.search_and(tids, opts=opts)
+            t2, i2 = sharded.search_and(tids, opts=opts)
+            assert t1 == t2
+            assert i1.tolist() == i2.tolist()
+
+    def test_sharded_tombstones(self, eight_cpu_devices):
+        from mygramdb_tpu.index import IndexBuilder, DeviceIndex
+        b = IndexBuilder()
+        for i in range(1, 40001):
+            b.add_document(i, "needle text")
+        built = b.finalize()
+        idx = DeviceIndex(built, dense_df_ratio=0.001, mesh_shards=8)
+        t = built.term_dict.get("ne")
+        total, _ = idx.search_and([t])
+        assert total == 40000
+        idx.mark_deleted([1, 2, 3])
+        total, _ = idx.search_and([t])
+        assert total == 39997
