@@ -24,7 +24,7 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 K = 8
 TOPN = 128
-N_DOCS = int(os.environ.get("BENCH_DOCS", "10000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
 BASELINE_QPS = 11766.0
 
