@@ -23,7 +23,6 @@ from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 import numpy as np
 
 from ..utils import textproc
-from ..utils.edit_distance import contains_fuzzy_match
 from .parser import (FilterCondition, FilterOp, OrderByClause, Query,
                      QueryType, SortOrder)
 from .ast import QueryASTParser, QueryNode, contains_boolean_syntax
