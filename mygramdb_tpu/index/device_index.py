@@ -166,12 +166,8 @@ class DeviceIndex:
         else:
             self._doc_sharding = self._row_sharding = None
             self.bitmaps = jax.device_put(bm, device)
-        # Sparse CSR on device (dense terms keep their postings too: the
-        # boolean-AST/OR paths and compaction read them from the host mirror;
-        # device copy holds only sparse slices to save HBM).
-        sparse_mask = self.dense_row < 0
-        self.is_sparse = sparse_mask
-        # device CSR over the full postings array (offsets valid for all terms)
+        # device CSR over the full postings array (offsets valid for all
+        # terms; dense terms' slices are read by OR/AST paths and compaction)
         self.postings = jax.device_put(built.postings, device)
         self.offsets32 = built.offsets.astype(np.int32)
         self.lengths = built.lengths
@@ -181,7 +177,6 @@ class DeviceIndex:
         self._ones_words = jax.device_put(
             np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), del_target)
         self._del_lock = threading.Lock()
-        self._jit_cache: Dict[tuple, object] = {}
         self.batcher = None  # optional MicroBatcher (server attaches)
 
     # ------------------------------------------------------------------
