@@ -145,6 +145,16 @@ class Application:
 
     # ------------------------------------------------------------------
     def run(self) -> int:
+        # SIGUSR2 -> all-thread stack dump to stderr: first-line diagnosis
+        # for requests stuck in device dispatches (tunnel stalls) or lock
+        # waits, without restarting the server.
+        import faulthandler
+        try:
+            faulthandler.register(signal.SIGUSR2, all_threads=True,
+                                  chain=False)
+        except (AttributeError, ValueError):  # non-Unix / no SIGUSR2
+            pass
+
         async def _main():
             loop = asyncio.get_running_loop()
             for sig in (signal.SIGINT, signal.SIGTERM):

@@ -1,9 +1,17 @@
 """Cache manager facade (reference cache/cache_manager.h:40).
 
 Glues QueryCache + InvalidationManager + per-table data-version counters.
-The version counter closes the lookup/compute/insert race: an insert is
-dropped when the table changed while the query was computing
-(search_pipeline.cpp:1510-1513 guard).
+The version counter closes the lookup/compute/insert race: ``lookup``
+captures the table's data version BEFORE the query computes and ``insert``
+drops the entry when the version has moved since — mirroring the
+reference's capture-at-miss / check-at-insert guard
+(search_pipeline.cpp:1510-1513, InsertToCache data_version param).
+
+Hit-time staleness: cached results are sampled against the live document
+store on every hit (min 10 ids, ~10% of the set, reference IsCacheStale,
+search_pipeline.cpp:1117-1140); a sampled id whose PK no longer resolves
+evicts the entry and reports a miss — this closes the window between a
+binlog write and the deferred n-gram invalidation flush.
 
 The pipeline-facing API is lookup(table, query) / insert(...): keys come
 from QueryNormalizer (LIMIT/OFFSET/SORT excluded) so one cached unsorted
@@ -54,32 +62,66 @@ class CacheManager:
             self._versions[table] = self._versions.get(table, 0) + 1
 
     # ------------------------------------------------------------------
-    def lookup(self, table: str, query: Query
-               ) -> Tuple[Optional[str], Optional[Tuple[int, np.ndarray]]]:
-        """-> (cache_key, entry or None). Key returned even on miss so the
-        pipeline can insert after computing."""
+    STALE_MIN_SAMPLES = 10      # reference kCacheStaleMinSamples
+    STALE_SAMPLE_DIVISOR = 10   # reference kCacheStaleSampleDivisor (~10%)
+
+    def _is_stale(self, ids: np.ndarray, doc_store) -> bool:
+        """Sampled existence check of cached doc ids against the live
+        document store (reference IsCacheStale)."""
+        n = int(ids.size)
+        if n == 0 or doc_store is None:
+            return False
+        sample = min(n, max(self.STALE_MIN_SAMPLES,
+                            n // self.STALE_SAMPLE_DIVISOR))
+        step = max(1, n // sample)
+        sampled = ids[::step][:sample]
+        pks = doc_store.primary_keys_batch(sampled.tolist())
+        return any(pk is None for pk in pks)
+
+    def lookup(self, table: str, query: Query, doc_store=None
+               ) -> Tuple[Optional[str], Optional[Tuple[int, np.ndarray]], int]:
+        """-> (cache_key, entry or None, data_version at lookup time).
+
+        The version is captured BEFORE the query computes so insert() can
+        reject results that raced with a table mutation. Key returned even
+        on miss so the pipeline can insert after computing."""
+        version = self.data_version(table)
         if not self.enabled:
-            return None, None
+            return None, None, version
         key = table + ":" + self.normalizer.cache_key(query)
         hit = self.cache.lookup(key)
         if hit is None:
-            return key, None
+            return key, None, version
         total, ids, age_ms, saved_ms = hit
+        if self._is_stale(ids, doc_store):
+            self.cache.invalidate(key)
+            self.invalidation.unregister(key)
+            self.cache.stats.misses += 1
+            return key, None, version
         self.last_hit_age_ms = age_ms
         self.last_saved_ms = saved_ms
-        return key, (total, ids)
+        return key, (total, ids), version
 
     def insert(self, table: str, key: str, query: Query,
                entry: Tuple[int, np.ndarray], cost_ms: float,
-               ngrams: List[str]) -> bool:
+               ngrams: List[str],
+               version_at_lookup: Optional[int] = None) -> bool:
         if not self.enabled or key is None:
             return False
-        version_before = self.data_version(table)
+        if self.strategy == "ngram" and not ngrams:
+            # no gram registration => n-gram invalidation could never reach
+            # this entry; a write would leave it stale until TTL. Don't cache.
+            return False
+        version_before = (version_at_lookup if version_at_lookup is not None
+                          else self.data_version(table))
+        if self.data_version(table) != version_before:
+            # table mutated while the query computed: result may be stale
+            return False
         total, ids = entry
         ok = self.cache.insert(key, total, ids, cost_ms)
         if ok:
             if self.data_version(table) != version_before:
-                # table mutated while computing: drop the stale entry
+                # mutation landed between the check and the insert
                 self.cache.invalidate(key)
                 self.invalidation.unregister(key)
                 return False

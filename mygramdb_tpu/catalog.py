@@ -208,6 +208,11 @@ class TableContext:
             self.doc_store = new_store
             self.filter_index = new_filters
             self.bm25 = new_bm25
+            # the packed device text belongs to the PREVIOUS corpus; leaving
+            # it in place would serve old texts for new doc ids in the
+            # verify_text / BM25 device kernels after a runtime DUMP LOAD
+            self.device_text = None
+        self._rebuild_device_text()
 
     # ------------------------------------------------------------------
     def memory_usage(self) -> int:

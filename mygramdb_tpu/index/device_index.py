@@ -272,9 +272,14 @@ class DeviceIndex:
     # ---------------- dense path ----------------
     def _dense_and_path(self, dense_rows, ns_tids, nd_rows, extra_words, opts):
         # micro-batched fast path: plain dense AND with a limit — share one
-        # device dispatch with concurrent queries (server/microbatch.py)
+        # device dispatch with concurrent queries (server/microbatch.py).
+        # Queries expanding to more dense rows than the batcher's K ceiling
+        # must NOT be truncated (dropping AND constraints returns false
+        # positives); they take the unbatched path below instead.
+        from ..server.microbatch import MAX_K
         if (self.batcher is not None and opts.limit > 0 and not ns_tids
-                and not nd_rows and not extra_words):
+                and not nd_rows and not extra_words
+                and len(dense_rows) <= MAX_K):
             limit_b = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
                           self.n_docs_capacity)
             total, ids = self.batcher.submit(list(dense_rows), limit_b,

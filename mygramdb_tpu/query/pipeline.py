@@ -133,12 +133,16 @@ class SearchPipeline:
         dbg = DebugInfo()
         out = PipelineOutput(debug=dbg)
 
-        # cache lookup (unsorted full result sets keyed canonically)
+        # cache lookup (unsorted full result sets keyed canonically);
+        # captures the data version BEFORE computing so the insert below can
+        # reject results that raced with a table mutation
         cache_entry = None
         cache_key = None
+        cache_version = None
         if self.cache is not None and query.type in (
                 QueryType.SEARCH, QueryType.COUNT, QueryType.FACET):
-            cache_key, cache_entry = self.cache.lookup(self.ctx.name, query)
+            cache_key, cache_entry, cache_version = self.cache.lookup(
+                self.ctx.name, query, self.ctx.doc_store)
             dbg.cache_key = cache_key or ""
         if cache_entry is not None:
             total, ids = cache_entry
@@ -149,7 +153,8 @@ class SearchPipeline:
             terms = [self.term_info(t) for t in query.all_terms]
             out.all_search_terms = [ti.normalized for ti in terms]
             dbg.search_terms = out.all_search_terms
-            self._finalize(query, out, all_ids, terms, t_start)
+            self._finalize(query, out, all_ids, terms, t_start,
+                           collect_all=collect_all)
             return out
         if self.cache is not None:
             dbg.cache_status = "miss" if self.cache.enabled else "disabled"
@@ -240,7 +245,8 @@ class SearchPipeline:
             dbg.query_cost_ms = cost_ms
             self.cache.insert(self.ctx.name, cache_key, query,
                               (out.total, all_ids), cost_ms,
-                              [g for ti in terms for g in ti.grams])
+                              [g for ti in terms for g in ti.grams],
+                              version_at_lookup=cache_version)
 
         self._finalize(query, out, all_ids, terms, t_start,
                        collect_all=collect_all)

@@ -48,7 +48,11 @@ class MicroBatcher:
                descending: bool) -> Tuple[int, np.ndarray]:
         """Blocking submit; returns (total, top ids desc/asc, -1 padded)."""
         if len(dense_rows) > MAX_K:
-            dense_rows = dense_rows[:MAX_K]
+            # dropping rows would drop AND constraints (false positives);
+            # callers must route >MAX_K queries to the unbatched path
+            raise ValueError(
+                f"micro-batch supports at most {MAX_K} dense rows, "
+                f"got {len(dense_rows)}")
         req = _Request(rows=list(dense_rows))
         key = (limit_b, descending)
         flush_now = False

@@ -73,6 +73,25 @@ def test_concurrent_submissions_share_batches(idx):
     assert batches < len(queries)  # some queries shared a dispatch
 
 
+def test_over_max_k_takes_unbatched_path(idx):
+    """Regression: queries expanding to >MAX_K dense rows must keep ALL AND
+    constraints (the batcher used to truncate to MAX_K, returning
+    false-positive supersets)."""
+    from mygramdb_tpu.server import microbatch
+    ix, built = idx
+    # a gram set guaranteed unsatisfiable if any constraint is kept:
+    # 'al' AND 'ep' never co-occur; pad with repeats past MAX_K so a
+    # truncating implementation would drop the conflicting tail row
+    al = built.term_dict.get("al")
+    ep = built.term_dict.get("ep")
+    tids = [al] * microbatch.MAX_K + [ep]
+    total, ids = ix.search_and(tids, opts=SearchOptions(limit=10))
+    assert total == 0
+    assert ids.size == 0
+    with pytest.raises(ValueError):
+        ix.batcher.submit(list(range(microbatch.MAX_K + 1)), 128, True)
+
+
 def test_unbatchable_paths_still_work(idx):
     ix, built = idx
     # NOT terms bypass the batcher
