@@ -80,11 +80,9 @@ def main() -> int:
     extra = idx._pack_extra([])
 
     def step(rows):
-        count, res = bitmap_ops.dense_query_auto(
+        return bitmap_ops.dense_search_topn(
             idx.bitmaps, rows, nrows, idx.deleted, extra,
-            has_not=False, has_extra=False)
-        ids = bitmap_ops.topn_from_bitmap(res, TOPN, True)
-        return count, ids
+            False, False, TOPN, True)
 
     # warmup / compile
     count, ids = step(rows)

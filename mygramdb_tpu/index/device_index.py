@@ -302,20 +302,25 @@ class DeviceIndex:
             nrows.append(self.zeros_row)
         extra = self._pack_extra(extra_words)
         F = len(extra_words)
+        rows_j = jnp.asarray([rows], dtype=jnp.int32)
+        nrows_j = jnp.asarray([nrows], dtype=jnp.int32)
+        if not opts.count_only and opts.limit > 0:
+            # fused search + top-n: one program, one dispatch; only (B,)
+            # counts and (B, n) ids cross to the host
+            n = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
+                    self.n_docs_capacity)
+            count, ids = bitmap_ops.dense_search_topn(
+                self.bitmaps, rows_j, nrows_j, self.deleted, extra,
+                has_not, F > 0, n, opts.descending)
+            total = int(count[0])
+            ids = np.asarray(ids[0])
+            ids = ids[ids >= 0][:opts.limit]
+            return total, ids.astype(np.int32)
         count, res = bitmap_ops.dense_query_auto(
-            self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
-            jnp.asarray([nrows], dtype=jnp.int32), self.deleted, extra,
+            self.bitmaps, rows_j, nrows_j, self.deleted, extra,
             has_not=has_not, has_extra=F > 0)
         if opts.count_only:
             return int(count[0]), np.empty(0, dtype=np.int32)
-        if opts.limit > 0:
-            n = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
-                    self.n_docs_capacity)
-            ids = np.asarray(bitmap_ops.topn_from_bitmap(
-                res, n, opts.descending)[0])
-            total = int(count[0])
-            ids = ids[ids >= 0][:opts.limit]
-            return total, ids.astype(np.int32)
         total = int(count[0])
         ids = self._bitmap_to_ids(np.asarray(res[0]))
         return total, ids

@@ -264,7 +264,6 @@ def bit_member(words: jax.Array, doc_ids: jax.Array) -> jax.Array:
 
 
 _HIER_MIN_WORDS = 1024   # >= 32k docs: use the hierarchical extractor
-_BLK_WORDS = 16          # 512 docs per block
 
 
 @functools.partial(jax.jit, static_argnames=("n", "descending"))
@@ -284,50 +283,52 @@ def _topn_direct(words: jax.Array, n: int, descending: bool) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("n", "descending"))
 def _topn_hierarchical(words: jax.Array, n: int,
                        descending: bool) -> jax.Array:
-    """Two-stage top-n set-bit extraction for large corpora.
+    """Two-stage top-n set-bit extraction for large corpora, at WORD
+    granularity.
 
-    Stage 1: 512-doc block popcounts + directional prefix ranks select the
-    <= n blocks that can contain top-n bits (a block qualifies iff the bits
-    ranked before it number < n and it is non-empty). Stage 2 expands only
-    those blocks. Avoids the O(n_docs) top_k of the direct path.
+    Stage 1: per-word popcounts + a directional prefix-rank cumsum select
+    the <= n words that can contain top-n bits (a word qualifies iff the
+    set bits ranked before it number < n and it is non-empty). Stage 2
+    expands only those words, so the final top_k runs over n*32 candidates
+    instead of the full n_docs domain (at 100k docs / n=128 that is 4k vs
+    131k keys — the top_k is the dominant device cost of a batch).
     """
     B, W = words.shape
-    nblk = W // _BLK_WORDS
-    blocks = words.reshape(B, nblk, _BLK_WORDS)
-    pc = jnp.sum(jnp.bitwise_count(blocks).astype(jnp.int32), axis=-1)
+    pc = jnp.bitwise_count(words).astype(jnp.int32)  # (B, W), 0..32
     if descending:
         suffix = jnp.cumsum(pc[:, ::-1], axis=-1)[:, ::-1]
         rank_before = suffix - pc
     else:
         rank_before = jnp.cumsum(pc, axis=-1) - pc
+    count = jnp.sum(pc, axis=-1)
     eligible = jnp.logical_and(rank_before < n, pc > 0)
-    blkid = jnp.arange(nblk, dtype=jnp.int32)[None, :]
-    m = min(n, nblk)
+    wid = jnp.arange(W, dtype=jnp.int32)[None, :]
+    m = min(n, W)
     if descending:
-        key = jnp.where(eligible, blkid, -1)
-        sel, _ = jax.lax.top_k(key, m)          # block ids, -1 padded
+        key = jnp.where(eligible, wid, -1)
+        sel, _ = jax.lax.top_k(key, m)          # word ids, -1 padded
         sel_valid = sel >= 0
         sel_ids = jnp.maximum(sel, 0)
     else:
-        key = jnp.where(eligible, nblk - 1 - blkid, -1)
+        key = jnp.where(eligible, W - 1 - wid, -1)
         enc, _ = jax.lax.top_k(key, m)
         sel_valid = enc >= 0
-        sel_ids = jnp.where(sel_valid, nblk - 1 - enc, 0)
-    # gather selected blocks: (B, m, BLK)
-    sel_words = jnp.take_along_axis(blocks, sel_ids[:, :, None], axis=1)
-    bits = expand_bits(sel_words)               # (B, m, BLK*32)
-    local = jnp.arange(_BLK_WORDS * 32, dtype=jnp.int32)[None, None, :]
-    docids = sel_ids[:, :, None] * (_BLK_WORDS * 32) + local
+        sel_ids = jnp.where(sel_valid, W - 1 - enc, 0)
+    # gather selected words and expand: (B, m, 32)
+    sel_words = jnp.take_along_axis(words, sel_ids, axis=1)
+    bits = expand_bits(sel_words[..., None])
+    local = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    docids = sel_ids[:, :, None] * 32 + local
     ok = jnp.logical_and(bits, sel_valid[:, :, None])
     flat_ok = ok.reshape(B, -1)
-    flat_ids = jnp.broadcast_to(docids, ok.shape).reshape(B, -1)
+    flat_ids = docids.reshape(B, -1)
     if descending:
         keys2 = jnp.where(flat_ok, flat_ids, -1)
         vals, _ = jax.lax.top_k(keys2, n)
-        return jnp.where(vals >= 0, vals, -1)
+        return jnp.where(vals >= 0, vals, -1), count
     keys2 = jnp.where(flat_ok, -flat_ids, jnp.int32(-(2 ** 31) + 1))
     vals, _ = jax.lax.top_k(keys2, n)
-    return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+    return jnp.where(vals > -(2 ** 31) + 1, -vals, -1), count
 
 
 def topn_from_bitmap(words: jax.Array, n: int,
@@ -339,9 +340,49 @@ def topn_from_bitmap(words: jax.Array, n: int,
     Top-N shortcut, search_pipeline.h:348).
     """
     W = words.shape[-1]
-    if W >= _HIER_MIN_WORDS and W % _BLK_WORDS == 0:
-        return _topn_hierarchical(words, n, descending)
+    if W >= _HIER_MIN_WORDS:
+        return _topn_hierarchical(words, n, descending)[0]
     return _topn_direct(words, n, descending)
+
+
+@functools.partial(jax.jit, static_argnames=("has_not", "has_extra", "n",
+                                             "descending", "use_pallas"))
+def _dense_search_topn(bitmaps, rows, nrows, deleted, extra,
+                       has_not: bool, has_extra: bool,
+                       n: int, descending: bool, use_pallas: bool):
+    if use_pallas:
+        _, res = dense_query_pallas(bitmaps, rows, deleted)
+    else:
+        _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
+                             has_not=has_not, has_extra=has_extra)
+    if res.shape[-1] >= _HIER_MIN_WORDS:
+        ids, count = _topn_hierarchical(res, n, descending)
+    else:
+        ids = _topn_direct(res, n, descending)
+        count = popcount_words(res)
+    return count, ids
+
+
+def dense_search_topn(bitmaps, rows, nrows, deleted, extra,
+                      has_not: bool, has_extra: bool,
+                      n: int, descending: bool = True):
+    """Fused dense AND search + top-n id extraction: ONE compiled program,
+    ONE dispatch. The (B, W) result words never round-trip through HBM
+    twice or cross to the host — only (B,) counts and (B, n) ids do.
+
+    This is the serving-path replacement for dense_query_auto +
+    topn_from_bitmap (which cost two dispatches and a full top_k over the
+    doc domain)."""
+    single_device = True
+    try:
+        single_device = len(bitmaps.sharding.device_set) == 1
+    except AttributeError:
+        pass
+    use_pallas = (single_device and not has_not and not has_extra
+                  and runtime.use_pallas()
+                  and bitmaps.shape[1] % PBLOCK == 0)
+    return _dense_search_topn(bitmaps, rows, nrows, deleted, extra,
+                              has_not, has_extra, n, descending, use_pallas)
 
 
 def make_bitmap_from_ids(doc_ids, n_words: int):

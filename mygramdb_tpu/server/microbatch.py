@@ -115,10 +115,10 @@ class MicroBatcher:
             rows[i, :len(r.rows)] = r.rows
         nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
         extra = idx._pack_extra([])
-        count, res = bitmap_ops.dense_query_auto(
+        # fused search + top-n: one program, one dispatch per batch
+        count, ids = bitmap_ops.dense_search_topn(
             idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
-            idx.deleted, extra, has_not=False, has_extra=False)
-        ids = bitmap_ops.topn_from_bitmap(res, limit_b, descending)
+            idx.deleted, extra, False, False, limit_b, descending)
         count_np = np.asarray(count)
         ids_np = np.asarray(ids)
         self.batches_executed += 1
