@@ -93,16 +93,38 @@ def dense_query(bitmaps: jax.Array, rows: jax.Array, nrows: jax.Array,
 
 # ---------------------------------------------------------------------------
 # Fused Pallas dense query: row-gather AND reduce + tombstone mask in one
-# kernel. The bitmap matrix is viewed as (V, W/PBLOCK, 8, 128) so each tile
-# is a TPU-native (8, 128) uint32 block; grid (B, W/PBLOCK, K) with the
-# scalar-prefetched row ids driving the HBM->VMEM index map, and the output
-# tile doubling as the AND accumulator across the K axis. VMEM: 3 tiles.
+# kernel. Each grid step streams one FULL bitmap row as an (8, W/8) uint32
+# tile — long contiguous DMA reads at HBM speed-of-light (small 4KB tiles
+# measured 20x slower, DMA-setup-bound). Grid (B, K) with the scalar-
+# prefetched row ids driving the HBM->VMEM index map; the output tile is
+# the AND accumulator across the K axis. VMEM: 3 row tiles (W*4 bytes each,
+# ~140KB at Wikipedia scale).
 # ---------------------------------------------------------------------------
 
-PBLOCK = 1024  # words per tile: (8, 128) uint32
+PBLOCK = 1024  # minimum W granularity: (8, 128) uint32 base tile
+_MAX_ROW_TILE_WORDS = 131072  # cap VMEM per tile at 512KB; wider W splits
 
 
 def _dense_query_kernel(nsteps: int):
+    def kern(rows_ref, bm_ref, del_ref, out_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[...] = bm_ref[...]
+
+        @pl.when(k > 0)
+        def _():
+            out_ref[...] = jnp.bitwise_and(out_ref[...], bm_ref[...])
+
+        @pl.when(k == nsteps - 1)
+        def _():
+            out_ref[...] = jnp.bitwise_and(
+                out_ref[...], jnp.bitwise_not(del_ref[...]))
+    return kern
+
+
+def _dense_query_kernel_blocked(nsteps: int):
     def kern(rows_ref, bm_ref, del_ref, out_ref):
         k = pl.program_id(2)
 
@@ -129,29 +151,53 @@ def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
     B, K = rows.shape
     V, W = bitmaps.shape
     assert W % PBLOCK == 0, f"W={W} not a multiple of {PBLOCK}"
-    nblk = W // PBLOCK
-    bm4 = bitmaps.reshape(V, nblk, 8, 128)
-    del4 = deleted.reshape(1, nblk, 8, 128)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, nblk, K),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8, 128),
-                         lambda b, w, k, rows_ref: (rows_ref[b, k], w, 0, 0)),
-            pl.BlockSpec((1, 1, 8, 128),
-                         lambda b, w, k, rows_ref: (0, w, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, 8, 128),
-                               lambda b, w, k, rows_ref: (b, w, 0, 0)),
-    )
-    res4 = pl.pallas_call(
-        _dense_query_kernel(K),
-        out_shape=jax.ShapeDtypeStruct((B, nblk, 8, 128), jnp.uint32),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(rows, bm4, del4)
-    res = res4.reshape(B, W)
+    if W <= _MAX_ROW_TILE_WORDS:
+        # one full row per tile: (8, W/8) — W/8 is a multiple of 128
+        L = W // 8
+        bm3 = bitmaps.reshape(V, 8, L)
+        del3 = deleted.reshape(1, 8, L)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, K),
+            in_specs=[
+                pl.BlockSpec((1, 8, L),
+                             lambda b, k, rows_ref: (rows_ref[b, k], 0, 0)),
+                pl.BlockSpec((1, 8, L), lambda b, k, rows_ref: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, L),
+                                   lambda b, k, rows_ref: (b, 0, 0)),
+        )
+        res = pl.pallas_call(
+            _dense_query_kernel(K),
+            out_shape=jax.ShapeDtypeStruct((B, 8, L), jnp.uint32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(rows, bm3, del3).reshape(B, W)
+    else:
+        # very wide corpora: split rows into VMEM-sized chunks
+        nblk = W // _MAX_ROW_TILE_WORDS
+        L = _MAX_ROW_TILE_WORDS // 8
+        bm4 = bitmaps.reshape(V, nblk, 8, L)
+        del4 = deleted.reshape(1, nblk, 8, L)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nblk, K),
+            in_specs=[
+                pl.BlockSpec((1, 1, 8, L),
+                             lambda b, w, k, rows_ref:
+                             (rows_ref[b, k], w, 0, 0)),
+                pl.BlockSpec((1, 1, 8, L),
+                             lambda b, w, k, rows_ref: (0, w, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, 8, L),
+                                   lambda b, w, k, rows_ref: (b, w, 0, 0)),
+        )
+        res = pl.pallas_call(
+            _dense_query_kernel_blocked(K),
+            out_shape=jax.ShapeDtypeStruct((B, nblk, 8, L), jnp.uint32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(rows, bm4, del4).reshape(B, W)
     count = jnp.sum(jnp.bitwise_count(res).astype(jnp.int32), axis=-1)
     return count, res
 
@@ -280,55 +326,62 @@ def _topn_direct(words: jax.Array, n: int, descending: bool) -> jax.Array:
     return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
 
 
+def _select_first_k(flags_dir: jax.Array, k: int):
+    """Positions (direction-order) of the first k set flags per row,
+    sort-free AND gather-free: inclusive cumsum, then each target rank's
+    position falls out of a broadcast-compare reduction
+    (pos_j = #positions with csum < j+1 — searchsorted-left, computed as a
+    fused (B, k, L) compare+sum on the VPU; binary-search gathers and
+    top_k sorts both measured several ms at Wikipedia-scale L).
+    flags_dir: (B, L) int32 0/1 in DIRECTION order.
+    -> (pos (B, k) int32, valid (B, k) bool).
+    """
+    L = flags_dir.shape[-1]
+    csum = jnp.cumsum(flags_dir, axis=-1)  # non-decreasing
+    targets = jnp.arange(1, k + 1, dtype=csum.dtype)
+    pos = jnp.sum((csum[:, None, :] < targets[None, :, None])
+                  .astype(jnp.int32), axis=-1)
+    valid = pos < L
+    return jnp.where(valid, pos, 0).astype(jnp.int32), valid
+
+
 @functools.partial(jax.jit, static_argnames=("n", "descending"))
 def _topn_hierarchical(words: jax.Array, n: int,
                        descending: bool) -> jax.Array:
-    """Two-stage top-n set-bit extraction for large corpora, at WORD
-    granularity.
+    """Two-stage sort-free top-n set-bit extraction for large corpora.
 
-    Stage 1: per-word popcounts + a directional prefix-rank cumsum select
-    the <= n words that can contain top-n bits (a word qualifies iff the
-    set bits ranked before it number < n and it is non-empty). Stage 2
-    expands only those words, so the final top_k runs over n*32 candidates
-    instead of the full n_docs domain (at 100k docs / n=128 that is 4k vs
-    131k keys — the top_k is the dominant device cost of a batch).
+    Stage 1 selects the first <= n non-empty WORDS in direction order
+    (cumsum + binary search — no top_k: at Wikipedia scale W is ~35k words
+    and a top_k sort over it dominated the whole batch). Stage 2 expands
+    only those words' bits (n*32 candidates) and compacts the first n set
+    bits the same way. Everything is memory-bound cumsum/gather work.
     """
     B, W = words.shape
     pc = jnp.bitwise_count(words).astype(jnp.int32)  # (B, W), 0..32
-    if descending:
-        suffix = jnp.cumsum(pc[:, ::-1], axis=-1)[:, ::-1]
-        rank_before = suffix - pc
-    else:
-        rank_before = jnp.cumsum(pc, axis=-1) - pc
     count = jnp.sum(pc, axis=-1)
-    eligible = jnp.logical_and(rank_before < n, pc > 0)
-    wid = jnp.arange(W, dtype=jnp.int32)[None, :]
     m = min(n, W)
+    occ_dir = (pc > 0).astype(jnp.int32)
     if descending:
-        key = jnp.where(eligible, wid, -1)
-        sel, _ = jax.lax.top_k(key, m)          # word ids, -1 padded
-        sel_valid = sel >= 0
-        sel_ids = jnp.maximum(sel, 0)
-    else:
-        key = jnp.where(eligible, W - 1 - wid, -1)
-        enc, _ = jax.lax.top_k(key, m)
-        sel_valid = enc >= 0
-        sel_ids = jnp.where(sel_valid, W - 1 - enc, 0)
-    # gather selected words and expand: (B, m, 32)
+        occ_dir = occ_dir[:, ::-1]
+    pos, valid = _select_first_k(occ_dir, m)       # direction-order pos
+    wid = (W - 1 - pos) if descending else pos     # original word index
+    sel_ids = jnp.where(valid, wid, 0)
     sel_words = jnp.take_along_axis(words, sel_ids, axis=1)
-    bits = expand_bits(sel_words[..., None])
-    local = jnp.arange(32, dtype=jnp.int32)[None, None, :]
-    docids = sel_ids[:, :, None] * 32 + local
-    ok = jnp.logical_and(bits, sel_valid[:, :, None])
-    flat_ok = ok.reshape(B, -1)
-    flat_ids = docids.reshape(B, -1)
+    sel_words = jnp.where(valid, sel_words, jnp.uint32(0))
+
+    # stage 2: bits of selected words, flattened in direction order
+    bits = expand_bits(sel_words[..., None])       # (B, m, 32) bit i = doc*32+i
+    local = jnp.arange(32, dtype=jnp.int32)
     if descending:
-        keys2 = jnp.where(flat_ok, flat_ids, -1)
-        vals, _ = jax.lax.top_k(keys2, n)
-        return jnp.where(vals >= 0, vals, -1), count
-    keys2 = jnp.where(flat_ok, -flat_ids, jnp.int32(-(2 ** 31) + 1))
-    vals, _ = jax.lax.top_k(keys2, n)
-    return jnp.where(vals > -(2 ** 31) + 1, -vals, -1), count
+        bits = bits[:, :, ::-1]
+        docids = sel_ids[:, :, None] * 32 + (31 - local)[None, None, :]
+    else:
+        docids = sel_ids[:, :, None] * 32 + local[None, None, :]
+    flat_bits = bits.reshape(B, m * 32).astype(jnp.int32)
+    flat_ids = docids.reshape(B, m * 32)
+    pos2, valid2 = _select_first_k(flat_bits, n)
+    out = jnp.take_along_axis(flat_ids, pos2, axis=1)
+    return jnp.where(valid2, out, -1), count
 
 
 def topn_from_bitmap(words: jax.Array, n: int,
