@@ -1,0 +1,268 @@
+"""Wikipedia-scale benchmark + sampled cross-verify harness.
+
+Mirrors the reference's 1.1M-doc EN+JA methodology (README.md:19-32,
+support/seed/benchmark.py) with the zero-egress synthetic corpus
+(mygramdb_tpu.utils.corpusgen): builds the full index, reports build rate
+and memory, measures batched QPS / latency for the headline workloads
+(EN multi-term AND, JA CJK terms, COUNT, sparse rare-term), and
+brute-force-verifies index results against a random document sample
+(the scaled analog of tests/test_cross_verify.py and the reference's
+e2e/tests/search/test_cross_verify.py).
+
+Usage:
+    python e2e/scale_bench.py --docs 1100000 --out BENCH_1M.json
+    python e2e/scale_bench.py --docs 100000          # quick validation
+
+Prints ONE JSON line on stdout. TPU-resident; kill any other TPU process
+first (single-tenant device).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_QPS = 11766.0  # reference concurrent throughput at 1.1M docs
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_100_000)
+    ap.add_argument("--ja-ratio", type=float, default=0.45)
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--threads", type=int, default=16)
+    ap.add_argument("--sample", type=int, default=2000,
+                    help="docs in the brute-force parity sample")
+    ap.add_argument("--queries", type=int, default=120,
+                    help="parity queries")
+    ap.add_argument("--out", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mygramdb_tpu.index.builder import IndexBuilder
+    from mygramdb_tpu.index.device_index import DeviceIndex, SearchOptions
+    from mygramdb_tpu.ops import bitmap_ops
+    from mygramdb_tpu.utils import textproc
+    from mygramdb_tpu.utils.corpusgen import CorpusGenerator
+
+    rng = np.random.default_rng(args.seed + 7)
+    gen = CorpusGenerator(args.docs, ja_ratio=args.ja_ratio, seed=args.seed)
+
+    # ---------------- build ----------------
+    sample_ids = set(
+        rng.choice(np.arange(1, args.docs + 1), size=min(args.sample,
+                                                         args.docs),
+                   replace=False).tolist())
+    sample_grams = {}  # doc id -> frozenset of grams (for brute force)
+
+    def norm(t):
+        return textproc.normalize_text(t, True, "keep", True)
+
+    b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
+                     cross_boundary_ngrams=True)
+    t0 = time.time()
+    n_done = 0
+    for batch in gen.batches(10_000):
+        for did, text in batch:
+            nt = norm(text)
+            b.add_document(did, nt)
+            if did in sample_ids:
+                sample_grams[did] = frozenset(b.shred(nt))
+        n_done += len(batch)
+        if n_done % 100_000 == 0:
+            rate = n_done / (time.time() - t0)
+            print(f"# built {n_done}/{args.docs} ({rate:.0f} docs/s)",
+                  file=sys.stderr)
+    built = b.finalize()
+    build_secs = time.time() - t0
+    host_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+    t0 = time.time()
+    idx = DeviceIndex(built, dense_df_ratio=0.005, max_dense_terms=8192)
+    upload_secs = time.time() - t0
+    mem = idx.memory_usage()
+
+    # ---------------- query workloads ----------------
+    def grams_of(term):
+        return textproc.generate_query_ngrams(norm(term), 2, 1, True)
+
+    def rows_for(grams, k=8):
+        rows, sparse = [], []
+        for g in grams:
+            tid = built.term_dict.get(g)
+            if tid is None:
+                return None, None
+            r = int(idx.dense_row[tid])
+            if r >= 0:
+                rows.append(r)
+            else:
+                sparse.append(tid)
+        rows = rows[:k]
+        while len(rows) < k:
+            rows.append(idx.ones_row)
+        return rows, sparse
+
+    def batched_dense_qps(term_lists, label):
+        """One (B, K) fused dispatch per batch from a worker pool."""
+        B, K = args.batch, 8
+        q = []
+        for terms in term_lists:
+            g = []
+            for t in terms:
+                g.extend(grams_of(t))
+            rows, sparse = rows_for(sorted(set(g)), K)
+            if rows is None or sparse:
+                continue
+            q.append(rows)
+            if len(q) == B:
+                break
+        while len(q) < B:
+            q.append(q[len(q) % max(len(q), 1)])
+        rows = jnp.asarray(np.asarray(q, dtype=np.int32))
+        nrows = jnp.asarray(np.full((B, 1), idx.zeros_row, dtype=np.int32))
+        extra = idx._pack_extra([])
+
+        def step(_):
+            c, i = bitmap_ops.dense_search_topn(
+                idx.bitmaps, rows, nrows, idx.deleted, extra,
+                False, False, 128, True)
+            return np.asarray(c), np.asarray(i)
+
+        step(0); step(0)  # compile + warm
+        lat = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            step(0)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        ex = ThreadPoolExecutor(args.threads)
+        list(ex.map(step, range(args.threads)))
+        nb = args.threads * 6
+        t0 = time.perf_counter()
+        list(ex.map(step, range(nb)))
+        wall = time.perf_counter() - t0
+        ex.shutdown(wait=False)
+        return {"qps": round(nb * B / wall, 1),
+                "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
+                "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1)}
+
+    en_terms = [[w] for w in gen.sample_en_terms(args.batch * 2)]
+    en_and = [[a, b2] for a, b2 in zip(gen.sample_en_terms(args.batch * 2),
+                                       gen.sample_en_terms(args.batch * 2,
+                                       rng=np.random.default_rng(3)))]
+    ja_terms = [[t] for t in gen.sample_ja_terms(args.batch * 2)]
+
+    res_en = batched_dense_qps(en_terms, "en_single")
+    res_en_and = batched_dense_qps(en_and, "en_multi_and")
+    res_ja = batched_dense_qps(ja_terms, "ja_cjk")
+
+    # COUNT latency (single dispatch, count-only kernel)
+    g = grams_of(gen.sample_en_terms(1)[0])
+    tids = [built.term_dict.get(x) for x in g]
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        total, _ = idx.search_and(tids, opts=SearchOptions(count_only=True))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    count_p50_ms = round(lat[len(lat) // 2] * 1000, 2)
+
+    # sparse rare-term path (driver = rare term)
+    rare = gen.sample_en_terms(20, rng=np.random.default_rng(11),
+                               rank_range=(50_000, 120_000))
+    sp_lat = []
+    for t in rare:
+        g = grams_of(t)
+        tids = [built.term_dict.get(x) for x in g]
+        if any(t_ is None for t_ in tids):
+            continue
+        t0 = time.perf_counter()
+        idx.search_and(tids, opts=SearchOptions(limit=100))
+        sp_lat.append(time.perf_counter() - t0)
+    sp_lat.sort()
+    sparse_p50_ms = round(sp_lat[len(sp_lat) // 2] * 1000, 2) if sp_lat else -1
+
+    # ---------------- sampled brute-force parity ----------------
+    parity_fail = 0
+    parity_n = 0
+    sample_arr = np.asarray(sorted(sample_grams), dtype=np.int64)
+    q_terms = (gen.sample_en_terms(args.queries // 3)
+               + [" ".join(p) for p in zip(
+                   gen.sample_en_terms(args.queries // 6),
+                   gen.sample_en_terms(args.queries // 6,
+                                       rng=np.random.default_rng(5)))]
+               + gen.sample_ja_terms(args.queries // 3)
+               + gen.sample_ja_terms(args.queries // 6, term_len=1))
+    for qt in q_terms:
+        grams = set()
+        for w in qt.split():
+            grams.update(grams_of(w))
+        if not grams:
+            continue
+        tids = [built.term_dict.get(g_) for g_ in sorted(grams)]
+        if any(t_ is None for t_ in tids):
+            expected = {d for d, gs in sample_grams.items()
+                        if grams <= gs}
+            if expected:
+                parity_fail += 1
+            parity_n += 1
+            continue
+        total, ids = idx.search_and(tids, opts=SearchOptions(limit=0))
+        got = set(np.intersect1d(ids, sample_arr).tolist())
+        expected = {d for d, gs in sample_grams.items() if grams <= gs}
+        parity_n += 1
+        if got != expected:
+            parity_fail += 1
+            if parity_fail <= 3:
+                print(f"# PARITY FAIL {qt!r}: extra={sorted(got - expected)[:5]}"
+                      f" missing={sorted(expected - got)[:5]}",
+                      file=sys.stderr)
+
+    out = {
+        "metric": "scale_bench_qps",
+        "value": res_ja["qps"],
+        "unit": "qps",
+        "vs_baseline": round(res_ja["qps"] / BASELINE_QPS, 3),
+        "detail": {
+            "n_docs": args.docs,
+            "ja_ratio": args.ja_ratio,
+            "n_terms": built.n_terms,
+            "n_dense_terms": idx.n_dense,
+            "postings": int(built.postings.size),
+            "build_secs": round(build_secs, 1),
+            "build_docs_per_sec": round(args.docs / build_secs, 1),
+            "upload_secs": round(upload_secs, 1),
+            "index_device_bytes": mem,
+            "index_mb_per_1m_docs": round(mem / 1e6 / args.docs * 1e6, 1),
+            "host_rss_mb": round(host_rss_mb, 1),
+            "en_single": res_en,
+            "en_multi_and": res_en_and,
+            "ja_cjk": res_ja,
+            "count_p50_ms": count_p50_ms,
+            "sparse_rare_p50_ms": sparse_p50_ms,
+            "parity_queries": parity_n,
+            "parity_failures": parity_fail,
+            "backend": jax.default_backend(),
+        },
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+    return 1 if parity_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
