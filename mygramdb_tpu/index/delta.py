@@ -108,16 +108,19 @@ class MutableIndex:
             built = IndexBuilder(ngram_size, kanji_ngram_size,
                                  cross_boundary_ngrams).finalize()
         self._lock = threading.RLock()
+        self._optimize_lock = threading.Lock()  # serializes optimize() calls
         self._install(built)
         self.delta = DeltaSegment()
+        # delta being compacted by an in-flight optimize(): consulted
+        # read-only by queries, never mutated (overrides/tombstones shadow it)
+        self.frozen_delta: Optional[DeltaSegment] = None
+        self.frozen_overrides: Set[int] = set()  # frozen docs re-added live
         self.tombstones: Set[int] = set()  # all deleted doc ids (authoritative)
         self._n_docs = built.n_docs
         self.version = 0  # bumped on every mutation (optimize concurrency)
 
-    def _install(self, built: BuiltIndex) -> None:
-        self.built = built
-        self.term_dict = built.term_dict
-        self.device = DeviceIndex(
+    def _build_device(self, built: BuiltIndex) -> DeviceIndex:
+        device = DeviceIndex(
             built, dense_df_ratio=self._dense_df_ratio,
             max_dense_terms=self._max_dense_terms,
             candidate_buckets=self._candidate_buckets,
@@ -125,8 +128,15 @@ class MutableIndex:
         if self._microbatch is not None:
             from ..server.microbatch import MicroBatcher
             max_batch, window_us = self._microbatch
-            self.device.batcher = MicroBatcher(self.device, max_batch,
-                                               window_us)
+            device.batcher = MicroBatcher(device, max_batch, window_us)
+        return device
+
+    def _install(self, built: BuiltIndex,
+                 device: Optional[DeviceIndex] = None) -> None:
+        self.built = built
+        self.term_dict = built.term_dict
+        self.device = device if device is not None \
+            else self._build_device(built)
         self._device_v = built.n_terms
         self._device_doc_max = built.max_doc_id
 
@@ -161,6 +171,9 @@ class MutableIndex:
             grams = set(self.shred(normalized_text))
             tids = {self.term_dict.get_or_add(g) for g in grams}
             self.delta.add(doc_id, tids)
+            if self.frozen_delta is not None and \
+                    doc_id in self.frozen_delta.doc_terms:
+                self.frozen_overrides.add(doc_id)
             self.tombstones.discard(doc_id)
             if not existed:
                 self._n_docs += 1
@@ -180,13 +193,17 @@ class MutableIndex:
 
     def _remove_locked(self, doc_id: int) -> bool:
         in_delta = self.delta.remove(doc_id)
+        in_frozen = (self.frozen_delta is not None
+                     and doc_id in self.frozen_delta.doc_terms
+                     and doc_id not in self.frozen_overrides
+                     and doc_id not in self.tombstones)
         on_device = (doc_id <= self._device_doc_max
                      and doc_id not in self.tombstones)
         if on_device:
             self.device.mark_deleted([doc_id])
         if in_delta and doc_id <= self._device_doc_max:
             return True
-        return in_delta or on_device
+        return in_delta or on_device or in_frozen
 
     def clear(self) -> None:
         with self._lock:
@@ -194,6 +211,8 @@ class MutableIndex:
                                    self.cross_boundary)
             self._install(builder.finalize())
             self.delta = DeltaSegment()
+            self.frozen_delta = None
+            self.frozen_overrides = set()
             self.tombstones = set()
             self._n_docs = 0
             self.version += 1
@@ -240,15 +259,25 @@ class MutableIndex:
         return self._merge(total_dev, ids_dev, delta_ids, limit, descending)
 
     def _delta_and(self, tids, not_tids) -> np.ndarray:
+        """AND over the live delta plus (if an optimize is in flight) the
+        frozen delta, with live overrides/tombstones shadowing frozen docs.
+        Caller holds self._lock."""
         docs = self.delta.docs_with_all(tids)
+        if self.frozen_delta is not None:
+            fdocs = self.frozen_delta.docs_with_all(tids)
+            if fdocs:
+                fdocs = fdocs - self.frozen_overrides - self.tombstones
+                docs = docs | fdocs
         if not docs:
             return np.empty(0, dtype=np.int32)
         if not_tids:
             bad = self.delta.docs_with_any(not_tids)
+            if self.frozen_delta is not None:
+                bad = bad | (self.frozen_delta.docs_with_any(not_tids)
+                             - self.frozen_overrides)
             docs = docs - bad
-            # device postings of NOT terms also exclude delta docs that are
-            # device-resident re-adds? delta docs' term sets are complete, so
-            # delta membership alone decides.
+            # delta docs' term sets are complete, so delta membership alone
+            # decides NOT exclusion for delta-resident docs.
         return np.asarray(sorted(docs), dtype=np.int32)
 
     def _merge(self, total_dev: int, ids_dev: np.ndarray,
@@ -272,6 +301,10 @@ class MutableIndex:
             device = self.device
             device_v = self._device_v
             delta_docs = self.delta.docs_with_any(tids)
+            if self.frozen_delta is not None:
+                delta_docs = delta_docs | (
+                    self.frozen_delta.docs_with_any(tids)
+                    - self.frozen_overrides - self.tombstones)
         dev = device.search_or([t for t in tids if t < device_v])
         if self.tombstones:
             dev = dev[~np.isin(dev, np.asarray(list(self.tombstones)))] \
@@ -299,6 +332,13 @@ class MutableIndex:
             device = self.device
             device_v = self._device_v
             counts = self.delta.count_terms_per_doc(tids)
+            if self.frozen_delta is not None:
+                live = self.delta.doc_terms
+                for d, c in self.frozen_delta.count_terms_per_doc(
+                        tids).items():
+                    if d not in self.frozen_overrides and \
+                            d not in self.tombstones and d not in live:
+                        counts[d] = c
         dev_tids = [t for t in tids if t < device_v]
         dev = (device.search_by_threshold(dev_tids, min_count, max_out)
                if dev_tids else np.empty(0, dtype=np.int32))
@@ -321,8 +361,10 @@ class MutableIndex:
         # also: device-resident docs that were updated live in delta
         out_parts = []
         if dev_part.size:
+            frozen = self.frozen_delta
             updated = np.asarray(
-                [d for d in dev_part if d in self.delta.doc_terms],
+                [d for d in dev_part if d in self.delta.doc_terms
+                 or (frozen is not None and d in frozen.doc_terms)],
                 dtype=np.int32)
             pure_dev = dev_part[~np.isin(dev_part, updated)] \
                 if updated.size else dev_part
@@ -339,38 +381,64 @@ class MutableIndex:
 
     def _delta_probe(self, ids: np.ndarray, tids) -> np.ndarray:
         tid_set = set(tids)
-        keep = [d for d in ids.tolist()
-                if tid_set <= self.delta.doc_terms.get(int(d), set())]
+        frozen = self.frozen_delta
+        keep = []
+        for d in ids.tolist():
+            d = int(d)
+            ts = self.delta.doc_terms.get(d)
+            if ts is None and frozen is not None and \
+                    d not in self.frozen_overrides and \
+                    d not in self.tombstones:
+                ts = frozen.doc_terms.get(d)
+            if ts is not None and tid_set <= ts:
+                keep.append(d)
         return np.asarray(keep, dtype=np.int32)
 
     # ------------------------------------------------------------------
     # Maintenance
     # ------------------------------------------------------------------
     def optimize(self) -> None:
-        """Compact delta + tombstones into a fresh device segment
-        (reference Index::Optimize, index_optimization.cpp)."""
-        with self._lock:
-            built = self.built
-            V = len(self.term_dict)
-            # existing pairs minus tombstones (built.lengths is the CSR width
-            # at segment-build time; the term dict may have grown since)
+        """Compact delta + tombstones into a fresh device segment WITHOUT
+        stalling queries (reference Index::OptimizeInBatches clone/convert/
+        validate pattern, index_optimization.cpp:36-80).
+
+        The expensive work — full lexsort merge, host bitmap build, HBM
+        upload — runs OUTSIDE the index lock against a frozen snapshot of
+        the delta. Queries keep flowing throughout: they consult the
+        frozen delta read-only (overrides/tombstones shadow it), while new
+        writes land in a fresh live delta. The swap at the end re-acquires
+        the lock briefly and re-marks device tombstones for docs mutated
+        during the build (the standing immutable-segment invariant)."""
+        with self._optimize_lock:
+            # --- snapshot (brief lock) ---
+            with self._lock:
+                built = self.built
+                V = len(self.term_dict)
+                frozen = self.delta
+                self.frozen_delta = frozen
+                self.frozen_overrides = set()
+                self.delta = DeltaSegment()
+                tombs_at_snap = set(self.tombstones)
+                n_docs_snap = self._n_docs
+                device_doc_max = self._device_doc_max
+
+            # --- build (NO lock held; queries keep flowing) ---
             tids_rep = np.repeat(
                 np.arange(built.lengths.shape[0], dtype=np.int64),
                 built.lengths)
             docs = built.postings.astype(np.int64)
-            if self.tombstones or self.delta.doc_terms:
-                dead = set(self.tombstones)
-                dead.update(self.delta.doc_terms.keys() &
-                            set(range(1, self._device_doc_max + 1)))
-                if dead:
-                    dead_arr = np.asarray(sorted(dead), dtype=np.int64)
-                    keep = ~np.isin(docs, dead_arr)
-                    tids_rep = tids_rep[keep]
-                    docs = docs[keep]
-            # delta pairs
+            dead = set(tombs_at_snap)
+            dead.update(d for d in frozen.doc_terms if d <= device_doc_max)
+            if dead:
+                dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+                keep = ~np.isin(docs, dead_arr)
+                tids_rep = tids_rep[keep]
+                docs = docs[keep]
             extra_t: List[int] = []
             extra_d: List[int] = []
-            for d, ts in self.delta.doc_terms.items():
+            for d, ts in frozen.doc_terms.items():
+                if d in tombs_at_snap:
+                    continue
                 extra_t.extend(ts)
                 extra_d.extend([d] * len(ts))
             if extra_t:
@@ -386,13 +454,36 @@ class MutableIndex:
             np.cumsum(lengths[:-1], out=offsets[1:])
             max_doc = int(docs.max()) if docs.size else 0
             new_built = BuiltIndex(self.term_dict, offsets, lengths,
-                                   docs.astype(np.int32), max_doc, self._n_docs)
-            self._install(new_built)
-            self.delta = DeltaSegment()
-            self.tombstones = set()
-            self.version += 1
+                                   docs.astype(np.int32), max_doc,
+                                   n_docs_snap)
+            new_device = self._build_device(new_built)
+
+            # --- swap (brief lock) + fixup for concurrent mutations ---
+            with self._lock:
+                self._install(new_built, new_device)
+                self.frozen_delta = None
+                self.frozen_overrides = set()
+                # pre-snapshot tombstones were baked out of the segment
+                self.tombstones -= tombs_at_snap
+                # docs mutated DURING the build: deletes since the snapshot
+                # plus re-added docs now living in the live delta must be
+                # tombstoned on the new device segment
+                fix = {d for d in self.tombstones if d <= max_doc}
+                fix |= {d for d in self.delta.doc_terms if d <= max_doc}
+                if fix:
+                    self.device.mark_deleted(sorted(fix))
+                # self._n_docs stays live-maintained by add/remove
+                self.version += 1
 
     # ------------------------------------------------------------------
+    def dirty_doc_ids(self):
+        """Doc ids whose text may differ from the compacted device copies
+        (live delta plus any delta frozen by an in-flight optimize) — the
+        device text-verify/BM25 kernels must re-check these host-side."""
+        if self.frozen_delta is None:
+            return self.delta.doc_terms.keys()
+        return self.delta.doc_terms.keys() | self.frozen_delta.doc_terms.keys()
+
     @property
     def n_docs(self) -> int:
         return self._n_docs
@@ -407,7 +498,10 @@ class MutableIndex:
         if t is None:
             return 0
         base = int(self.built.lengths[t]) if t < self._device_v else 0
-        return base + len(self.delta.term_docs.get(t, ()))
+        n = base + len(self.delta.term_docs.get(t, ()))
+        if self.frozen_delta is not None:
+            n += len(self.frozen_delta.term_docs.get(t, ()))
+        return n
 
     def memory_usage(self) -> int:
         dev = self.device.memory_usage()

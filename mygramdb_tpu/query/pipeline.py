@@ -406,7 +406,7 @@ class SearchPipeline:
                           needles: Sequence[str]) -> np.ndarray:
         dev_text = getattr(self.ctx, "device_text", None)
         if dev_text is not None and ids.size >= 256:
-            dirty = self.ctx.index.delta.doc_terms.keys()
+            dirty = self.ctx.index.dirty_doc_ids()
             mask = dev_text.verify(ids, list(needles),
                                    self.ctx.doc_store.texts_batch,
                                    dirty=dirty)
@@ -683,10 +683,27 @@ class SearchPipeline:
                 dfs.append(0)
         norm_terms = [ti.normalized for ti in terms]
         dev_text = getattr(self.ctx, "device_text", None)
+        # fused device score+top-k: only limit+offset (id, score) pairs
+        # cross to the host (SORT _score DESC with a LIMIT — the headline
+        # CJK BM25 workload)
+        if dev_text is not None and all_ids.size >= 512 and \
+                query.limit > 0 and ob.order == SortOrder.DESC:
+            idf = np.asarray(
+                [BM25Scorer.compute_idf(self.ctx.bm25.doc_count, df)
+                 for df in dfs], dtype=np.float64)
+            fused = dev_text.score_topk(
+                all_ids, norm_terms, idf, self.ctx.bm25.avg_doc_length,
+                self.cfg.bm25.k1, self.cfg.bm25.b,
+                query.limit + query.offset, self.ctx.doc_store.texts_batch,
+                dirty=self.ctx.index.dirty_doc_ids())
+            if fused is not None:
+                ids_top, scores_top = fused
+                page = ids_top[query.offset:]
+                return page.astype(np.int32), scores_top[query.offset:]
         if dev_text is not None and all_ids.size >= 512:
             tf, dl = dev_text.count_tf(
                 all_ids, norm_terms, self.ctx.doc_store.texts_batch,
-                dirty=self.ctx.index.delta.doc_terms.keys())
+                dirty=self.ctx.index.dirty_doc_ids())
             scores = BM25Scorer.score_from_tf(
                 tf, dl, dfs, self.ctx.bm25.doc_count,
                 self.ctx.bm25.avg_doc_length,
