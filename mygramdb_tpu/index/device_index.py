@@ -100,6 +100,38 @@ def _sparse_query(postings, bitmaps, deleted, extra, d_off, d_len,
     return count, ids, mask, cands
 
 
+@functools.partial(jax.jit, static_argnames=("C", "Cmax", "limit_b",
+                                             "descending", "n_words"))
+def _sparse_query_batch(postings, bitmaps, deleted, d_off, d_len,
+                        sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                        *, C: int, Cmax: int, limit_b: int, descending: bool,
+                        n_words: int):
+    """Batched sparse candidate-probe query: one dispatch for B concurrent
+    queries sharing a shape bucket (the sparse-path analog of the dense
+    micro-batch). d_off/d_len: (B,); sp_*: (B, Ks); dn_*: (B, Kd).
+    Returns (counts (B,), ids (B, limit_b)). No extra filter bitmaps —
+    filtered queries take the unbatched path."""
+    from ..ops.bitmap_ops import bit_member
+    from ..ops.posting_ops import bitmap_membership, mask_to_topn
+
+    def one(doff, dlen, soff, slen, sinv, drows, dinv):
+        cands = gather_slices(postings, doff[None], dlen[None], C)[0]
+        cmask = cands != SENTINEL
+        clip = jnp.clip(cands, 0, n_words * 32 - 1)
+        sp = gather_slices(postings, soff, slen, Cmax)
+        spm = jnp.logical_xor(membership_sorted(sp, cands), sinv[:, None])
+        dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
+                              dinv[:, None])
+        alive = jnp.logical_not(bit_member(deleted, clip))
+        mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0) & alive)
+        count = jnp.sum(mask.astype(jnp.int32))
+        _, ids = mask_to_topn(cands, mask, limit_b, descending)
+        return count, ids
+
+    return jax.vmap(one)(d_off, d_len, sp_off, sp_len, sp_inv,
+                         dn_rows, dn_inv)
+
+
 @dataclass
 class SearchOptions:
     limit: int = 0            # 0 = count/materialize all
@@ -383,6 +415,26 @@ class DeviceIndex:
 
         limit_b = (min(_bucket_of(opts.limit, _LIMIT_BUCKETS), C)
                    if opts.limit > 0 else 0)
+
+        # micro-batched sparse path: share one vmapped dispatch with
+        # concurrent queries in the same shape bucket (no extra filter
+        # bitmaps, no full materialization)
+        if (self.batcher is not None and not extra_words
+                and (opts.limit > 0 or opts.count_only)):
+            lb = limit_b if limit_b > 0 else min(_LIMIT_BUCKETS[0], C)
+            total, ids = self.batcher.submit_sparse(
+                int(self.offsets32[driver]), dlen, sp_off, sp_len, sp_inv,
+                dn_rows, dn_inv, C, Cmax, lb, opts.descending)
+            if opts.count_only:
+                return total, np.empty(0, dtype=np.int32)
+            if total > lb and opts.limit > lb:
+                # rare: requested page exceeds the batched bucket; fall
+                # through to the unbatched exact path
+                pass
+            else:
+                ids = ids[ids >= 0][:opts.limit]
+                return total, ids.astype(np.int32)
+
         fn = self._get_sparse_kernel(C, Cmax, Ks, Kd, max(F, 1), limit_b,
                                      opts.descending)
         count, ids, mask, cands = fn(

@@ -1,14 +1,22 @@
 """Query micro-batching: one device dispatch for many connections.
 
 The keystone of the TPU serving design (SURVEY.md §7, BASELINE north star):
-instead of the reference's thread-per-request model, concurrent PK-sorted
-dense SEARCH queries are collected for up to ``window_us`` (or until
-``max_batch``) and executed as ONE fused (B, K) dense_query + top-k
-dispatch, amortizing host<->device latency across every query in the batch.
+instead of the reference's thread-per-request model, concurrent queries are
+collected for up to ``window_us`` (or until ``max_batch``) and executed as
+ONE fused device dispatch, amortizing host<->device latency across every
+query in the batch.
 
-Requests are grouped per (limit bucket, descending) program; rows are
-padded with the AND-identity sentinel row. Callers block on a per-request
-future (they already run on the server's worker pool).
+Two program families are batched:
+
+- **dense**: PK-sorted dense AND SEARCH -> fused (B, K) dense_search_topn.
+  Grouped per (limit bucket, direction).
+- **sparse**: candidate-probe queries (rarest sparse term drives) ->
+  vmapped _sparse_query_batch. Grouped per (C, Cmax, Ks, Kd, limit bucket,
+  direction) shape bucket so jit compiles a bounded set of variants.
+
+Requests are padded with the AND-identity sentinel row / zero-length probe
+slices. Callers block on a per-request event (they already run on the
+server's worker pool).
 """
 
 from __future__ import annotations
@@ -29,6 +37,8 @@ class _Request:
     total: int = 0
     ids: Optional[np.ndarray] = None
     error: Optional[BaseException] = None
+    # sparse payload (None for dense requests)
+    sparse: Optional[dict] = None
 
 
 class MicroBatcher:
@@ -38,23 +48,14 @@ class MicroBatcher:
         self.max_batch = max(1, max_batch)
         self.window = window_us / 1e6
         self._lock = threading.Lock()
-        self._queues: Dict[Tuple[int, bool], List[_Request]] = {}
-        self._timers: Dict[Tuple[int, bool], threading.Timer] = {}
+        self._queues: Dict[tuple, List[_Request]] = {}
+        self._timers: Dict[tuple, threading.Timer] = {}
         self.batches_executed = 0
         self.queries_batched = 0
+        self.sparse_batches = 0
 
     # ------------------------------------------------------------------
-    def submit(self, dense_rows: List[int], limit_b: int,
-               descending: bool) -> Tuple[int, np.ndarray]:
-        """Blocking submit; returns (total, top ids desc/asc, -1 padded)."""
-        if len(dense_rows) > MAX_K:
-            # dropping rows would drop AND constraints (false positives);
-            # callers must route >MAX_K queries to the unbatched path
-            raise ValueError(
-                f"micro-batch supports at most {MAX_K} dense rows, "
-                f"got {len(dense_rows)}")
-        req = _Request(rows=list(dense_rows))
-        key = (limit_b, descending)
+    def _enqueue(self, key: tuple, req: _Request) -> None:
         flush_now = False
         with self._lock:
             q = self._queues.setdefault(key, [])
@@ -73,10 +74,39 @@ class MicroBatcher:
             raise req.error
         if req.ids is None:
             raise TimeoutError("micro-batch execution timed out")
+
+    def submit(self, dense_rows: List[int], limit_b: int,
+               descending: bool) -> Tuple[int, np.ndarray]:
+        """Blocking submit; returns (total, top ids desc/asc, -1 padded)."""
+        if len(dense_rows) > MAX_K:
+            # dropping rows would drop AND constraints (false positives);
+            # callers must route >MAX_K queries to the unbatched path
+            raise ValueError(
+                f"micro-batch supports at most {MAX_K} dense rows, "
+                f"got {len(dense_rows)}")
+        req = _Request(rows=list(dense_rows))
+        self._enqueue(("dense", limit_b, descending), req)
+        return req.total, req.ids
+
+    def submit_sparse(self, d_off: int, d_len: int,
+                      sp_off: List[int], sp_len: List[int],
+                      sp_inv: List[bool],
+                      dn_rows: List[int], dn_inv: List[bool],
+                      C: int, Cmax: int, limit_b: int,
+                      descending: bool) -> Tuple[int, np.ndarray]:
+        """Blocking submit of a sparse candidate-probe query. Probe arrays
+        must already be padded to their Ks/Kd buckets by the caller."""
+        req = _Request(rows=[], sparse={
+            "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
+            "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
+            "dn_inv": dn_inv})
+        key = ("sparse", C, Cmax, len(sp_off), len(dn_rows),
+               limit_b, descending)
+        self._enqueue(key, req)
         return req.total, req.ids
 
     # ------------------------------------------------------------------
-    def _flush(self, key: Tuple[int, bool]) -> None:
+    def _flush(self, key: tuple) -> None:
         with self._lock:
             q = self._queues.pop(key, [])
             t = self._timers.pop(key, None)
@@ -84,16 +114,25 @@ class MicroBatcher:
                 t.cancel()
         if not q:
             return
-        limit_b, descending = key
         try:
-            self._execute(q, limit_b, descending)
+            if key[0] == "dense":
+                self._execute_dense(q, key[1], key[2])
+            else:
+                self._execute_sparse(q, key)
         except BaseException as e:  # noqa: BLE001 — propagate to waiters
             for r in q:
                 r.error = e
                 r.event.set()
 
-    def _execute(self, q: List[_Request], limit_b: int,
-                 descending: bool) -> None:
+    @staticmethod
+    def _pad_b(B: int) -> int:
+        for b in (8, 16, 32, 64, 128, 256):
+            if B <= b:
+                return b
+        return ((B + 255) // 256) * 256
+
+    def _execute_dense(self, q: List[_Request], limit_b: int,
+                       descending: bool) -> None:
         import jax.numpy as jnp
         from ..ops import bitmap_ops
         idx = self.idx
@@ -102,14 +141,7 @@ class MicroBatcher:
         for r in q:
             K = max(K, len(r.rows))
         K = 8 if K <= 8 else MAX_K
-        # bucket B to bounded shapes
-        B_pad = 1
-        for b in (8, 16, 32, 64, 128, 256):
-            if B <= b:
-                B_pad = b
-                break
-        else:
-            B_pad = ((B + 255) // 256) * 256
+        B_pad = self._pad_b(B)
         rows = np.full((B_pad, K), idx.ones_row, dtype=np.int32)
         for i, r in enumerate(q):
             rows[i, :len(r.rows)] = r.rows
@@ -128,9 +160,50 @@ class MicroBatcher:
             r.ids = ids_np[i]
             r.event.set()
 
+    def _execute_sparse(self, q: List[_Request], key: tuple) -> None:
+        import jax.numpy as jnp
+        from ..index.device_index import _sparse_query_batch
+        idx = self.idx
+        _, C, Cmax, Ks, Kd, limit_b, descending = key
+        B = len(q)
+        B_pad = self._pad_b(B)
+        d_off = np.zeros(B_pad, dtype=np.int32)
+        d_len = np.zeros(B_pad, dtype=np.int32)   # len 0 -> all-SENTINEL
+        sp_off = np.zeros((B_pad, Ks), dtype=np.int32)
+        sp_len = np.zeros((B_pad, Ks), dtype=np.int32)
+        sp_inv = np.ones((B_pad, Ks), dtype=bool)  # len0+invert = all-true
+        dn_rows = np.full((B_pad, Kd), idx.ones_row, dtype=np.int32)
+        dn_inv = np.zeros((B_pad, Kd), dtype=bool)
+        for i, r in enumerate(q):
+            s = r.sparse
+            d_off[i] = s["d_off"]
+            d_len[i] = s["d_len"]
+            sp_off[i] = s["sp_off"]
+            sp_len[i] = s["sp_len"]
+            sp_inv[i] = s["sp_inv"]
+            dn_rows[i] = s["dn_rows"]
+            dn_inv[i] = s["dn_inv"]
+        count, ids = _sparse_query_batch(
+            idx.postings, idx.bitmaps, idx.deleted,
+            jnp.asarray(d_off), jnp.asarray(d_len),
+            jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
+            jnp.asarray(dn_rows), jnp.asarray(dn_inv),
+            C=C, Cmax=Cmax, limit_b=limit_b, descending=descending,
+            n_words=idx.n_words)
+        count_np = np.asarray(count)
+        ids_np = np.asarray(ids)
+        self.batches_executed += 1
+        self.sparse_batches += 1
+        self.queries_batched += B
+        for i, r in enumerate(q):
+            r.total = int(count_np[i])
+            r.ids = ids_np[i]
+            r.event.set()
+
     # ------------------------------------------------------------------
     def stats(self) -> Dict[str, int]:
         return {"batches_executed": self.batches_executed,
                 "queries_batched": self.queries_batched,
+                "sparse_batches": self.sparse_batches,
                 "avg_batch": (self.queries_batched //
                               max(self.batches_executed, 1))}
