@@ -114,6 +114,39 @@ def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
     return jnp.where(alive, tf, 0), jnp.where(cand_ids >= 0, doc_len, 0)
 
 
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "n"))
+def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
+                     lengths: jax.Array, cand_ids: jax.Array,
+                     needles: jax.Array, needle_lens: jax.Array,
+                     idf: jax.Array, k1: jax.Array, b: jax.Array,
+                     avgdl: jax.Array, *, C: int, maxT: int, Nn: int,
+                     n: int):
+    """Fused BM25: TF count -> score -> top-n, ONE dispatch. Only the top
+    n (score, id) pairs cross to the host — replacing the
+    materialize-all-ids + host-sort path for ``SORT _score`` queries
+    (reference bm25_scorer.h:41 + search_handler.cpp:431 semantics: score
+    desc, ties doc-id desc).
+
+    idf: (Nn,) float32 per-needle IDF (0 for padding needles).
+    -> (top_ids (n,) int32 -1 padded, top_scores (n,) float32).
+    """
+    tf, dl = count_occurrences_device(
+        codepoints, offsets, lengths, cand_ids, needles, needle_lens,
+        C=C, maxT=maxT, Nn=Nn)
+    tff = tf.astype(jnp.float32)
+    norm = k1 * (1.0 - b + b * dl.astype(jnp.float32)[:, None] /
+                 jnp.maximum(avgdl, 1e-9))
+    score = jnp.sum(idf[None, :] * tff * (k1 + 1.0) /
+                    jnp.maximum(tff + norm, 1e-9), axis=1)
+    score = jnp.where(cand_ids >= 0, score, -jnp.inf)
+    # two-key sort: score desc, doc id desc
+    neg_score = -score
+    neg_id = -cand_ids
+    _, _, ids_sorted, score_sorted = jax.lax.sort(
+        (neg_score, neg_id, cand_ids, score), num_keys=2)
+    return ids_sorted[:n], score_sorted[:n]
+
+
 def has_self_overlap(term: str) -> bool:
     """True when the term has a proper border (prefix == suffix), i.e. the
     all-positions count can exceed the non-overlapping count."""

@@ -15,8 +15,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.verify_ops import (NEEDLE_CAP, count_occurrences_device,
-                              has_self_overlap, substring_verify_device)
+from ..ops.verify_ops import (NEEDLE_CAP, bm25_topk_device,
+                              count_occurrences_device, has_self_overlap,
+                              substring_verify_device)
 from .. import native
 
 _C_BUCKETS = (2048, 16384)
@@ -172,6 +173,77 @@ class DeviceTextStore:
             tf[device_ok] = d_tf
             dl[device_ok] = d_dl
         return tf, dl
+
+    @staticmethod
+    def _pack_needles(terms: Sequence[str]):
+        Nn = len(terms)
+        ndl = np.zeros((Nn, NEEDLE_CAP), dtype=np.uint32)
+        nlens = np.zeros(Nn, dtype=np.int32)
+        for i, t in enumerate(terms):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            ndl[i, :cp.size] = cp
+            nlens[i] = cp.size
+        return ndl, nlens
+
+    def score_topk(self, cand_ids: np.ndarray, terms: Sequence[str],
+                   idf: np.ndarray, avgdl: float, k1: float, b: float,
+                   n: int, texts_fallback, dirty=frozenset()):
+        """Fused BM25 TF->score->top-n on device: only n (id, score) pairs
+        cross to the host per chunk (the SORT _score path at scale no
+        longer hauls the full candidate TF matrix over PCIe). Overflow /
+        dirty docs and uncountable needles score host-side and merge.
+
+        -> (ids (<=n,) int32 score-desc (ties id-desc), scores float64).
+        Returns None when no device fast path applies (caller falls back).
+        """
+        if cand_ids.size == 0 or not terms:
+            return None
+        if any(len(t) > NEEDLE_CAP or len(t) == 0 or has_self_overlap(t)
+               for t in terms):
+            return None
+        device_ok = np.asarray(
+            [0 < d < self.capacity and d not in self._overflow
+             and d not in dirty for d in cand_ids.tolist()])
+        pairs: List[Tuple[float, int]] = []  # (score, id)
+        host_ids = cand_ids[~device_ok]
+        if host_ids.size:
+            from ..query.bm25 import BM25Scorer
+            h_tf, h_dl = native.count_occurrences(
+                texts_fallback(host_ids.tolist()), list(terms))
+            tff = h_tf.astype(np.float64)
+            norm = k1 * (1.0 - b + b * h_dl.astype(np.float64)[:, None] /
+                         max(avgdl, 1e-9))
+            h_sc = np.sum(idf[None, :] * tff * (k1 + 1.0) /
+                          np.maximum(tff + norm, 1e-9), axis=1)
+            pairs.extend(zip(h_sc.tolist(), host_ids.tolist()))
+        dev_ids = cand_ids[device_ok]
+        if dev_ids.size:
+            ndl, nlens = self._pack_needles(terms)
+            Nn = len(terms)
+            pos = 0
+            while pos < dev_ids.size:
+                chunk = dev_ids[pos:pos + _C_BUCKETS[-1]]
+                C = _bucket(chunk.size, _C_BUCKETS)
+                padded = np.full(C, -1, dtype=np.int32)
+                padded[:chunk.size] = chunk
+                t_ids, t_sc = bm25_topk_device(
+                    self.codepoints, self.offsets, self.lengths,
+                    jnp.asarray(padded), jnp.asarray(ndl),
+                    jnp.asarray(nlens),
+                    jnp.asarray(idf, dtype=jnp.float32),
+                    jnp.float32(k1), jnp.float32(b), jnp.float32(avgdl),
+                    C=C, maxT=self.maxT, Nn=Nn, n=min(n, C))
+                t_ids = np.asarray(t_ids)
+                t_sc = np.asarray(t_sc)
+                keep = t_ids >= 0
+                pairs.extend(zip(t_sc[keep].tolist(),
+                                 t_ids[keep].tolist()))
+                pos += chunk.size
+        pairs.sort(key=lambda p: (-p[0], -p[1]))
+        pairs = pairs[:n]
+        ids = np.asarray([p[1] for p in pairs], dtype=np.int32)
+        scores = np.asarray([p[0] for p in pairs], dtype=np.float64)
+        return ids, scores
 
     def memory_usage(self) -> int:
         return int(self.codepoints.size * 4 + self.offsets.size * 8)

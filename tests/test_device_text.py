@@ -124,3 +124,61 @@ class TestDeviceTF:
                              dirty={1})
         assert tf[0, 0] == 2
         assert dl[0] == len("new new text")
+
+
+class TestScoreTopk:
+    """Fused device BM25 TF->score->top-n vs the host reference scoring."""
+
+    def _host_order(self, ids, texts, terms, dfs, n_docs, avgdl,
+                    k1=1.2, b=0.75):
+        from mygramdb_tpu.query.bm25 import BM25Scorer
+        from mygramdb_tpu.query.sorter import ResultSorter
+        scores = BM25Scorer.score_documents(
+            ids.tolist(), terms, dfs, texts, n_docs, avgdl, k1, b)
+        return ResultSorter.sort_by_score(ids.tolist(), scores.tolist())
+
+    def test_matches_host_scoring_order(self):
+        rng = np.random.default_rng(11)
+        words = ["quick", "brown", "fox", "lazy", "dog", "stump", "antique"]
+        texts = {}
+        for d in range(1, 101):
+            n = int(rng.integers(3, 30))
+            texts[d] = " ".join(rng.choice(words, size=n))
+        st = make_store(texts, capacity=256)
+        ids = np.arange(1, 101, dtype=np.int32)
+        terms = ["quick", "fox"]
+        dfs = [sum(1 for t in texts.values() if "quick" in t),
+               sum(1 for t in texts.values() if "fox" in t)]
+        from mygramdb_tpu.query.bm25 import BM25Scorer
+        avgdl = float(np.mean([len(t) for t in texts.values()]))
+        idf = np.asarray([BM25Scorer.compute_idf(100, df) for df in dfs])
+        out = st.score_topk(ids, terms, idf, avgdl, 1.2, 0.75, 10,
+                            lambda i: [texts.get(x) for x in i])
+        assert out is not None
+        got_ids, got_scores = out
+        exp = self._host_order(ids, [texts[d] for d in ids.tolist()],
+                               terms, dfs, 100, avgdl)[:10]
+        assert got_ids.tolist() == exp
+        assert np.all(np.diff(got_scores) <= 1e-6)  # descending
+
+    def test_dirty_docs_merge_from_host(self):
+        texts = {1: "alpha beta", 2: "alpha alpha alpha", 3: "beta"}
+        st = make_store(texts, capacity=16)
+        ids = np.asarray([1, 2, 3], dtype=np.int32)
+        from mygramdb_tpu.query.bm25 import BM25Scorer
+        idf = np.asarray([BM25Scorer.compute_idf(3, 2)])
+        # doc 2 is dirty: its live text now has NO alp -> must rank last
+        live = {1: "alpha beta", 2: "beta only now", 3: "beta"}
+        out = st.score_topk(ids, ["alp"], idf, 10.0, 1.2, 0.75, 3,
+                            lambda i: [live.get(x) for x in i], dirty={2})
+        got_ids, got_scores = out
+        assert got_ids[0] == 1          # only live alpha doc
+        assert got_scores[-1] == 0.0    # dirty doc rescored host-side to 0
+        assert got_ids.tolist()[0] == 1
+
+    def test_self_overlap_needle_returns_none(self):
+        st = make_store({1: "aaaa"}, capacity=8)
+        ids = np.asarray([1], dtype=np.int32)
+        out = st.score_topk(ids, ["aa"], np.asarray([1.0]), 4.0, 1.2, 0.75,
+                            5, lambda i: ["aaaa"])
+        assert out is None  # caller falls back to exact host path
