@@ -152,8 +152,9 @@ class DeviceIndex:
         self.built = built
         self.candidate_buckets = tuple(candidate_buckets)
         self.mesh = None
-        self._doc_sharding = None
-        self._row_sharding = None
+        self._doc_sharding = None   # (V, W) arrays: P(None, 'docs')
+        self._row_sharding = None   # (W,) arrays:   P('docs')
+        self._repl_sharding = None  # everything else: replicated
         if mesh_shards > 1:
             import jax.sharding as jshard
             devices = jax.devices()[:mesh_shards]
@@ -163,6 +164,8 @@ class DeviceIndex:
                     self.mesh, jshard.PartitionSpec(None, "docs"))
                 self._row_sharding = jshard.NamedSharding(
                     self.mesh, jshard.PartitionSpec("docs"))
+                self._repl_sharding = jshard.NamedSharding(
+                    self.mesh, jshard.PartitionSpec())
         V = built.n_terms
         self.n_docs_capacity = self._capacity(built.max_doc_id)
         self.n_words = self.n_docs_capacity // 32
@@ -197,10 +200,17 @@ class DeviceIndex:
             self.bitmaps = jax.device_put(bm, self._doc_sharding)
         else:
             self._doc_sharding = self._row_sharding = None
+            self._repl_sharding = None
+            self.mesh = None
             self.bitmaps = jax.device_put(bm, device)
         # device CSR over the full postings array (offsets valid for all
-        # terms; dense terms' slices are read by OR/AST paths and compaction)
-        self.postings = jax.device_put(built.postings, device)
+        # terms; dense terms' slices are read by OR/AST paths and
+        # compaction). Replicated across the mesh so the sparse candidate-
+        # probe programs mix it with the doc-sharded bitmaps in one SPMD
+        # computation (candidate gathers stay shard-local; bitmap probes
+        # cross shards via XLA-inserted collectives).
+        self.postings = jax.device_put(built.postings,
+                                       self._repl_sharding or device)
         self.offsets32 = built.offsets.astype(np.int32)
         self.lengths = built.lengths
         self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
@@ -328,7 +338,7 @@ class DeviceIndex:
             ids = np.concatenate([self.postings_of(t) for t in ns_tids])
             nb = bitmap_ops.make_bitmap_from_ids(ids, self.n_words)
             extra_words = list(extra_words) + [jax.device_put(
-                np.bitwise_not(nb), self._device)]
+                np.bitwise_not(nb), self._row_sharding or self._device)]
         has_not = bool(nrows)
         while len(nrows) < (_k_bucket(len(nrows)) if nrows else 1):
             nrows.append(self.zeros_row)

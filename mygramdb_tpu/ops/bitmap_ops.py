@@ -269,11 +269,20 @@ def _reduce_rows_pallas(bitmaps: jax.Array, rows: jax.Array, op: str = "and",
     return out4.reshape(B, W)
 
 
+def _single_device(arr) -> bool:
+    try:
+        return len(arr.sharding.device_set) == 1
+    except AttributeError:
+        return True
+
+
 def and_rows(bitmaps: jax.Array, rows: jax.Array,
              force_jnp: bool = False) -> jax.Array:
     """AND of selected bitmap rows. rows: (B, K) int32 (pad with the all-ones
-    sentinel row id). Returns (B, W) uint32."""
-    if not force_jnp and runtime.use_pallas() and bitmaps.shape[1] % WBLOCK == 0:
+    sentinel row id). Returns (B, W) uint32. Doc-sharded bitmaps take the
+    jnp path (XLA auto-partitions under the arrays' NamedSharding)."""
+    if not force_jnp and _single_device(bitmaps) and runtime.use_pallas() \
+            and bitmaps.shape[1] % WBLOCK == 0:
         return _reduce_rows_pallas(bitmaps, rows, op="and")
     return _reduce_rows_jnp(bitmaps, rows, "and")
 
@@ -281,7 +290,8 @@ def and_rows(bitmaps: jax.Array, rows: jax.Array,
 def or_rows(bitmaps: jax.Array, rows: jax.Array,
             force_jnp: bool = False) -> jax.Array:
     """OR of selected bitmap rows (pad with the all-zeros sentinel row id)."""
-    if not force_jnp and runtime.use_pallas() and bitmaps.shape[1] % WBLOCK == 0:
+    if not force_jnp and _single_device(bitmaps) and runtime.use_pallas() \
+            and bitmaps.shape[1] % WBLOCK == 0:
         return _reduce_rows_pallas(bitmaps, rows, op="or")
     return _reduce_rows_jnp(bitmaps, rows, "or")
 

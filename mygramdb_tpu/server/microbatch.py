@@ -69,7 +69,9 @@ class MicroBatcher:
                 t.start()
         if flush_now:
             self._flush(key)
-        req.event.wait(timeout=120)
+        # generous bound: first-ever XLA compiles of a shape bucket run
+        # inside the flusher and can take minutes on tunneled/1-CPU hosts
+        req.event.wait(timeout=600)
         if req.error is not None:
             raise req.error
         if req.ids is None:

@@ -40,9 +40,15 @@ DOCS = [
 ]
 
 
-@pytest.fixture(scope="module")
-def ctx_and_cfg():
-    cfg = load_config_from_dict(CFG)
+@pytest.fixture(scope="module", params=[1, 8],
+                ids=["single_chip", "mesh8"])
+def ctx_and_cfg(request):
+    """The full pipeline matrix runs twice: single-device and doc-sharded
+    over the 8-device virtual mesh (device.mesh_shards=8) — every query
+    feature must produce identical results under SPMD partitioning."""
+    cfg_dict = dict(CFG)
+    cfg_dict["device"] = {"mesh_shards": request.param}
+    cfg = load_config_from_dict(cfg_dict)
     cat = TableCatalog(cfg)
     ctx = cat.resolve("articles")
     for pk, text, filt in DOCS:
@@ -54,6 +60,18 @@ def ctx_and_cfg():
 def pipe(ctx_and_cfg):
     ctx, cfg = ctx_and_cfg
     return SearchPipeline(ctx, cfg)
+
+
+
+def make_ctx(cfg_dict, shards=1, docs=DOCS):
+    d = dict(cfg_dict)
+    d["device"] = {"mesh_shards": shards}
+    cfg = load_config_from_dict(d)
+    cat = TableCatalog(cfg)
+    ctx = cat.resolve("articles")
+    for pk, text, filt in docs:
+        ctx.add_row(pk, text, filt)
+    return ctx, cfg
 
 
 P = QueryParser()
@@ -124,13 +142,10 @@ class TestRegular:
         assert out.total == 3
         assert pks(pipe, out) == ["4", "2"]
 
-    def test_topn_fast_path(self):
+    @pytest.mark.parametrize("shards", [1, 8])
+    def test_topn_fast_path(self, shards):
         cfg_off = dict(CFG, memory={"verify_text": "off"})
-        cfg = load_config_from_dict(cfg_off)
-        cat = TableCatalog(cfg)
-        ctx = cat.resolve("articles")
-        for pk, text, filt in DOCS:
-            ctx.add_row(pk, text, filt)
+        ctx, cfg = make_ctx(cfg_off, shards)
         pipe = SearchPipeline(ctx, cfg)
         out = run(pipe, 'SEARCH articles quick LIMIT 2', debug=True)
         assert out.debug.optimization_used == "device_topn"
@@ -223,12 +238,9 @@ class TestFacet:
 
 
 class TestSynonyms:
-    def test_synonym_expansion(self):
-        cfg = load_config_from_dict(CFG)
-        cat = TableCatalog(cfg)
-        ctx = cat.resolve("articles")
-        for pk, text, filt in DOCS:
-            ctx.add_row(pk, text, filt)
+    @pytest.mark.parametrize("shards", [1, 8])
+    def test_synonym_expansion(self, shards):
+        ctx, cfg = make_ctx(CFG, shards)
         from mygramdb_tpu.query.synonyms import SynonymDictionary
         syn = SynonymDictionary(normalize=ctx.normalize)
         syn.load_from_text("fox\twolf\ncloud\tclouds\n")
@@ -241,12 +253,9 @@ class TestSynonyms:
 
 
 class TestMutationVisibility:
-    def test_insert_update_delete(self):
-        cfg = load_config_from_dict(CFG)
-        cat = TableCatalog(cfg)
-        ctx = cat.resolve("articles")
-        for pk, text, filt in DOCS:
-            ctx.add_row(pk, text, filt)
+    @pytest.mark.parametrize("shards", [1, 8])
+    def test_insert_update_delete(self, shards):
+        ctx, cfg = make_ctx(CFG, shards)
         pipe = SearchPipeline(ctx, cfg)
 
         ctx.add_row("6", "a very quick update", {"status": 1})
@@ -269,11 +278,10 @@ class TestMutationVisibility:
 
 
 class TestPagination:
-    def test_deep_offset_topn(self):
+    @pytest.mark.parametrize("shards", [1, 8])
+    def test_deep_offset_topn(self, shards):
         cfg_off = dict(CFG, memory={"verify_text": "off"})
-        cfg = load_config_from_dict(cfg_off)
-        cat = TableCatalog(cfg)
-        ctx = cat.resolve("articles")
+        ctx, cfg = make_ctx(cfg_off, shards, docs=[])
         for i in range(1, 301):
             ctx.add_row(str(i), "common token here", {"status": 1})
         ctx.optimize()
@@ -287,12 +295,9 @@ class TestPagination:
                          'OFFSET 295')
         assert pks(pipe, out2) == [str(i) for i in range(296, 301)]
 
-    def test_offset_past_end(self):
-        cfg = load_config_from_dict(CFG)
-        cat = TableCatalog(cfg)
-        ctx = cat.resolve("articles")
-        for pk, text, filt in DOCS:
-            ctx.add_row(pk, text, filt)
+    @pytest.mark.parametrize("shards", [1, 8])
+    def test_offset_past_end(self, shards):
+        ctx, cfg = make_ctx(CFG, shards)
         pipe = SearchPipeline(ctx, cfg)
         out = run(pipe, 'SEARCH articles quick LIMIT 10 OFFSET 100')
         assert out.total == 3 and out.results.size == 0
