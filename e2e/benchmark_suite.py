@@ -3,9 +3,20 @@
 Counterpart of the reference's e2e/benchmark_suite.py (SURVEY.md §4.6):
 scenario-driven latency/QPS measurement through the real protocol with
 regression thresholds (e2e/scenarios.json). Spawns an in-process server
-(seeded synthetic corpus incl. CJK), runs each scenario at several
-concurrency levels, reports p50/p99/QPS, and exits non-zero on threshold
-violations.
+(seeded synthetic corpus incl. CJK), runs each scenario, and exits
+non-zero on threshold violations.
+
+Gating is ENGINE-relevant, not tunnel-relevant: the device dispatch RTT
+is measured live (tiny jitted no-op round-trips) and subtracted, so the
+gates check what the engine adds on top of the transport:
+
+- ``engine_p50_ms``: single-in-flight p50 minus the measured device RTT
+  (parse + pipeline + batching window + device compute + format).
+- ``device_batch_us_per_query``: per-query device time of the fused
+  batched kernel measured in-process on the scenario corpus (RTT
+  amortized over a pipelined run) — the number a kernel regression moves
+  first; reference-magnitude bounds.
+- raw p50/p99/QPS still reported (informational) per scenario.
 
     python e2e/benchmark_suite.py [--mode quick|standard] [--json out.json]
 """
@@ -89,7 +100,101 @@ def start_server(docs: List[dict]) -> Dict:
     t.start()
     started.wait(60)
     holder["thread"] = t
+    holder["ctx"] = ctx
     return holder
+
+
+def measure_device_rtt_ms(samples: int = 15) -> float:
+    """p50 round-trip of a trivial device dispatch: the transport floor
+    every device-touching query pays regardless of engine quality."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.arange(8, dtype=jnp.int32)
+    f = jax.jit(lambda v: v.sum())
+    np.asarray(f(x))  # compile
+    lat = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return lat[len(lat) // 2] * 1000
+
+
+def _fused_step(ctx, batch: int, n: int = 128):
+    import jax.numpy as jnp
+    from mygramdb_tpu.ops import bitmap_ops
+
+    idx = ctx.index.device
+    rows = np.full((batch, 8), idx.ones_row, dtype=np.int32)
+    # real dense rows where available
+    dense = np.flatnonzero(idx.dense_row >= 0)[:8]
+    for i, t in enumerate(dense):
+        rows[:, i] = idx.dense_row[t]
+    rows_j = jnp.asarray(rows)
+    nrows = jnp.asarray(np.full((batch, 1), idx.zeros_row, dtype=np.int32))
+    extra = idx._pack_extra([])
+
+    def step():
+        return bitmap_ops.dense_search_topn(
+            idx.bitmaps, rows_j, nrows, idx.deleted, extra,
+            False, False, n, True)
+
+    return step
+
+
+def measure_device_batch_us(ctx, batch: int = 256, iters: int = 24) -> float:
+    """Per-query device time of the fused batched SEARCH kernel on the
+    scenario corpus: pipelined dispatches amortize the RTT, so this
+    tracks kernel/top-n regressions directly."""
+    step = _fused_step(ctx, batch)
+    c, i = step()
+    np.asarray(c), np.asarray(i)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c, i = step()
+    np.asarray(c), np.asarray(i)  # sync the in-order stream once
+    total = time.perf_counter() - t0
+    return total / iters / batch * 1e6
+
+
+def measure_fused_dispatch_ms(ctx, samples: int = 9) -> float:
+    """Serial round-trip p50 of ONE fused search dispatch at the single-
+    query batch shape — the true transport+program floor each sequential
+    dispatch of a query pays on this backend (tunnels charge per program
+    size, so a no-op RTT under-estimates it)."""
+    step = _fused_step(ctx, batch=8)
+    c, i = step()
+    np.asarray(c), np.asarray(i)
+    lat = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        c, i = step()
+        np.asarray(c), np.asarray(i)
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    return lat[len(lat) // 2] * 1000
+
+
+def measure_dispatches(port: int, query: str, runs: int = 3) -> int:
+    """Device dispatches issued for ONE query (max over runs): the
+    environment-independent latency structure — on tunneled backends each
+    sequential dispatch costs a full RTT, so this is what a pipeline
+    regression (e.g. an un-fused verify pass) moves first."""
+    from mygramdb_tpu.ops import runtime
+
+    s = socket.create_connection(("127.0.0.1", port), timeout=60)
+    f = s.makefile("rwb")
+    worst = 0
+    for _ in range(runs):
+        before = runtime.dispatches.count
+        f.write(query.encode() + b"\r\n")
+        f.flush()
+        f.readline()
+        worst = max(worst, runtime.dispatches.count - before)
+    s.close()
+    return worst
 
 
 def run_scenario(port: int, query: str, duration_sec: float,
@@ -159,26 +264,55 @@ def main() -> int:
     for sc in scenarios:
         by_docs.setdefault(sc["docs"], []).append(sc)
 
+    rtt_ms = measure_device_rtt_ms()
+    results["_device_rtt_ms"] = round(rtt_ms, 2)
+    print(f"measured device dispatch RTT: {rtt_ms:.1f} ms", flush=True)
+
     for n_docs, group in sorted(by_docs.items()):
         docs = make_docs(n_docs)
         holder = start_server(docs)
         port = holder["port"]
         try:
+            # engine-level kernel gate for this corpus size
+            batch_us = measure_device_batch_us(holder["ctx"])
+            key = f"_device_batch_us_per_query_{n_docs}"
+            results[key] = round(batch_us, 1)
+            gate_us = group[0].get("device_batch_us_gate", 0)
+            print(f"device batch time @ {n_docs} docs: "
+                  f"{batch_us:.1f} us/query (gate {gate_us})", flush=True)
+            if gate_us and batch_us > gate_us:
+                failures.append(f"device_batch_us@{n_docs}")
+            dispatch_ms = measure_fused_dispatch_ms(holder["ctx"])
+            results[f"_fused_dispatch_ms_{n_docs}"] = round(dispatch_ms, 2)
+            print(f"fused dispatch round-trip @ {n_docs} docs: "
+                  f"{dispatch_ms:.1f} ms", flush=True)
+
             for sc in group:
                 query = sc["query"].format(t="bench")
-                # warm the path once
+                # warm the path once (cold compiles excluded from gating)
                 run_scenario(port, query, 0.3, 1)
+                # structural gate: sequential device dispatches per query
+                n_disp = measure_dispatches(port, query)
+                # latency pass: single in-flight isolates per-query cost
+                lat = run_scenario(port, query, duration, 1)
+                # throughput pass: concurrent connections
                 out = run_scenario(port, query, duration, args.concurrency)
                 results[sc["name"]] = out
                 th = sc.get("thresholds", {})
                 status = "ok"
-                if "error" in out:
+                if "error" in out or "error" in lat:
                     status = "error"
                     failures.append(sc["name"])
                 else:
-                    if out["p50_ms"] > th.get("p50_ms", 1e9) or \
-                            out["p99_ms"] > th.get("p99_ms", 1e9) or \
-                            out["qps"] < th.get("min_qps", 0):
+                    # host work = wall time minus the measured per-dispatch
+                    # transport floor x dispatch count
+                    host_p50 = max(lat["p50_ms"] - n_disp * dispatch_ms, 0.0)
+                    out["p50_single_ms"] = lat["p50_ms"]
+                    out["host_p50_ms"] = round(host_p50, 3)
+                    out["dispatches"] = n_disp
+                    if host_p50 > th.get("host_p50_ms", 1e9) or \
+                            out["qps"] < th.get("min_qps", 0) or \
+                            n_disp > th.get("max_dispatches", 1 << 30):
                         status = "THRESHOLD_VIOLATION"
                         failures.append(sc["name"])
                 out["status"] = status

@@ -447,6 +447,8 @@ class DeviceIndex:
 
         fn = self._get_sparse_kernel(C, Cmax, Ks, Kd, max(F, 1), limit_b,
                                      opts.descending)
+        from ..ops import runtime
+        runtime.dispatches.bump()
         count, ids, mask, cands = fn(
             self.postings, self.bitmaps, self.deleted, extra,
             jnp.int32(self.offsets32[driver]), jnp.int32(dlen),
@@ -525,6 +527,8 @@ class DeviceIndex:
             G = _k_bucket(len(sparse_tids))
             offs = np.pad(offs, (0, G - offs.size))
             lens = np.pad(lens, (0, G - lens.size))
+            from ..ops import runtime
+            runtime.dispatches.bump(2)
             slices = gather_slices(self.postings, jnp.asarray(offs),
                                    jnp.asarray(lens), Cmax)
             _, ids = threshold_merge(slices, jnp.int32(min_count), max_out)

@@ -208,6 +208,7 @@ def dense_query_auto(bitmaps, rows, nrows, deleted, extra,
     no-NOT/no-extra shape (the overwhelming majority of SEARCH traffic).
     Multi-device (doc-sharded) inputs take the jnp path, which XLA
     auto-partitions under the arrays' NamedSharding."""
+    runtime.dispatches.bump()
     single_device = True
     try:
         single_device = len(bitmaps.sharding.device_set) == 1
@@ -281,6 +282,7 @@ def and_rows(bitmaps: jax.Array, rows: jax.Array,
     """AND of selected bitmap rows. rows: (B, K) int32 (pad with the all-ones
     sentinel row id). Returns (B, W) uint32. Doc-sharded bitmaps take the
     jnp path (XLA auto-partitions under the arrays' NamedSharding)."""
+    runtime.dispatches.bump()
     if not force_jnp and _single_device(bitmaps) and runtime.use_pallas() \
             and bitmaps.shape[1] % WBLOCK == 0:
         return _reduce_rows_pallas(bitmaps, rows, op="and")
@@ -290,6 +292,7 @@ def and_rows(bitmaps: jax.Array, rows: jax.Array,
 def or_rows(bitmaps: jax.Array, rows: jax.Array,
             force_jnp: bool = False) -> jax.Array:
     """OR of selected bitmap rows (pad with the all-zeros sentinel row id)."""
+    runtime.dispatches.bump()
     if not force_jnp and _single_device(bitmaps) and runtime.use_pallas() \
             and bitmaps.shape[1] % WBLOCK == 0:
         return _reduce_rows_pallas(bitmaps, rows, op="or")
@@ -403,6 +406,7 @@ def topn_from_bitmap(words: jax.Array, n: int,
     Top-N shortcut, search_pipeline.h:348).
     """
     W = words.shape[-1]
+    runtime.dispatches.bump()
     if W >= _HIER_MIN_WORDS:
         return _topn_hierarchical(words, n, descending)[0]
     return _topn_direct(words, n, descending)
@@ -444,6 +448,7 @@ def dense_search_topn(bitmaps, rows, nrows, deleted, extra,
     use_pallas = (single_device and not has_not and not has_extra
                   and runtime.use_pallas()
                   and bitmaps.shape[1] % PBLOCK == 0)
+    runtime.dispatches.bump()
     return _dense_search_topn(bitmaps, rows, nrows, deleted, extra,
                               has_not, has_extra, n, descending, use_pallas)
 

@@ -66,3 +66,26 @@ def use_pallas() -> bool:
     if os.environ.get("MYGRAM_DISABLE_PALLAS") == "1":
         return False
     return is_tpu()
+
+
+class _DispatchCounter:
+    """Process-wide count of device dispatches issued by the ops layer.
+
+    On tunneled backends every dispatch costs a network RTT, so the number
+    of sequential dispatches per query IS the latency structure of the
+    engine — e2e gates bound it (environment-independently) instead of
+    wall-clock that mostly measures the tunnel. Incremented by the ops-
+    layer entry points (search, verify, TF/score, threshold); plain int
+    += under the GIL is atomic enough for gating purposes.
+    """
+
+    __slots__ = ("count",)
+
+    def __init__(self) -> None:
+        self.count = 0
+
+    def bump(self, n: int = 1) -> None:
+        self.count += n
+
+
+dispatches = _DispatchCounter()

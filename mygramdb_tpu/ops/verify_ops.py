@@ -23,6 +23,34 @@ import jax.numpy as jnp
 NEEDLE_CAP = 32  # needles longer than this fall back to host verification
 
 
+def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT):
+    """(C, maxT+CAP) text window via element gather from the flat pack."""
+    ids = jnp.maximum(cand_ids, 0)
+    off = offsets[ids]
+    doc_len = lengths[ids]
+    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
+    idx = off[:, None] + pos
+    valid = pos < doc_len[:, None]
+    idx = jnp.where(valid, idx, 0)
+    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
+    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+    return text, doc_len
+
+
+def _gather_text_padded(padded, lengths, cand_ids, maxT):
+    """(C, maxT+CAP) text window via ROW gather from a (N, maxT) padded
+    matrix — contiguous DMA rows instead of C*maxT random element gathers
+    (order-of-magnitude faster on TPU for large candidate sets)."""
+    ids = jnp.maximum(cand_ids, 0)
+    doc_len = lengths[ids]
+    rows = padded[ids]  # (C, maxT)
+    pos = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    valid = pos < doc_len[:, None]
+    rows = jnp.where(valid, rows, jnp.uint32(0xFFFFFFFF))
+    pad = jnp.full((rows.shape[0], NEEDLE_CAP), 0xFFFFFFFF, dtype=jnp.uint32)
+    return jnp.concatenate([rows, pad], axis=1), doc_len
+
+
 @functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn"))
 def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
                             lengths: jax.Array, cand_ids: jax.Array,
@@ -30,21 +58,17 @@ def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
                             *, C: int, maxT: int, Nn: int) -> jax.Array:
     """-> (C,) bool: candidate text contains ALL needles.
 
-    codepoints: (P,) uint32 packed corpus; offsets/lengths: (N,) int32
-    indexed by doc id; cand_ids: (C,) int32 (pad with -1);
-    needles: (Nn, NEEDLE_CAP) uint32 (0 padded); needle_lens: (Nn,) int32
-    (0 len = vacuously true row).
+    codepoints: (P,) uint32 packed corpus OR (N, maxT) padded text matrix
+    (row-gather fast path); offsets/lengths: (N,) int32 indexed by doc id;
+    cand_ids: (C,) int32 (pad with -1); needles: (Nn, NEEDLE_CAP) uint32
+    (0 padded); needle_lens: (Nn,) int32 (0 len = vacuously true row).
     """
-    ids = jnp.maximum(cand_ids, 0)
-    off = offsets[ids]
-    doc_len = lengths[ids]
-    # gather each candidate's text slice padded to maxT (+CAP tail slack)
-    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
-    idx = off[:, None] + pos
-    valid = pos < doc_len[:, None]
-    idx = jnp.where(valid, idx, 0)
-    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
-    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+    if codepoints.ndim == 2:
+        text, doc_len = _gather_text_padded(codepoints, lengths, cand_ids,
+                                            maxT)
+    else:
+        text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
+                                          cand_ids, maxT)
 
     def one_needle(n, acc):
         ndl = needles[n]
@@ -80,15 +104,12 @@ def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
     non-overlapping count for needles with no proper border (callers route
     self-overlapping needles — rare — to the host path).
     """
-    ids = jnp.maximum(cand_ids, 0)
-    off = offsets[ids]
-    doc_len = lengths[ids]
-    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
-    idx = off[:, None] + pos
-    valid = pos < doc_len[:, None]
-    idx = jnp.where(valid, idx, 0)
-    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
-    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+    if codepoints.ndim == 2:
+        text, doc_len = _gather_text_padded(codepoints, lengths, cand_ids,
+                                            maxT)
+    else:
+        text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
+                                          cand_ids, maxT)
     starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
 
     def one_needle(n, tf):

@@ -185,6 +185,8 @@ class MicroBatcher:
             sp_inv[i] = s["sp_inv"]
             dn_rows[i] = s["dn_rows"]
             dn_inv[i] = s["dn_inv"]
+        from ..ops import runtime as _rt
+        _rt.dispatches.bump()
         count, ids = _sparse_query_batch(
             idx.postings, idx.bitmaps, idx.deleted,
             jnp.asarray(d_off), jnp.asarray(d_len),

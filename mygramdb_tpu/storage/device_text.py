@@ -18,9 +18,11 @@ import jax.numpy as jnp
 from ..ops.verify_ops import (NEEDLE_CAP, bm25_topk_device,
                               count_occurrences_device, has_self_overlap,
                               substring_verify_device)
+from ..ops import runtime
 from .. import native
 
-_C_BUCKETS = (2048, 16384)
+_C_BUCKETS = (2048, 4096, 8192, 16384)
+_PADDED_BUDGET_BYTES = 256 << 20  # padded text layout cap (row-gather path)
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 
 
@@ -63,7 +65,21 @@ class DeviceTextStore:
             pos += cp.size
         flat = np.concatenate(parts) if parts else \
             np.zeros(1, dtype=np.uint32)
-        self.codepoints = jax.device_put(flat, device)
+        # padded (N, maxT) layout when it fits the budget: the kernels then
+        # ROW-gather candidate texts (contiguous DMA) instead of C*maxT
+        # element gathers — order-of-magnitude faster at large C. Large
+        # corpora keep the compact flat pack.
+        if capacity * self.maxT * 4 <= _PADDED_BUDGET_BYTES:
+            padded = np.full((capacity, self.maxT), 0xFFFFFFFF,
+                             dtype=np.uint32)
+            for doc_id in texts_by_doc:
+                if doc_id in self._overflow or doc_id >= capacity:
+                    continue
+                o, ln = offsets[doc_id], lengths[doc_id]
+                padded[doc_id, :ln] = flat[o:o + ln]
+            self.codepoints = jax.device_put(padded, device)
+        else:
+            self.codepoints = jax.device_put(flat, device)
         self.offsets = jax.device_put(offsets, device)
         self.lengths = jax.device_put(lengths, device)
         self.n_packed = len(texts_by_doc) - len(self._overflow)
@@ -115,6 +131,7 @@ class DeviceTextStore:
             C = _bucket(chunk.size, _C_BUCKETS)
             padded = np.full(C, -1, dtype=np.int32)
             padded[:chunk.size] = chunk
+            runtime.dispatches.bump()
             m = substring_verify_device(
                 self.codepoints, self.offsets, self.lengths,
                 jnp.asarray(padded), jnp.asarray(ndl), jnp.asarray(nlens),
@@ -163,6 +180,7 @@ class DeviceTextStore:
                 C = _bucket(chunk.size, _C_BUCKETS)
                 padded = np.full(C, -1, dtype=np.int32)
                 padded[:chunk.size] = chunk
+                runtime.dispatches.bump()
                 t_m, l_m = count_occurrences_device(
                     self.codepoints, self.offsets, self.lengths,
                     jnp.asarray(padded), jnp.asarray(ndl),
@@ -226,6 +244,7 @@ class DeviceTextStore:
                 C = _bucket(chunk.size, _C_BUCKETS)
                 padded = np.full(C, -1, dtype=np.int32)
                 padded[:chunk.size] = chunk
+                runtime.dispatches.bump()
                 t_ids, t_sc = bm25_topk_device(
                     self.codepoints, self.offsets, self.lengths,
                     jnp.asarray(padded), jnp.asarray(ndl),
