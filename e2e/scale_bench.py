@@ -74,9 +74,9 @@ def main() -> int:
     t0 = time.time()
     n_done = 0
     for batch in gen.batches(10_000):
-        for did, text in batch:
-            nt = norm(text)
-            b.add_document(did, nt)
+        normed = [(did, norm(text)) for did, text in batch]
+        b.add_batch(normed)
+        for did, nt in normed:
             if did in sample_ids:
                 sample_grams[did] = frozenset(b.shred(nt))
         n_done += len(batch)

@@ -122,8 +122,56 @@ class IndexBuilder:
             self._flush()
 
     def add_batch(self, items: Iterable[Tuple[int, str]]) -> None:
+        """Bulk insert: ONE native shred call for the whole batch with
+        per-doc dedup in C++, then a vectorized hash->tid mapping — the
+        loader hot path (per-doc ctypes calls + Python dict churn measured
+        ~5x slower)."""
+        items = list(items)
+        if not items:
+            return
+        if self._native_usable():
+            out = None
+            from .. import native
+            out = native.shred_batch(
+                [t for _, t in items],
+                self.ngram_size if self.ngram_size > 0 else 2,
+                self.kanji_ngram_size, self.cross_boundary)
+            if out is not None:
+                self._add_batch_native(items, out)
+                return
         for doc_id, text in items:
             self.add_document(doc_id, text)
+
+    def _add_batch_native(self, items, out) -> None:
+        flat, starts, lens, hashes, counts = out
+        # resolve hashes -> tids vectorized: unknown hashes materialize
+        # their gram string once (first occurrence) and enter the dict
+        uniq, first_idx, inverse = np.unique(
+            hashes, return_index=True, return_inverse=True)
+        h2t = self._hash_to_tid
+        get_or_add = self.term_dict.get_or_add
+        tid_of_uniq = np.empty(uniq.size, dtype=np.int64)
+        for j in range(uniq.size):
+            h = int(uniq[j])
+            tid = h2t.get(h)
+            if tid is None:
+                s = int(starts[first_idx[j]])
+                ln = int(lens[first_idx[j]])
+                gram = "".join(map(chr, flat[s:s + ln]))
+                tid = get_or_add(gram)
+                h2t[h] = tid
+            tid_of_uniq[j] = tid
+        tids = tid_of_uniq[inverse]
+        doc_ids = np.repeat(
+            np.asarray([d for d, _ in items], dtype=np.int64),
+            counts.astype(np.int64))
+        self._flush()
+        self._tid_chunks.append(tids)
+        self._doc_chunks.append(doc_ids)
+        self._n_docs += len(items)
+        if items:
+            self._max_doc_id = max(self._max_doc_id,
+                                   max(d for d, _ in items))
 
     def _flush(self) -> None:
         if self._cur_tids:

@@ -43,6 +43,18 @@ class FileLoader:
         pk_col, text_cols, delim = self._row_fields()
         n = 0
         t0 = time.time()
+        # empty table -> sorted-segment bulk path (one native shred per
+        # batch); otherwise the per-row live write path
+        bulk = None
+        if self.ctx.doc_count == 0:
+            bulk = self.ctx.begin_bulk_load()
+        pending = []
+
+        def flush_pending():
+            if bulk is not None and pending:
+                bulk.add_batch(pending)
+                pending.clear()
+
         for row in rows:
             if cancel is not None and cancel.is_set():
                 break
@@ -53,10 +65,18 @@ class FileLoader:
             filters = {k: v for k, v in row.items()
                        if k != pk_col and k not in text_cols}
             if self._passes_required(filters, row):
-                self.ctx.add_row(str(pk), text, filters)
+                if bulk is not None:
+                    pending.append((str(pk), text, filters))
+                    if len(pending) >= self.batch_size:
+                        flush_pending()
+                else:
+                    self.ctx.add_row(str(pk), text, filters)
             n += 1
             if progress is not None and n % self.batch_size == 0:
                 progress(n)
+        flush_pending()
+        if bulk is not None:
+            bulk.finish()
         self.rows_loaded = n
         dt = max(time.time() - t0, 1e-9)
         StructuredLog().event("initial_load_done").field(

@@ -106,6 +106,14 @@ def _load() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int32, ctypes.c_int32,
                                      ctypes.c_int32, _c_i32p, _c_i32p,
                                      _c_u64p]
+    try:
+        lib.mg_shred_batch.restype = ctypes.c_int64
+        lib.mg_shred_batch.argtypes = [_c_u32p, _c_i64p, _c_i32p,
+                                       ctypes.c_int64, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int32,
+                                       _c_i32p, _c_i32p, _c_u64p, _c_i32p]
+    except AttributeError:  # stale .so without the batch entry point
+        pass
     _lib = lib
     return _lib
 
@@ -276,3 +284,37 @@ def hybrid_ngrams(text: str, ascii_n: int, kanji_n: int,
                                  _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
                                  _ptr(hashes, _c_u64p))
     return starts[:count], lens[:count], hashes[:count]
+
+
+def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
+    """Shred a whole batch of normalized texts in ONE native call with
+    per-doc dedup. -> (flat_cps, starts, lens, hashes, doc_counts) or None.
+
+    starts index into flat_cps; doc_counts[i] = grams of texts[i]."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_shred_batch"):
+        return None
+    n_docs = len(texts)
+    if n_docs == 0:
+        z32 = np.zeros(0, dtype=np.int32)
+        return (np.zeros(0, dtype=np.uint32), z32, z32,
+                np.zeros(0, dtype=np.uint64), z32)
+    # concatenate UTF-32 buffers (no separators — offsets delimit docs)
+    cps_list = [to_cp(t) for t in texts]
+    doc_len = np.asarray([c.size for c in cps_list], dtype=np.int32)
+    doc_off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_len[:-1], out=doc_off[1:])
+    flat = (np.concatenate(cps_list) if cps_list
+            else np.zeros(0, dtype=np.uint32))
+    flat = np.ascontiguousarray(flat, dtype=np.uint32)
+    cap = max(int(doc_len.sum()), 1)
+    starts = np.empty(cap, dtype=np.int32)
+    lens = np.empty(cap, dtype=np.int32)
+    hashes = np.empty(cap, dtype=np.uint64)
+    counts = np.empty(n_docs, dtype=np.int32)
+    total = lib.mg_shred_batch(
+        _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+        _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+        1 if cross_boundary else 0, _ptr(starts, _c_i32p),
+        _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    return flat, starts[:total], lens[:total], hashes[:total], counts

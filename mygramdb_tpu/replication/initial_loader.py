@@ -57,6 +57,10 @@ class InitialLoader:
             last_pk: Optional[str] = None
             total = 0
             t0 = time.time()
+            # empty table -> sorted-segment bulk path (reference
+            # AddDocumentBatch analog); live tables use per-row writes
+            bulk = (self.ctx.begin_bulk_load()
+                    if self.ctx.doc_count == 0 else None)
             while True:
                 if cancel is not None and cancel.is_set():
                     break
@@ -67,6 +71,7 @@ class InitialLoader:
                     f"ORDER BY `{pk_col}` LIMIT {self.batch_size}")
                 if not rs.rows:
                     break
+                pending = []
                 for row in rs.rows:
                     d = dict(zip(cols, row))
                     if not self._passes_required(d):
@@ -79,13 +84,20 @@ class InitialLoader:
                     filters = {k: _coerce_filter(v) for k, v in d.items()
                                if k != pk_col and
                                k not in t.text_source.columns()}
-                    self.ctx.add_row(str(pk), text, filters)
+                    if bulk is not None:
+                        pending.append((str(pk), text, filters))
+                    else:
+                        self.ctx.add_row(str(pk), text, filters)
+                if bulk is not None and pending:
+                    bulk.add_batch(pending)
                 last_pk = rs.rows[-1][0]
                 total += len(rs.rows)
                 if progress is not None:
                     progress(total)
                 if len(rs.rows) < self.batch_size:
                     break
+            if bulk is not None:
+                bulk.finish()
             dt = max(time.time() - t0, 1e-9)
             StructuredLog().event("initial_load_done").field(
                 "table", self.ctx.name).field("rows", total).field(

@@ -255,4 +255,72 @@ int64_t mg_hybrid_ngrams(const uint32_t* cps, int64_t n, int32_t ascii_n,
   return count;
 }
 
+// Batched hybrid shred with PER-DOC dedup: one call shreds a whole loader
+// batch (the per-call ctypes overhead and the per-doc numpy dedup were the
+// index-build bottleneck). Input: concatenated UTF-32 buffer + per-doc
+// offsets/lengths. Output: per-doc-unique gram hashes with (start,len)
+// into the buffer for first occurrences, plus per-doc gram counts.
+// Returns total grams written (capacity = sum of doc lengths).
+int64_t mg_shred_batch(const uint32_t* cps, const int64_t* doc_off,
+                       const int32_t* doc_len, int64_t n_docs,
+                       int32_t ascii_n, int32_t kanji_n,
+                       int32_t cross_boundary, int32_t* out_start,
+                       int32_t* out_len, uint64_t* out_hash,
+                       int32_t* out_doc_counts) {
+  if (ascii_n <= 0 || kanji_n <= 0) return 0;
+  int64_t total = 0;
+  // open-addressing set reused across docs (docs have <= few hundred grams)
+  std::vector<uint64_t> slots;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint32_t* t = cps + doc_off[d];
+    const int64_t n = doc_len[d];
+    int32_t dcount = 0;
+    size_t cap = 64;
+    while (cap < static_cast<size_t>(n) * 2 + 8) cap <<= 1;
+    slots.assign(cap, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      bool start_cjk = is_cjk_ideograph(t[i]);
+      int32_t size = start_cjk ? kanji_n : ascii_n;
+      if (i + size > n) continue;
+      if (!cross_boundary && size > 1) {
+        bool crossed = false;
+        for (int32_t j = 1; j < size; ++j) {
+          if (is_cjk_ideograph(t[i + j]) != start_cjk) {
+            crossed = true;
+            break;
+          }
+        }
+        if (crossed) continue;
+      }
+      uint64_t h = 1469598103934665603ULL;  // FNV-1a 64
+      for (int32_t j = 0; j < size; ++j) {
+        uint32_t c = t[i + j];
+        for (int b = 0; b < 4; ++b) {
+          h ^= (c >> (b * 8)) & 0xFF;
+          h *= 1099511628211ULL;
+        }
+      }
+      uint64_t key = h ? h : 1;  // reserve 0 for empty slots
+      size_t pos = static_cast<size_t>(key) & (cap - 1);
+      bool dup = false;
+      while (slots[pos]) {
+        if (slots[pos] == key) {
+          dup = true;
+          break;
+        }
+        pos = (pos + 1) & (cap - 1);
+      }
+      if (dup) continue;
+      slots[pos] = key;
+      out_start[total] = static_cast<int32_t>(doc_off[d] + i);
+      out_len[total] = size;
+      out_hash[total] = h;
+      ++total;
+      ++dcount;
+    }
+    out_doc_counts[d] = dcount;
+  }
+  return total;
+}
+
 }  // extern "C"
