@@ -65,11 +65,17 @@ def _write_section(f, sec_type: int, payload: bytes) -> int:
     return crc
 
 
-def _read_section(f):
+def _read_section(f, file_size: Optional[int] = None):
     hdr = f.read(_HDR.size)
     if len(hdr) < _HDR.size:
         raise DumpError("truncated dump file", ErrorCode.DUMP_CORRUPT)
     sec_type, crc, length = _HDR.unpack(hdr)
+    # bound the declared length by the actual file size BEFORE allocating:
+    # a corrupted length field must fail as DumpError, not MemoryError
+    if file_size is not None and length > file_size:
+        raise DumpError(
+            f"section length {length} exceeds file size {file_size}",
+            ErrorCode.DUMP_CORRUPT)
     payload = f.read(length)
     if len(payload) != length:
         raise DumpError("truncated dump section", ErrorCode.DUMP_CORRUPT)
@@ -156,6 +162,7 @@ def save_dump(path: str, config_dict: Dict[str, Any],
 
 
 def _iter_sections(path: str):
+    fsize = os.path.getsize(path)
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != MAGIC:
@@ -166,10 +173,7 @@ def _iter_sections(path: str):
             raise DumpError(f"unsupported dump version {version}",
                             ErrorCode.DUMP_VERSION)
         while True:
-            try:
-                sec_type, payload = _read_section(f)
-            except DumpError:
-                raise
+            sec_type, payload = _read_section(f, fsize)
             yield sec_type, payload
             if sec_type == SEC_END:
                 return
@@ -181,6 +185,7 @@ def load_dump(path: str):
     tables: List[TableState] = []
     crcs: List[int] = []
     end_chain: Optional[int] = None
+    fsize = os.path.getsize(path)
     with open(path, "rb") as f:
         magic = f.read(4)
         if magic != MAGIC:
@@ -192,7 +197,7 @@ def load_dump(path: str):
                             ErrorCode.DUMP_VERSION)
         info.version = version
         while True:
-            sec_type, payload = _read_section(f)
+            sec_type, payload = _read_section(f, fsize)
             if sec_type != SEC_END:
                 crcs.append(zlib.crc32(payload) & 0xFFFFFFFF)
             if sec_type == SEC_CONFIG:
