@@ -172,6 +172,27 @@ class SearchPipeline:
                 dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
                 return out
 
+        # fused verified fast path: search -> extract -> window-verify
+        # [-> BM25] -> top-k in ONE dispatch (the CJK + verify_text
+        # north-star workload; replaces 2-3 sequential dispatches)
+        if not collect_all:
+            fused = self._try_fused_verified(query, dbg)
+            if fused is not None:
+                total, page, scores, terms = fused
+                out.total = total
+                out.results = page
+                out.scores = scores
+                out.all_search_terms = [ti.normalized for ti in terms]
+                dbg.search_terms = out.all_search_terms
+                for ti in terms:
+                    dbg.ngrams_used.extend(ti.grams)
+                dbg.final_results = total
+                dbg.optimization_used = "device_fused_verify"
+                dbg.limit_applied = query.limit
+                dbg.offset_applied = query.offset
+                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                return out
+
         # device top-N fast path: single AND-gram set, PK order, no
         # filters/NOT/verify — the whole query is one device kernel
         if not collect_all:
@@ -299,6 +320,111 @@ class SearchPipeline:
         grams = sorted({g for ti in terms for g in ti.grams})
         total, _ = self.ctx.index.search_and(grams, count_only=True)
         return total, terms
+
+    # ------------------------------------------------------------------
+    # Fused verified fast path: one dispatch for search + verify_text
+    # (+ BM25 score) + top-k. Applies when the rarest gram's df bounds
+    # the candidate count, the text store fully covers the corpus, and
+    # there is no delta overlay (steady state after compaction).
+    # ------------------------------------------------------------------
+    def _try_fused_verified(self, query: Query, dbg: DebugInfo):
+        if query.type not in (QueryType.SEARCH, QueryType.COUNT):
+            return None
+        if query.fuzzy_max_distance is not None or query.not_terms or \
+                query.filters:
+            return None
+        if contains_boolean_syntax(query.search_text) or \
+                self._synonyms_apply(query):
+            return None
+        dev_text = getattr(self.ctx, "device_text", None)
+        if dev_text is None or dev_text._overflow:
+            return None
+        index = self.ctx.index
+        if len(index.delta) or index.frozen_delta is not None:
+            return None
+        terms = [self.term_info(t) for t in query.all_terms]
+        if not terms or any(ti.needs_substring_fallback for ti in terms):
+            return None
+        if not (self._verify_applies(terms) or
+                self._coverage_requires_text_check(terms)):
+            return None  # plain topn/count paths are cheaper
+        from ..ops.verify_ops import NEEDLE_CAP
+        needles = [ti.normalized for ti in terms]
+        if any(not nd or len(nd) > NEEDLE_CAP for nd in needles):
+            return None
+        if any(ti.estimated_size == 0 for ti in terms):
+            return 0, np.empty(0, dtype=np.int32), None, terms
+        ob = self._canon_order(query) or OrderByClause()
+        score_mode = False
+        if query.type == QueryType.SEARCH:
+            if ob.is_score and ob.order == SortOrder.DESC and \
+                    query.limit > 0:
+                score_mode = True
+            elif not (ob.is_primary_key and query.limit > 0 and
+                      query.offset <= MAX_OFFSET_FOR_TOPN and
+                      self.ctx.doc_store.pk_doc_id_order_valid):
+                return None
+        # candidate bound: intersection size <= rarest gram's df
+        grams = sorted({g for ti in terms for g in ti.grams})
+        tids = index.query_tids(grams)
+        if tids is None:
+            return (0, np.empty(0, dtype=np.int32), None, terms)
+        device = index.device
+        min_df = min(int(index.built.lengths[t])
+                     if t < index.built.lengths.shape[0] else 0
+                     for t in tids)
+        C = device._cand_bucket(max(min_df, 1))
+        if C > device.candidate_buckets[-1]:
+            return None  # too many candidates for one-shot extraction
+        from ..ops.verify_ops import has_self_overlap
+        if score_mode and any(has_self_overlap(nd) for nd in needles):
+            return None  # TF would overcount; host path handles
+
+        from ..ops import fused as fused_ops
+        from ..storage.device_text import DeviceTextStore
+        import jax.numpy as jnp
+        dense_rows, sparse_tids = device.classify(tids)
+        if sparse_tids:
+            return None  # fused path is dense-only (sparse batcher covers)
+        from ..index.device_index import _k_bucket as kb
+        rows = list(dense_rows)
+        while len(rows) < kb(len(rows)):
+            rows.append(device.ones_row)
+        n_need = query.limit + query.offset if query.limit > 0 else 1
+        n_b = min(max(n_need, 1), C)
+        from ..index.device_index import _bucket_of, _LIMIT_BUCKETS
+        n_b = min(_bucket_of(n_b, _LIMIT_BUCKETS), C)
+        ndl, nlens = DeviceTextStore._pack_needles(needles)
+        idf = None
+        k1 = b_ = avgdl = 1.0
+        if score_mode:
+            dfs = []
+            for ti in terms:
+                total_df, _ = index.search_and(ti.grams, limit=1)
+                dfs.append(total_df)
+            idf = np.asarray(
+                [BM25Scorer.compute_idf(self.ctx.bm25.doc_count, df)
+                 for df in dfs], dtype=np.float32)
+            k1, b_ = self.cfg.bm25.k1, self.cfg.bm25.b
+            avgdl = self.ctx.bm25.avg_doc_length
+        total, ids, scores = fused_ops.search_verify_score_topn(
+            device.bitmaps,
+            jnp.asarray([rows], dtype=jnp.int32),
+            jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
+            device.deleted, device._pack_extra([]), dev_text,
+            C, n_b, ndl, nlens, idf=idf, k1=k1, b=b_, avgdl=avgdl,
+            descending=(ob.order == SortOrder.DESC or ob.is_score),
+            score_mode=score_mode)
+        if query.type == QueryType.COUNT:
+            return total, np.empty(0, dtype=np.int32), None, terms
+        keep = ids >= 0
+        ids = ids[keep]
+        page = ids[query.offset:query.offset + query.limit]
+        page_scores = None
+        if score_mode:
+            page_scores = scores[keep][
+                query.offset:query.offset + query.limit].astype(np.float64)
+        return total, page.astype(np.int32), page_scores, terms
 
     # ------------------------------------------------------------------
     # Top-N fast path (reference search_pipeline.h:348-367 shortcut,

@@ -121,7 +121,7 @@ class TestDumpFuzzing:
 # ---------------------------------------------------------------------------
 
 class TestKernelBoundaries:
-    @pytest.mark.parametrize("W", [1024, 1025 // 1, 2048, 4096])
+    @pytest.mark.parametrize("W", [1024, 1025, 4096])
     @pytest.mark.parametrize("descending", [True, False])
     def test_topn_edges_vs_numpy(self, W, descending):
         import jax
@@ -146,7 +146,7 @@ class TestKernelBoundaries:
         cases.append(rng.integers(0, 2**32, size=W, dtype=np.uint32))
 
         words = jnp.asarray(np.stack(cases))
-        for n in (1, 127, 128, 129, 1024):
+        for n in (1, 129, 1024):
             ids = np.asarray(bitmap_ops.topn_from_bitmap(
                 words, n, descending))
             for i, row in enumerate(cases):

