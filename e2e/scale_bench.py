@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=120,
                     help="parity queries")
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--verify", action="store_true",
+                    help="store texts and bench the fused verified path "
+                         "(CJK + verify_text north-star workload)")
     args = ap.parse_args()
 
     import jax
@@ -71,14 +74,19 @@ def main() -> int:
 
     b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
                      cross_boundary_ngrams=True)
+    texts_by_doc = {}  # only kept with --verify
+    sample_texts = {}
     t0 = time.time()
     n_done = 0
     for batch in gen.batches(10_000):
         normed = [(did, norm(text)) for did, text in batch]
         b.add_batch(normed)
+        if args.verify:
+            texts_by_doc.update(normed)
         for did, nt in normed:
             if did in sample_ids:
                 sample_grams[did] = frozenset(b.shred(nt))
+                sample_texts[did] = nt
         n_done += len(batch)
         if n_done % 100_000 == 0:
             rate = n_done / (time.time() - t0)
@@ -193,6 +201,94 @@ def main() -> int:
     sp_lat.sort()
     sparse_p50_ms = round(sp_lat[len(sp_lat) // 2] * 1000, 2) if sp_lat else -1
 
+    # ---------------- verified path (north-star workload) ----------------
+    res_verified = None
+    verify_parity_fail = 0
+    if args.verify:
+        from mygramdb_tpu.ops import fused as fused_ops
+        from mygramdb_tpu.ops.verify_ops import NEEDLE_CAP
+        from mygramdb_tpu.storage.device_text import DeviceTextStore
+        t0 = time.time()
+        dev_text = DeviceTextStore(texts_by_doc, idx.n_docs_capacity)
+        pack_secs = time.time() - t0
+        B = min(args.batch, 64)
+        ja_q = gen.sample_ja_terms(B * 30)
+        q_rows, q_ndl, q_nlen, q_terms = [], [], [], []
+        cand_cap = 4096  # candidate-bounded verified workload: the text
+        # window workspace is B*C*maxT; high-df terms take the 2-dispatch
+        # exact path instead
+        for term in ja_q:
+            g = grams_of(term)
+            rows, sparse = rows_for(sorted(set(g)), 8)
+            if rows is None or sparse:
+                continue
+            tids = [built.term_dict.get(x) for x in sorted(set(g))]
+            if min(int(built.lengths[t]) for t in tids) > cand_cap:
+                continue
+            cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+            if cp.size > NEEDLE_CAP:
+                continue
+            ndl = np.zeros((2, NEEDLE_CAP), dtype=np.uint32)
+            ndl[0, :cp.size] = cp
+            nlen = np.zeros(2, dtype=np.int32)
+            nlen[0] = cp.size
+            q_rows.append(rows)
+            q_ndl.append(ndl)
+            q_nlen.append(nlen)
+            q_terms.append(term)
+            if len(q_rows) == B:
+                break
+        while len(q_rows) < B:
+            q_rows.append(q_rows[len(q_rows) % max(len(q_rows), 1)])
+            q_ndl.append(q_ndl[-1]); q_nlen.append(q_nlen[-1])
+        rows_j = jnp.asarray(np.asarray(q_rows, dtype=np.int32))
+        nrows_j = jnp.asarray(np.full((B, 1), idx.zeros_row, np.int32))
+        ndl_j = np.stack(q_ndl)
+        nlen_j = np.stack(q_nlen)
+        extra_j = idx._pack_extra([])
+        C = cand_cap
+
+        def vstep(_):
+            return fused_ops.search_verify_topn_batch(
+                idx.bitmaps, rows_j, nrows_j, idx.deleted, extra_j,
+                dev_text, C, 128, ndl_j, nlen_j)
+
+        counts, topids = vstep(0)
+        vstep(0)
+        lat = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            vstep(0)
+            lat.append(time.perf_counter() - t0)
+        lat.sort()
+        ex = ThreadPoolExecutor(args.threads)
+        list(ex.map(vstep, range(args.threads)))
+        nb = args.threads * 6
+        t0 = time.perf_counter()
+        list(ex.map(vstep, range(nb)))
+        wall = time.perf_counter() - t0
+        ex.shutdown(wait=False)
+        res_verified = {
+            "qps": round(nb * B / wall, 1),
+            "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
+            "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
+            "text_pack_secs": round(pack_secs, 1),
+            "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
+        }
+        # verified parity vs sampled texts: counts must equal substring
+        # ground truth on the sample intersection
+        sample_arr_v = np.asarray(sorted(sample_texts), dtype=np.int64)
+        for qi in range(min(60, len(q_terms))):
+            term = q_terms[qi]
+            got_top = set(int(x) for x in topids[qi] if x >= 0)
+            expected = {d for d, tx in sample_texts.items() if term in tx}
+            got_in_sample = got_top & set(sample_arr_v.tolist())
+            # every sampled expected doc in the top-128 range must appear
+            for d in expected:
+                if int(counts[qi]) <= 128 and d not in got_top:
+                    verify_parity_fail += 1
+                    break
+
     # ---------------- sampled brute-force parity ----------------
     parity_fail = 0
     parity_n = 0
@@ -253,6 +349,8 @@ def main() -> int:
             "sparse_rare_p50_ms": sparse_p50_ms,
             "parity_queries": parity_n,
             "parity_failures": parity_fail,
+            "ja_cjk_verified": res_verified,
+            "verify_parity_failures": verify_parity_fail,
             "backend": jax.default_backend(),
         },
     }

@@ -28,17 +28,19 @@ import jax.numpy as jnp
 from . import runtime
 from .bitmap_ops import (_topn_hierarchical, dense_query, dense_query_pallas,
                          PBLOCK, _single_device)
-from .verify_ops import NEEDLE_CAP, _gather_text_flat, _gather_text_padded
+from .verify_ops import (NEEDLE_CAP, _gather_text_flat,
+                         _gather_text_padded, needle_cap_bucket)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas"))
+    "C", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
+    "cap"))
 def _search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
                               needles, needle_lens, idf, k1, b, avgdl,
                               *, C: int, n: int, Nn: int, maxT: int,
                               descending: bool, score_mode: bool,
-                              use_pallas: bool):
+                              use_pallas: bool, cap: int = NEEDLE_CAP):
     """Single query (B=1 shapes on the bitmap side). needles: (Nn, CAP);
     idf: (Nn,) f32. -> (count, ids (n,), scores (n,) f32)."""
     if use_pallas:
@@ -68,7 +70,7 @@ def _search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
             return jnp.logical_and(m, cmp)
 
         match_at = jax.lax.fori_loop(
-            0, NEEDLE_CAP, step, jnp.ones((C, maxT), dtype=jnp.bool_))
+            0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
         in_range = starts + nlen <= doc_len[:, None]
         count = jnp.sum(jnp.logical_and(match_at, in_range
                                         ).astype(jnp.int32), axis=1)
@@ -104,6 +106,85 @@ def _search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
     return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "C", "n", "Nn", "maxT", "descending", "use_pallas", "cap"))
+def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
+                              codepoints, offsets, lengths,
+                              needles, needle_lens,
+                              *, C: int, n: int, Nn: int, maxT: int,
+                              descending: bool, use_pallas: bool,
+                              cap: int = NEEDLE_CAP):
+    """Batched fused verified search (PK order, no scoring): B queries,
+    each with its OWN needle set, in one dispatch. rows: (B, K);
+    needles: (B, Nn, CAP); needle_lens: (B, Nn).
+    -> (counts (B,), ids (B, n))."""
+    from .posting_ops import mask_to_topn
+
+    if use_pallas:
+        _, res = dense_query_pallas(bitmaps, rows, deleted)
+    else:
+        _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
+                             has_not=False, has_extra=False)
+    cand, _ = _topn_hierarchical(res, C, False)  # (B, C) ascending, -1 pad
+
+    def one(cand_row, ndl_set, nlen_set):
+        alive = cand_row >= 0
+        if codepoints.ndim == 2:
+            text, doc_len = _gather_text_padded(codepoints, lengths,
+                                                cand_row, maxT)
+        else:
+            text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
+                                              cand_row, maxT)
+        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+
+        def one_needle(j, acc):
+            ndl = ndl_set[j]
+            nlen = nlen_set[j]
+
+            def step(k, m):
+                window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
+                cmp = jnp.logical_or(k >= nlen, window == ndl[k])
+                return jnp.logical_and(m, cmp)
+
+            match_at = jax.lax.fori_loop(
+                0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
+            in_range = starts + nlen <= doc_len[:, None]
+            contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
+            contains = jnp.logical_or(contains, nlen == 0)
+            return jnp.logical_and(acc, contains)
+
+        mask = jax.lax.fori_loop(0, Nn, one_needle,
+                                 jnp.ones((C,), dtype=jnp.bool_))
+        mask = jnp.logical_and(mask, alive)
+        count = jnp.sum(mask.astype(jnp.int32))
+        safe = jnp.where(alive, cand_row, jnp.int32(2 ** 31 - 1))
+        _, ids_out = mask_to_topn(safe, mask, n, descending)
+        return count, ids_out
+
+    return jax.vmap(one)(cand, needles, needle_lens)
+
+
+def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
+                             text_store, cand_bucket: int, n: int,
+                             needles, needle_lens, descending: bool = True):
+    """One-dispatch batched verified search (see _search_verify_topn_batch).
+    Returns numpy (counts, ids)."""
+    import numpy as np
+
+    use_pallas = (_single_device(bitmaps) and runtime.use_pallas()
+                  and bitmaps.shape[1] % PBLOCK == 0)
+    runtime.dispatches.bump()
+    count, ids = _search_verify_topn_batch(
+        bitmaps, rows, nrows, deleted, extra,
+        text_store.codepoints, text_store.offsets, text_store.lengths,
+        jnp.asarray(needles), jnp.asarray(needle_lens),
+        C=cand_bucket, n=n, Nn=needles.shape[1], maxT=text_store.maxT,
+        descending=descending, use_pallas=use_pallas,
+        cap=needle_cap_bucket(int(np.max(needle_lens))
+                              if np.max(needle_lens) > 0 else 1))
+    return np.asarray(count), np.asarray(ids)
+
+
 def search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
                              text_store, cand_bucket: int, n: int,
                              needles, needle_lens, idf=None,
@@ -120,6 +201,7 @@ def search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
     if idf is None:
         idf = jnp.zeros((Nn,), dtype=jnp.float32)
     runtime.dispatches.bump()
+    import numpy as _np
     count, ids, scores = _search_verify_score_topn(
         bitmaps, rows, nrows, deleted, extra,
         text_store.codepoints, text_store.offsets, text_store.lengths,
@@ -128,5 +210,7 @@ def search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
         jnp.float32(b), jnp.float32(avgdl),
         C=cand_bucket, n=n, Nn=Nn, maxT=text_store.maxT,
         descending=descending, score_mode=score_mode,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas,
+        cap=needle_cap_bucket(int(_np.max(needle_lens))
+                              if int(_np.max(needle_lens)) > 0 else 1))
     return int(count), np.asarray(ids), np.asarray(scores)

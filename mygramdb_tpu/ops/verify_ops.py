@@ -21,6 +21,16 @@ import jax
 import jax.numpy as jnp
 
 NEEDLE_CAP = 32  # needles longer than this fall back to host verification
+_CAP_BUCKETS = (4, 8, 16, 32)
+
+
+def needle_cap_bucket(max_len: int) -> int:
+    """Static window-loop bound: the compare loop costs O(cap * C * maxT),
+    so a 2-char CJK needle must not pay the full 32-step cap."""
+    for c in _CAP_BUCKETS:
+        if max_len <= c:
+            return c
+    return NEEDLE_CAP
 
 
 def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT):
@@ -51,11 +61,12 @@ def _gather_text_padded(padded, lengths, cand_ids, maxT):
     return jnp.concatenate([rows, pad], axis=1), doc_len
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn"))
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
 def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
                             lengths: jax.Array, cand_ids: jax.Array,
                             needles: jax.Array, needle_lens: jax.Array,
-                            *, C: int, maxT: int, Nn: int) -> jax.Array:
+                            *, C: int, maxT: int, Nn: int,
+                            cap: int = NEEDLE_CAP) -> jax.Array:
     """-> (C,) bool: candidate text contains ALL needles.
 
     codepoints: (P,) uint32 packed corpus OR (N, maxT) padded text matrix
@@ -80,7 +91,7 @@ def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
             return jnp.logical_and(m, cmp)
 
         match_at = jax.lax.fori_loop(
-            0, NEEDLE_CAP, step,
+            0, cap, step,
             jnp.ones((C, maxT), dtype=jnp.bool_))
         starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
         in_range = starts + nlen <= doc_len[:, None]
@@ -93,11 +104,12 @@ def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
     return jnp.logical_and(mask, cand_ids >= 0)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn"))
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
 def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
                              lengths: jax.Array, cand_ids: jax.Array,
                              needles: jax.Array, needle_lens: jax.Array,
-                             *, C: int, maxT: int, Nn: int):
+                             *, C: int, maxT: int, Nn: int,
+                             cap: int = NEEDLE_CAP):
     """BM25 TF on device: -> (tf (C, Nn) int32, doc_len (C,) int32).
 
     Counts ALL match positions, which equals the reference's
@@ -122,7 +134,7 @@ def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
             return jnp.logical_and(m, cmp)
 
         match_at = jax.lax.fori_loop(
-            0, NEEDLE_CAP, step, jnp.ones((C, maxT), dtype=jnp.bool_))
+            0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
         in_range = starts + nlen <= doc_len[:, None]
         count = jnp.sum(jnp.logical_and(match_at, in_range
                                         ).astype(jnp.int32), axis=1)
@@ -135,13 +147,13 @@ def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
     return jnp.where(alive, tf, 0), jnp.where(cand_ids >= 0, doc_len, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "n"))
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "n", "cap"))
 def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
                      lengths: jax.Array, cand_ids: jax.Array,
                      needles: jax.Array, needle_lens: jax.Array,
                      idf: jax.Array, k1: jax.Array, b: jax.Array,
                      avgdl: jax.Array, *, C: int, maxT: int, Nn: int,
-                     n: int):
+                     n: int, cap: int = NEEDLE_CAP):
     """Fused BM25: TF count -> score -> top-n, ONE dispatch. Only the top
     n (score, id) pairs cross to the host — replacing the
     materialize-all-ids + host-sort path for ``SORT _score`` queries
@@ -153,7 +165,7 @@ def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
     """
     tf, dl = count_occurrences_device(
         codepoints, offsets, lengths, cand_ids, needles, needle_lens,
-        C=C, maxT=maxT, Nn=Nn)
+        C=C, maxT=maxT, Nn=Nn, cap=cap)
     tff = tf.astype(jnp.float32)
     norm = k1 * (1.0 - b + b * dl.astype(jnp.float32)[:, None] /
                  jnp.maximum(avgdl, 1e-9))

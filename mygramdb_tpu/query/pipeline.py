@@ -407,14 +407,26 @@ class SearchPipeline:
                  for df in dfs], dtype=np.float32)
             k1, b_ = self.cfg.bm25.k1, self.cfg.bm25.b
             avgdl = self.ctx.bm25.avg_doc_length
-        total, ids, scores = fused_ops.search_verify_score_topn(
-            device.bitmaps,
-            jnp.asarray([rows], dtype=jnp.int32),
-            jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
-            device.deleted, device._pack_extra([]), dev_text,
-            C, n_b, ndl, nlens, idf=idf, k1=k1, b=b_, avgdl=avgdl,
-            descending=(ob.order == SortOrder.DESC or ob.is_score),
-            score_mode=score_mode)
+        desc = (ob.order == SortOrder.DESC or ob.is_score)
+        scores = None
+        if not score_mode and device.batcher is not None and \
+                len(rows) <= 32:
+            # share one vmapped dispatch with concurrent verified queries
+            Nn_b = _bucket_of(len(needles), (2, 4))
+            ndl_p = np.zeros((Nn_b, ndl.shape[1]), dtype=np.uint32)
+            ndl_p[:ndl.shape[0]] = ndl
+            nlens_p = np.zeros(Nn_b, dtype=np.int32)
+            nlens_p[:nlens.shape[0]] = nlens
+            total, ids = device.batcher.submit_fused_verify(
+                rows, ndl_p, nlens_p, dev_text, C, n_b, desc)
+        else:
+            total, ids, scores = fused_ops.search_verify_score_topn(
+                device.bitmaps,
+                jnp.asarray([rows], dtype=jnp.int32),
+                jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
+                device.deleted, device._pack_extra([]), dev_text,
+                C, n_b, ndl, nlens, idf=idf, k1=k1, b=b_, avgdl=avgdl,
+                descending=desc, score_mode=score_mode)
         if query.type == QueryType.COUNT:
             return total, np.empty(0, dtype=np.int32), None, terms
         keep = ids >= 0

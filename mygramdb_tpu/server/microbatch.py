@@ -90,6 +90,21 @@ class MicroBatcher:
         self._enqueue(("dense", limit_b, descending), req)
         return req.total, req.ids
 
+    def submit_fused_verify(self, dense_rows: List[int], needles,
+                            needle_lens, text_store, C: int, limit_b: int,
+                            descending: bool) -> Tuple[int, np.ndarray]:
+        """Blocking submit of a fused verified search (PK order). needles:
+        (Nn, CAP) uint32 already padded to the Nn bucket."""
+        if len(dense_rows) > MAX_K:
+            raise ValueError(
+                f"micro-batch supports at most {MAX_K} dense rows")
+        req = _Request(rows=list(dense_rows), sparse={
+            "needles": needles, "nlens": needle_lens, "store": text_store})
+        key = ("fusedv", id(text_store), C, needles.shape[0],
+               limit_b, descending)
+        self._enqueue(key, req)
+        return req.total, req.ids
+
     def submit_sparse(self, d_off: int, d_len: int,
                       sp_off: List[int], sp_len: List[int],
                       sp_inv: List[bool],
@@ -119,6 +134,8 @@ class MicroBatcher:
         try:
             if key[0] == "dense":
                 self._execute_dense(q, key[1], key[2])
+            elif key[0] == "fusedv":
+                self._execute_fused_verify(q, key)
             else:
                 self._execute_sparse(q, key)
         except BaseException as e:  # noqa: BLE001 — propagate to waiters
@@ -161,6 +178,44 @@ class MicroBatcher:
             r.total = int(count_np[i])
             r.ids = ids_np[i]
             r.event.set()
+
+    def _execute_fused_verify(self, q: List[_Request], key: tuple) -> None:
+        import jax.numpy as jnp
+        from ..ops import fused as fused_ops
+        from ..ops.verify_ops import NEEDLE_CAP
+        idx = self.idx
+        _, _sid, C, Nn, limit_b, descending = key
+        store = q[0].sparse["store"]
+        # the text-window workspace is B*C*maxT*4 bytes; chunk the flush so
+        # one dispatch never exceeds ~512MB of HBM scratch
+        b_cap = max(1, (512 << 20) // max(C * store.maxT * 4, 1))
+        pos = 0
+        while pos < len(q):
+            chunk = q[pos:pos + b_cap]
+            pos += b_cap
+            B = len(chunk)
+            B_pad = min(self._pad_b(B), max(b_cap, 1))
+            B_pad = max(B_pad, B)
+            K = 8 if max(len(r.rows) for r in chunk) <= 8 else MAX_K
+            rows = np.full((B_pad, K), idx.ones_row, dtype=np.int32)
+            ndl = np.zeros((B_pad, Nn, NEEDLE_CAP), dtype=np.uint32)
+            nlens = np.zeros((B_pad, Nn), dtype=np.int32)
+            for i, r in enumerate(chunk):
+                rows[i, :len(r.rows)] = r.rows
+                ndl[i] = r.sparse["needles"]
+                nlens[i] = r.sparse["nlens"]
+            nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
+            extra = idx._pack_extra([])
+            count, ids = fused_ops.search_verify_topn_batch(
+                idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
+                idx.deleted, extra, store, C, limit_b, ndl, nlens,
+                descending=descending)
+            self.batches_executed += 1
+            self.queries_batched += B
+            for i, r in enumerate(chunk):
+                r.total = int(count[i])
+                r.ids = ids[i]
+                r.event.set()
 
     def _execute_sparse(self, q: List[_Request], key: tuple) -> None:
         import jax.numpy as jnp

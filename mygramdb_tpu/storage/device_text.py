@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..ops.verify_ops import (NEEDLE_CAP, bm25_topk_device,
                               count_occurrences_device, has_self_overlap,
-                              substring_verify_device)
+                              needle_cap_bucket, substring_verify_device)
 from ..ops import runtime
 from .. import native
 
@@ -135,7 +135,8 @@ class DeviceTextStore:
             m = substring_verify_device(
                 self.codepoints, self.offsets, self.lengths,
                 jnp.asarray(padded), jnp.asarray(ndl), jnp.asarray(nlens),
-                C=C, maxT=self.maxT, Nn=Nn)
+                C=C, maxT=self.maxT, Nn=Nn,
+                cap=needle_cap_bucket(int(nlens.max())))
             out[pos:pos + chunk.size] = np.asarray(m)[:chunk.size]
             pos += chunk.size
         return out
@@ -184,7 +185,8 @@ class DeviceTextStore:
                 t_m, l_m = count_occurrences_device(
                     self.codepoints, self.offsets, self.lengths,
                     jnp.asarray(padded), jnp.asarray(ndl),
-                    jnp.asarray(nlens), C=C, maxT=self.maxT, Nn=Nn)
+                    jnp.asarray(nlens), C=C, maxT=self.maxT, Nn=Nn,
+                    cap=needle_cap_bucket(int(nlens.max())))
                 d_tf[pos:pos + chunk.size] = np.asarray(t_m)[:chunk.size]
                 d_dl[pos:pos + chunk.size] = np.asarray(l_m)[:chunk.size]
                 pos += chunk.size
@@ -251,7 +253,8 @@ class DeviceTextStore:
                     jnp.asarray(nlens),
                     jnp.asarray(idf, dtype=jnp.float32),
                     jnp.float32(k1), jnp.float32(b), jnp.float32(avgdl),
-                    C=C, maxT=self.maxT, Nn=Nn, n=min(n, C))
+                    C=C, maxT=self.maxT, Nn=Nn, n=min(n, C),
+                    cap=needle_cap_bucket(int(nlens.max())))
                 t_ids = np.asarray(t_ids)
                 t_sc = np.asarray(t_sc)
                 keep = t_ids >= 0
