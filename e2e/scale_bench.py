@@ -212,46 +212,62 @@ def main() -> int:
         dev_text = DeviceTextStore(texts_by_doc, idx.n_docs_capacity)
         pack_secs = time.time() - t0
         B = min(args.batch, 64)
-        ja_q = gen.sample_ja_terms(B * 30)
-        q_rows, q_ndl, q_nlen, q_terms = [], [], [], []
-        cand_cap = 4096  # candidate-bounded verified workload: the text
-        # window workspace is B*C*maxT; high-df terms take the 2-dispatch
-        # exact path instead
+        ja_q = gen.sample_ja_terms(B * 60)
+        C = 4096       # candidate bucket (driver df bound)
+        Ks, Kd = 8, 8
+        payload = []   # per-query sparse-driver arrays
+        q_terms = []
         for term in ja_q:
-            g = grams_of(term)
-            rows, sparse = rows_for(sorted(set(g)), 8)
-            if rows is None or sparse:
+            g = sorted(set(grams_of(term)))
+            tids = [built.term_dict.get(x) for x in g]
+            if any(t is None for t in tids):
                 continue
-            tids = [built.term_dict.get(x) for x in sorted(set(g))]
-            if min(int(built.lengths[t]) for t in tids) > cand_cap:
+            dense, sparse = idx.classify(tids)
+            if not sparse:
+                continue  # dense-only CJK terms keep the dense fused path
+            sparse = sorted(sparse, key=lambda t: int(idx.lengths[t]))
+            dlen = int(idx.lengths[sparse[0]])
+            if dlen == 0 or idx._cand_bucket(dlen) > C:
                 continue
             cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
             if cp.size > NEEDLE_CAP:
                 continue
+            sp_off = [int(idx.offsets32[t]) for t in sparse[1:]]
+            sp_len = [int(idx.lengths[t]) for t in sparse[1:]]
+            sp_inv = [False] * len(sp_off)
+            while len(sp_off) < Ks:
+                sp_off.append(0); sp_len.append(0); sp_inv.append(True)
+            dn = list(dense)
+            dn_inv = [False] * len(dn)
+            while len(dn) < Kd:
+                dn.append(idx.ones_row); dn_inv.append(False)
             ndl = np.zeros((2, NEEDLE_CAP), dtype=np.uint32)
             ndl[0, :cp.size] = cp
             nlen = np.zeros(2, dtype=np.int32)
             nlen[0] = cp.size
-            q_rows.append(rows)
-            q_ndl.append(ndl)
-            q_nlen.append(nlen)
+            payload.append((int(idx.offsets32[sparse[0]]), dlen, sp_off,
+                            sp_len, sp_inv, dn, dn_inv, ndl, nlen))
             q_terms.append(term)
-            if len(q_rows) == B:
+            if len(payload) == B:
                 break
-        while len(q_rows) < B:
-            q_rows.append(q_rows[len(q_rows) % max(len(q_rows), 1)])
-            q_ndl.append(q_ndl[-1]); q_nlen.append(q_nlen[-1])
-        rows_j = jnp.asarray(np.asarray(q_rows, dtype=np.int32))
-        nrows_j = jnp.asarray(np.full((B, 1), idx.zeros_row, np.int32))
-        ndl_j = np.stack(q_ndl)
-        nlen_j = np.stack(q_nlen)
-        extra_j = idx._pack_extra([])
-        C = cand_cap
+        while len(payload) < B:
+            payload.append(payload[len(payload) % max(len(payload), 1)])
+        d_off = np.asarray([p[0] for p in payload], dtype=np.int32)
+        d_len = np.asarray([p[1] for p in payload], dtype=np.int32)
+        sp_off = np.asarray([p[2] for p in payload], dtype=np.int32)
+        sp_len = np.asarray([p[3] for p in payload], dtype=np.int32)
+        sp_inv = np.asarray([p[4] for p in payload], dtype=bool)
+        dn_rows = np.asarray([p[5] for p in payload], dtype=np.int32)
+        dn_inv = np.asarray([p[6] for p in payload], dtype=bool)
+        ndl_j = np.stack([p[7] for p in payload])
+        nlen_j = np.stack([p[8] for p in payload])
+        Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
 
         def vstep(_):
-            return fused_ops.search_verify_topn_batch(
-                idx.bitmaps, rows_j, nrows_j, idx.deleted, extra_j,
-                dev_text, C, 128, ndl_j, nlen_j)
+            return fused_ops.sparse_search_verify_topn_batch(
+                idx.postings, idx.bitmaps, idx.deleted,
+                d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words)
 
         counts, topids = vstep(0)
         vstep(0)

@@ -478,6 +478,93 @@ class DeviceIndex:
                                  n_words=self.n_words)
 
     # ------------------------------------------------------------------
+    # Fused verified search (one dispatch: match + window verify + top-n)
+    # ------------------------------------------------------------------
+    _VERIFY_WORKSPACE = 512 << 20  # B*C*maxT*4 scratch cap per dispatch
+
+    def search_and_verified(self, tids: Sequence[int], text_store,
+                            needles: np.ndarray, needle_lens: np.ndarray,
+                            limit_b: int, descending: bool):
+        """One-dispatch verified AND over a DeviceTextStore: (total, ids)
+        with total = VERIFIED match count, or None when no fused shape
+        applies (caller falls back to the multi-dispatch exact path).
+        Routes dense-only queries through the bitmap extractor and
+        sparse-driver queries through the CSR candidate probe — the latter
+        is the Wikipedia-scale CJK+verify shape (rarest gram sparse)."""
+        from ..ops import fused as fused_ops
+        dense_rows, sparse_tids = self.classify(list(tids))
+        maxT = text_store.maxT
+        if sparse_tids:
+            sparse_tids = sorted(sparse_tids,
+                                 key=lambda t: int(self.lengths[t]))
+            driver = sparse_tids[0]
+            dlen = int(self.lengths[driver])
+            if dlen == 0:
+                return 0, np.empty(0, dtype=np.int32)
+            C = self._cand_bucket(dlen)
+            if C > self.candidate_buckets[-1] or \
+                    C * maxT * 4 > self._VERIFY_WORKSPACE:
+                return None
+            sp_off, sp_len, sp_inv = [], [], []
+            for t in sparse_tids[1:]:
+                sp_off.append(int(self.offsets32[t]))
+                sp_len.append(int(self.lengths[t]))
+                sp_inv.append(False)
+            Ks = _k_bucket(len(sp_off)) if sp_off else 1
+            Cmax = self._cand_bucket(max([1] + sp_len))
+            while len(sp_off) < Ks:
+                sp_off.append(0)
+                sp_len.append(0)
+                sp_inv.append(True)
+            dn_rows = list(dense_rows)
+            Kd = _k_bucket(len(dn_rows)) if dn_rows else 1
+            dn_inv = [False] * len(dn_rows)
+            while len(dn_rows) < Kd:
+                dn_rows.append(self.ones_row)
+                dn_inv.append(False)
+            lb = min(limit_b, C)
+            if self.batcher is not None:
+                return self.batcher.submit_fused_sparse_verify(
+                    int(self.offsets32[driver]), dlen, sp_off, sp_len,
+                    sp_inv, dn_rows, dn_inv, needles, needle_lens,
+                    text_store, C, Cmax, lb, descending)
+            count, ids = fused_ops.sparse_search_verify_topn_batch(
+                self.postings, self.bitmaps, self.deleted,
+                np.asarray([self.offsets32[driver]], dtype=np.int32),
+                np.asarray([dlen], dtype=np.int32),
+                np.asarray([sp_off], dtype=np.int32),
+                np.asarray([sp_len], dtype=np.int32),
+                np.asarray([sp_inv], dtype=bool),
+                np.asarray([dn_rows], dtype=np.int32),
+                np.asarray([dn_inv], dtype=bool),
+                text_store, C, Cmax, lb, needles[None], needle_lens[None],
+                self.n_words, descending)
+            return int(count[0]), ids[0]
+        # dense-only: candidate bound = min dense df
+        if not dense_rows:
+            return 0, np.empty(0, dtype=np.int32)
+        dfs = [int(self.lengths[t]) for t in tids]
+        C = self._cand_bucket(max(min(dfs), 1))
+        if C > self.candidate_buckets[-1] or \
+                C * maxT * 4 > self._VERIFY_WORKSPACE:
+            return None
+        rows = list(dense_rows)
+        while len(rows) < _k_bucket(len(rows)):
+            rows.append(self.ones_row)
+        if len(rows) > 32:
+            return None
+        lb = min(limit_b, C)
+        if self.batcher is not None:
+            return self.batcher.submit_fused_verify(
+                rows, needles, needle_lens, text_store, C, lb, descending)
+        count, ids = fused_ops.search_verify_topn_batch(
+            self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
+            jnp.asarray([[self.zeros_row]], dtype=jnp.int32),
+            self.deleted, self._pack_extra([]), text_store, C, lb,
+            needles[None], needle_lens[None], descending)
+        return int(count[0]), ids[0]
+
+    # ------------------------------------------------------------------
     def search_or(self, tids: Sequence[int]) -> np.ndarray:
         """Union, ascending doc ids (host materialization; the boolean-AST
         OR path). Tombstones applied."""

@@ -164,6 +164,106 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     return jax.vmap(one)(cand, needles, needle_lens)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "C", "Cmax", "n", "Nn", "maxT", "descending", "n_words", "cap"))
+def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
+                                     d_off, d_len, sp_off, sp_len, sp_inv,
+                                     dn_rows, dn_inv,
+                                     codepoints, offsets, lengths,
+                                     needles, needle_lens,
+                                     *, C: int, Cmax: int, n: int, Nn: int,
+                                     maxT: int, descending: bool,
+                                     n_words: int, cap: int):
+    """Sparse-driver fused verified search, batched: the rarest term's CSR
+    slice is the candidate vector (so C is bounded by its df — exactly the
+    queries whose rarest gram is sparse), probed by the other grams, then
+    window-verified, counted, top-n'd — ONE dispatch. At Wikipedia scale
+    this is THE north-star query shape (CJK bigram + verify_text: the
+    rarest kanji unigram is almost always in the sparse tail)."""
+    from .bitmap_ops import bit_member
+    from .posting_ops import (SENTINEL, bitmap_membership, gather_slices,
+                              mask_to_topn, membership_sorted)
+
+    compare_all = C * Cmax <= (1 << 26)
+
+    def one(doff, dlen, soff, slen, sinv, drows, dinv, ndl_set, nlen_set):
+        cands = gather_slices(postings, doff[None], dlen[None], C)[0]
+        cmask = cands != SENTINEL
+        clip = jnp.clip(cands, 0, n_words * 32 - 1)
+        sp = gather_slices(postings, soff, slen, Cmax)
+        if compare_all:
+            # probe by fused broadcast equality (vectorizes on the VPU;
+            # binary-search gathers measured ~5x slower at these shapes)
+            spm = jax.vmap(lambda row: jnp.any(
+                row[None, :] == cands[:, None], axis=1))(sp)
+        else:
+            spm = membership_sorted(sp, cands)
+        spm = jnp.logical_xor(spm, sinv[:, None])
+        dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
+                              dinv[:, None])
+        alive = jnp.logical_not(bit_member(deleted, clip))
+        mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0) & alive)
+
+        # window verify over the candidate slice
+        safe_ids = jnp.where(cmask, cands, 0)
+        if codepoints.ndim == 2:
+            text, doc_len = _gather_text_padded(codepoints, lengths,
+                                                safe_ids, maxT)
+        else:
+            text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
+                                              safe_ids, maxT)
+        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+
+        def one_needle(j, acc):
+            ndl = ndl_set[j]
+            nlen = nlen_set[j]
+
+            def step(k, m):
+                window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
+                cmp = jnp.logical_or(k >= nlen, window == ndl[k])
+                return jnp.logical_and(m, cmp)
+
+            match_at = jax.lax.fori_loop(
+                0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
+            in_range = starts + nlen <= doc_len[:, None]
+            contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
+            contains = jnp.logical_or(contains, nlen == 0)
+            return jnp.logical_and(acc, contains)
+
+        vmask = jax.lax.fori_loop(0, Nn, one_needle,
+                                  jnp.ones((C,), dtype=jnp.bool_))
+        mask = jnp.logical_and(mask, vmask)
+        count = jnp.sum(mask.astype(jnp.int32))
+        _, ids_out = mask_to_topn(cands, mask, n, descending)
+        return count, ids_out
+
+    return jax.vmap(one)(d_off, d_len, sp_off, sp_len, sp_inv,
+                         dn_rows, dn_inv, needles, needle_lens)
+
+
+def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
+                                    d_off, d_len, sp_off, sp_len, sp_inv,
+                                    dn_rows, dn_inv, text_store,
+                                    C: int, Cmax: int, n: int,
+                                    needles, needle_lens, n_words: int,
+                                    descending: bool = True):
+    """numpy wrapper; see _sparse_search_verify_topn_batch."""
+    import numpy as np
+
+    runtime.dispatches.bump()
+    count, ids = _sparse_search_verify_topn_batch(
+        postings, bitmaps, deleted,
+        jnp.asarray(d_off), jnp.asarray(d_len),
+        jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
+        jnp.asarray(dn_rows), jnp.asarray(dn_inv),
+        text_store.codepoints, text_store.offsets, text_store.lengths,
+        jnp.asarray(needles), jnp.asarray(needle_lens),
+        C=C, Cmax=Cmax, n=n, Nn=needles.shape[1], maxT=text_store.maxT,
+        descending=descending, n_words=n_words,
+        cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)))
+    return np.asarray(count), np.asarray(ids)
+
+
 def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                              text_store, cand_bucket: int, n: int,
                              needles, needle_lens, descending: bool = True):

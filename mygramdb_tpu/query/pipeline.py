@@ -153,8 +153,12 @@ class SearchPipeline:
             terms = [self.term_info(t) for t in query.all_terms]
             out.all_search_terms = [ti.normalized for ti in terms]
             dbg.search_terms = out.all_search_terms
-            self._finalize(query, out, all_ids, terms, t_start,
-                           collect_all=collect_all)
+            try:
+                self._finalize(query, out, all_ids, terms, t_start,
+                               collect_all=collect_all)
+            except PipelineError as e:
+                out.success = False
+                out.error = str(e)
             return out
         if self.cache is not None:
             dbg.cache_status = "miss" if self.cache.enabled else "disabled"
@@ -269,8 +273,12 @@ class SearchPipeline:
                               [g for ti in terms for g in ti.grams],
                               version_at_lookup=cache_version)
 
-        self._finalize(query, out, all_ids, terms, t_start,
-                       collect_all=collect_all)
+        try:
+            self._finalize(query, out, all_ids, terms, t_start,
+                           collect_all=collect_all)
+        except PipelineError as e:
+            out.success = False
+            out.error = str(e)
         return out
 
     # ------------------------------------------------------------------
@@ -383,21 +391,33 @@ class SearchPipeline:
         from ..ops import fused as fused_ops
         from ..storage.device_text import DeviceTextStore
         import jax.numpy as jnp
-        dense_rows, sparse_tids = device.classify(tids)
-        if sparse_tids:
-            return None  # fused path is dense-only (sparse batcher covers)
-        from ..index.device_index import _k_bucket as kb
-        rows = list(dense_rows)
-        while len(rows) < kb(len(rows)):
-            rows.append(device.ones_row)
+        from ..index.device_index import _bucket_of, _LIMIT_BUCKETS, \
+            _k_bucket as kb
         n_need = query.limit + query.offset if query.limit > 0 else 1
         n_b = min(max(n_need, 1), C)
-        from ..index.device_index import _bucket_of, _LIMIT_BUCKETS
         n_b = min(_bucket_of(n_b, _LIMIT_BUCKETS), C)
+        desc = (ob.order == SortOrder.DESC or ob.is_score)
+        Nn_b = _bucket_of(len(needles), (2, 4))
         ndl, nlens = DeviceTextStore._pack_needles(needles)
-        idf = None
-        k1 = b_ = avgdl = 1.0
-        if score_mode:
+        ndl_p = np.zeros((Nn_b, ndl.shape[1]), dtype=np.uint32)
+        ndl_p[:ndl.shape[0]] = ndl
+        nlens_p = np.zeros(Nn_b, dtype=np.int32)
+        nlens_p[:nlens.shape[0]] = nlens
+        scores = None
+        if not score_mode:
+            # dense or sparse driver: one dispatch, batched when possible
+            out_sv = device.search_and_verified(tids, dev_text, ndl_p,
+                                                nlens_p, n_b, desc)
+            if out_sv is None:
+                return None
+            total, ids = out_sv
+        else:
+            dense_rows, sparse_tids = device.classify(tids)
+            if sparse_tids:
+                return None  # scored fused path is dense-only
+            rows = list(dense_rows)
+            while len(rows) < kb(len(rows)):
+                rows.append(device.ones_row)
             dfs = []
             for ti in terms:
                 total_df, _ = index.search_and(ti.grams, limit=1)
@@ -405,28 +425,14 @@ class SearchPipeline:
             idf = np.asarray(
                 [BM25Scorer.compute_idf(self.ctx.bm25.doc_count, df)
                  for df in dfs], dtype=np.float32)
-            k1, b_ = self.cfg.bm25.k1, self.cfg.bm25.b
-            avgdl = self.ctx.bm25.avg_doc_length
-        desc = (ob.order == SortOrder.DESC or ob.is_score)
-        scores = None
-        if not score_mode and device.batcher is not None and \
-                len(rows) <= 32:
-            # share one vmapped dispatch with concurrent verified queries
-            Nn_b = _bucket_of(len(needles), (2, 4))
-            ndl_p = np.zeros((Nn_b, ndl.shape[1]), dtype=np.uint32)
-            ndl_p[:ndl.shape[0]] = ndl
-            nlens_p = np.zeros(Nn_b, dtype=np.int32)
-            nlens_p[:nlens.shape[0]] = nlens
-            total, ids = device.batcher.submit_fused_verify(
-                rows, ndl_p, nlens_p, dev_text, C, n_b, desc)
-        else:
             total, ids, scores = fused_ops.search_verify_score_topn(
                 device.bitmaps,
                 jnp.asarray([rows], dtype=jnp.int32),
                 jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
                 device.deleted, device._pack_extra([]), dev_text,
-                C, n_b, ndl, nlens, idf=idf, k1=k1, b=b_, avgdl=avgdl,
-                descending=desc, score_mode=score_mode)
+                C, n_b, ndl, nlens, idf=idf, k1=self.cfg.bm25.k1,
+                b=self.cfg.bm25.b, avgdl=self.ctx.bm25.avg_doc_length,
+                descending=desc, score_mode=True)
         if query.type == QueryType.COUNT:
             return total, np.empty(0, dtype=np.int32), None, terms
         keep = ids >= 0
@@ -808,6 +814,10 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _score_sort(self, query: Query, all_ids: np.ndarray,
                     terms: List[TermInfo]) -> Tuple[np.ndarray, np.ndarray]:
+        if not self.ctx.doc_store.stores_texts:
+            raise PipelineError(
+                "SORT _score requires stored normalized text "
+                "(memory.verify_text must not be off)")
         ob = query.order_by or OrderByClause()
         ids_list = all_ids.tolist()
         dfs = []

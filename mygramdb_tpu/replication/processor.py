@@ -198,9 +198,16 @@ class BinlogEventProcessor:
             return 0
         if not a_in:
             return 0
-        # insert-or-update
-        ctx.update_row(pk, atext, self._filters_of(ctx, arow))
-        self._invalidate(ctx, btext, atext)
+        # insert-or-update; filter-only updates (text unchanged) must not
+        # touch the full-text index at all (reference 1.8.0 critical-fix
+        # class: deciding index mutation on the wrong predicate dropped
+        # still-qualifying documents)
+        if btext == atext and ctx.doc_store.doc_id(pk) is not None:
+            ctx.update_row(pk, None, self._filters_of(ctx, arow))
+            self._invalidate(ctx, atext)  # cached filtered results stale
+        else:
+            ctx.update_row(pk, atext, self._filters_of(ctx, arow))
+            self._invalidate(ctx, btext, atext)
         return 1
 
     # ------------------------------------------------------------------

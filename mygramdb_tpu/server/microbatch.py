@@ -105,6 +105,22 @@ class MicroBatcher:
         self._enqueue(key, req)
         return req.total, req.ids
 
+    def submit_fused_sparse_verify(self, d_off: int, d_len: int,
+                                   sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                                   needles, needle_lens, text_store,
+                                   C: int, Cmax: int, limit_b: int,
+                                   descending: bool) -> Tuple[int, np.ndarray]:
+        """Blocking submit of a sparse-driver fused verified search."""
+        req = _Request(rows=[], sparse={
+            "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
+            "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
+            "dn_inv": dn_inv, "needles": needles, "nlens": needle_lens,
+            "store": text_store})
+        key = ("fusedsv", id(text_store), C, Cmax, len(sp_off),
+               len(dn_rows), needles.shape[0], limit_b, descending)
+        self._enqueue(key, req)
+        return req.total, req.ids
+
     def submit_sparse(self, d_off: int, d_len: int,
                       sp_off: List[int], sp_len: List[int],
                       sp_inv: List[bool],
@@ -136,6 +152,8 @@ class MicroBatcher:
                 self._execute_dense(q, key[1], key[2])
             elif key[0] == "fusedv":
                 self._execute_fused_verify(q, key)
+            elif key[0] == "fusedsv":
+                self._execute_fused_sparse_verify(q, key)
             else:
                 self._execute_sparse(q, key)
         except BaseException as e:  # noqa: BLE001 — propagate to waiters
@@ -210,6 +228,51 @@ class MicroBatcher:
                 idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
                 idx.deleted, extra, store, C, limit_b, ndl, nlens,
                 descending=descending)
+            self.batches_executed += 1
+            self.queries_batched += B
+            for i, r in enumerate(chunk):
+                r.total = int(count[i])
+                r.ids = ids[i]
+                r.event.set()
+
+    def _execute_fused_sparse_verify(self, q: List[_Request],
+                                     key: tuple) -> None:
+        from ..ops import fused as fused_ops
+        from ..ops.verify_ops import NEEDLE_CAP
+        idx = self.idx
+        _, _sid, C, Cmax, Ks, Kd, Nn, limit_b, descending = key
+        store = q[0].sparse["store"]
+        b_cap = max(1, (512 << 20) // max(C * store.maxT * 4, 1))
+        pos = 0
+        while pos < len(q):
+            chunk = q[pos:pos + b_cap]
+            pos += b_cap
+            B = len(chunk)
+            d_off = np.zeros(B, dtype=np.int32)
+            d_len = np.zeros(B, dtype=np.int32)
+            sp_off = np.zeros((B, Ks), dtype=np.int32)
+            sp_len = np.zeros((B, Ks), dtype=np.int32)
+            sp_inv = np.ones((B, Ks), dtype=bool)
+            dn_rows = np.full((B, Kd), idx.ones_row, dtype=np.int32)
+            dn_inv = np.zeros((B, Kd), dtype=bool)
+            ndl = np.zeros((B, Nn, NEEDLE_CAP), dtype=np.uint32)
+            nlens = np.zeros((B, Nn), dtype=np.int32)
+            for i, r in enumerate(chunk):
+                s = r.sparse
+                d_off[i] = s["d_off"]
+                d_len[i] = s["d_len"]
+                sp_off[i] = s["sp_off"]
+                sp_len[i] = s["sp_len"]
+                sp_inv[i] = s["sp_inv"]
+                dn_rows[i] = s["dn_rows"]
+                dn_inv[i] = s["dn_inv"]
+                ndl[i] = s["needles"]
+                nlens[i] = s["nlens"]
+            count, ids = fused_ops.sparse_search_verify_topn_batch(
+                idx.postings, idx.bitmaps, idx.deleted,
+                d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                store, C, Cmax, limit_b, ndl, nlens, idx.n_words,
+                descending)
             self.batches_executed += 1
             self.queries_batched += B
             for i, r in enumerate(chunk):

@@ -22,7 +22,7 @@ from ..ops import runtime
 from .. import native
 
 _C_BUCKETS = (2048, 4096, 8192, 16384)
-_PADDED_BUDGET_BYTES = 256 << 20  # padded text layout cap (row-gather path)
+_PADDED_BUDGET_BYTES = 1 << 30  # padded text layout cap (row-gather path)
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 
 

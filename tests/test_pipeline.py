@@ -396,3 +396,57 @@ class TestFusedVerifiedPath:
         assert out2.debug.optimization_used == "device_fused_verify"
         assert out2.total == out.total - 1
         assert int(victim) not in out2.results.tolist()
+
+
+class TestFusedSparseVerified:
+    """Sparse-driver fused verified search (the Wikipedia-scale CJK shape:
+    rarest gram in the CSR tail) must engage and match the general path."""
+
+    @pytest.fixture(scope="class")
+    def env(self):
+        ctx, cfg = make_ctx(CFG, 1, docs=[])
+        rng = np.random.default_rng(7)
+        common = ["quick", "brown", "fox", "lazy", "dog"]
+        rare = ["zephyr", "quartz", "vortex"]
+        for i in range(1, 1201):
+            words = list(rng.choice(common, size=6))
+            if i % 97 == 0:
+                words.append(rare[i % 3])
+            ctx.add_row(str(i), " ".join(words), {"status": 1})
+        ctx.optimize()
+        return SearchPipeline(ctx, cfg), ctx
+
+    def test_sparse_driver_engages_and_matches(self, env):
+        pipe, ctx = env
+        # 'zephyr' grams are rare -> sparse driver
+        gr = pipe.term_info("zephyr")
+        tids = ctx.index.query_tids(gr.grams)
+        dense, sparse = ctx.index.device.classify(tids)
+        assert sparse, "test premise: zephyr must have sparse grams"
+        out = run(pipe, 'SEARCH articles zephyr LIMIT 50', debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles zephyr LIMIT 50')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+
+    def test_sparse_driver_count(self, env):
+        pipe, ctx = env
+        out = run(pipe, 'COUNT articles quartz', debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'COUNT articles quartz')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+
+    def test_sparse_phrase_false_positive_filtered(self, env):
+        pipe, ctx = env
+        # phrase whose grams exist separately but never contiguously
+        out = run(pipe, 'SEARCH articles "zephyr quartz" LIMIT 10',
+                  debug=True)
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles "zephyr quartz" LIMIT 10')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
