@@ -41,7 +41,7 @@ class TableContext:
         self.filter_index = FilterIndex()
         for f in table_cfg.filters:
             self.filter_index.add_column(f.name, f.type, f.bitmap_index,
-                                         f.bucket)
+                                         f.bucket, f.dict_compress)
         for rf in table_cfg.required_filters:
             if rf.bitmap_index and not self.filter_index.has_column(rf.name):
                 self.filter_index.add_column(rf.name, rf.type, True)

@@ -63,6 +63,7 @@ class IndexBuilder:
         # on first sight of a hash; 64-bit collision odds are ~V^2/2^65)
         self._hash_to_tid: Dict[int, int] = {}
         self._use_native = None  # resolved lazily
+        self._h2t = None  # C++ hash table, created with the native path
 
     def shred(self, normalized_text: str) -> List[str]:
         return textproc.generate_query_ngrams(
@@ -100,18 +101,54 @@ class IndexBuilder:
             self.add_document(doc_id, text)
             return
         starts, lens, hashes = out
+        # hybrid_ngrams emits every position: dedupe per doc first
         uniq, first_idx = np.unique(hashes, return_index=True)
+        tids = self._resolve_tids(native.to_cp(text), starts[first_idx],
+                                  lens[first_idx], uniq)
+        self._record(doc_id, tids.tolist())
+
+    def _resolve_tids(self, flat, starts, lens, hashes) -> np.ndarray:
+        """hash array -> tid array. Steady state (vocabulary saturated) is
+        ONE linear pass through the persistent C++ hash table; only
+        never-seen hashes materialize gram strings and consult the real
+        TermDict (so a pre-populated term_dict — compaction — stays the
+        source of truth). Python-dict fallback when native is unavailable."""
+        from .. import native
+        if self._h2t is None:
+            self._h2t = native.HashToTid.create() or False
+        if self._h2t is not False:
+            tids, misses = self._h2t.lookup(hashes)
+            if misses:
+                unk_pos = np.nonzero(tids < 0)[0]
+                uniq_h, first = np.unique(hashes[unk_pos],
+                                          return_index=True)
+                get_or_add = self.term_dict.get_or_add
+                new_tids = np.empty(uniq_h.size, dtype=np.int64)
+                for j in range(uniq_h.size):
+                    i = int(unk_pos[first[j]])
+                    s, ln = int(starts[i]), int(lens[i])
+                    new_tids[j] = get_or_add("".join(map(chr,
+                                                         flat[s:s + ln])))
+                self._h2t.insert(uniq_h, new_tids)
+                tids[unk_pos] = new_tids[
+                    np.searchsorted(uniq_h, hashes[unk_pos])]
+            return tids
+        # pure-Python fallback (native lib unavailable)
+        uniq, first_idx, inverse = np.unique(
+            hashes, return_index=True, return_inverse=True)
         h2t = self._hash_to_tid
         get_or_add = self.term_dict.get_or_add
-        tids = []
-        for h, i in zip(uniq.tolist(), first_idx.tolist()):
+        tid_of_uniq = np.empty(uniq.size, dtype=np.int64)
+        for j in range(uniq.size):
+            h = int(uniq[j])
             tid = h2t.get(h)
             if tid is None:
-                s = int(starts[i])
-                tid = get_or_add(text[s:s + int(lens[i])])
+                s = int(starts[first_idx[j]])
+                ln = int(lens[first_idx[j]])
+                tid = get_or_add("".join(map(chr, flat[s:s + ln])))
                 h2t[h] = tid
-            tids.append(tid)
-        self._record(doc_id, tids)
+            tid_of_uniq[j] = tid
+        return tid_of_uniq[inverse]
 
     def _record(self, doc_id: int, tids: List[int]) -> None:
         self._cur_tids.extend(tids)
@@ -144,24 +181,7 @@ class IndexBuilder:
 
     def _add_batch_native(self, items, out) -> None:
         flat, starts, lens, hashes, counts = out
-        # resolve hashes -> tids vectorized: unknown hashes materialize
-        # their gram string once (first occurrence) and enter the dict
-        uniq, first_idx, inverse = np.unique(
-            hashes, return_index=True, return_inverse=True)
-        h2t = self._hash_to_tid
-        get_or_add = self.term_dict.get_or_add
-        tid_of_uniq = np.empty(uniq.size, dtype=np.int64)
-        for j in range(uniq.size):
-            h = int(uniq[j])
-            tid = h2t.get(h)
-            if tid is None:
-                s = int(starts[first_idx[j]])
-                ln = int(lens[first_idx[j]])
-                gram = "".join(map(chr, flat[s:s + ln]))
-                tid = get_or_add(gram)
-                h2t[h] = tid
-            tid_of_uniq[j] = tid
-        tids = tid_of_uniq[inverse]
+        tids = self._resolve_tids(flat, starts, lens, hashes)
         doc_ids = np.repeat(
             np.asarray([d for d, _ in items], dtype=np.int64),
             counts.astype(np.int64))

@@ -114,6 +114,21 @@ def _load() -> Optional[ctypes.CDLL]:
                                        _c_i32p, _c_i32p, _c_u64p, _c_i32p]
     except AttributeError:  # stale .so without the batch entry point
         pass
+    try:
+        lib.mg_h2t_create.restype = ctypes.c_void_p
+        lib.mg_h2t_create.argtypes = []
+        lib.mg_h2t_destroy.restype = None
+        lib.mg_h2t_destroy.argtypes = [ctypes.c_void_p]
+        lib.mg_h2t_size.restype = ctypes.c_int64
+        lib.mg_h2t_size.argtypes = [ctypes.c_void_p]
+        lib.mg_h2t_lookup.restype = ctypes.c_int64
+        lib.mg_h2t_lookup.argtypes = [ctypes.c_void_p, _c_u64p,
+                                      ctypes.c_int64, _c_i64p]
+        lib.mg_h2t_insert.restype = None
+        lib.mg_h2t_insert.argtypes = [ctypes.c_void_p, _c_u64p, _c_i64p,
+                                      ctypes.c_int64]
+    except AttributeError:  # stale .so without the hash-table entry points
+        pass
     _lib = lib
     return _lib
 
@@ -318,3 +333,53 @@ def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
         1 if cross_boundary else 0, _ptr(starts, _c_i32p),
         _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
     return flat, starts[:total], lens[:total], hashes[:total], counts
+
+
+class HashToTid:
+    """Persistent C++ gram-hash -> term-id table (mg_h2t_*). Replaces the
+    builder's per-batch np.unique over ALL hashes with one linear native
+    lookup pass; only never-seen hashes escape to Python (reference
+    semantics: the term hash map of index.cpp:79-115). Returns None from
+    create() when the native library (or entry points) are unavailable."""
+
+    __slots__ = ("_lib", "_h")
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+
+    @classmethod
+    def create(cls) -> Optional["HashToTid"]:
+        lib = _load()
+        if lib is None or not hasattr(lib, "mg_h2t_create"):
+            return None
+        h = lib.mg_h2t_create()
+        if not h:
+            return None
+        return cls(lib, h)
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.mg_h2t_destroy(self._h)
+                self._h = None
+        except Exception:
+            pass
+
+    def __len__(self) -> int:
+        return int(self._lib.mg_h2t_size(self._h))
+
+    def lookup(self, hashes: np.ndarray) -> Tuple[np.ndarray, int]:
+        """-> (tids int64 with -1 for misses, miss_count)."""
+        hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+        tids = np.empty(hashes.size, dtype=np.int64)
+        misses = self._lib.mg_h2t_lookup(
+            self._h, _ptr(hashes, _c_u64p), hashes.size,
+            _ptr(tids, _c_i64p))
+        return tids, int(misses)
+
+    def insert(self, hashes: np.ndarray, tids: np.ndarray) -> None:
+        hashes = np.ascontiguousarray(hashes, dtype=np.uint64)
+        tids = np.ascontiguousarray(tids, dtype=np.int64)
+        self._lib.mg_h2t_insert(self._h, _ptr(hashes, _c_u64p),
+                                _ptr(tids, _c_i64p), hashes.size)

@@ -34,7 +34,13 @@ def needle_cap_bucket(max_len: int) -> int:
 
 
 def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT):
-    """(C, maxT+CAP) text window via element gather from the flat pack."""
+    """(C, maxT+CAP) text window via element gather from the flat pack.
+
+    The pack may be uint16 (BMP-only corpora — halves HBM bytes; the
+    store routes non-BMP docs to the host path). Comparison happens in
+    uint32: XLA fuses the post-gather convert into the gather, so only
+    the HBM read is narrow.
+    """
     ids = jnp.maximum(cand_ids, 0)
     off = offsets[ids]
     doc_len = lengths[ids]
@@ -43,17 +49,19 @@ def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT):
     valid = pos < doc_len[:, None]
     idx = jnp.where(valid, idx, 0)
     idx = jnp.minimum(idx, codepoints.shape[0] - 1)
-    text = jnp.where(valid, codepoints[idx], jnp.uint32(0xFFFFFFFF))
+    text = codepoints[idx].astype(jnp.uint32)
+    text = jnp.where(valid, text, jnp.uint32(0xFFFFFFFF))
     return text, doc_len
 
 
 def _gather_text_padded(padded, lengths, cand_ids, maxT):
     """(C, maxT+CAP) text window via ROW gather from a (N, maxT) padded
     matrix — contiguous DMA rows instead of C*maxT random element gathers
-    (order-of-magnitude faster on TPU for large candidate sets)."""
+    (order-of-magnitude faster on TPU for large candidate sets). The
+    matrix may be uint16 (see _gather_text_flat)."""
     ids = jnp.maximum(cand_ids, 0)
     doc_len = lengths[ids]
-    rows = padded[ids]  # (C, maxT)
+    rows = padded[ids].astype(jnp.uint32)  # (C, maxT)
     pos = jnp.arange(maxT, dtype=jnp.int32)[None, :]
     valid = pos < doc_len[:, None]
     rows = jnp.where(valid, rows, jnp.uint32(0xFFFFFFFF))

@@ -71,6 +71,14 @@ class DebugInfo:
     cache_saved_ms: float = 0.0
     query_cost_ms: float = 0.0
     cache_key: str = ""
+    # per-stage breakdown (ROADMAP #9): wall time around the verify and
+    # sort/score stages, plus device dispatches issued while this query
+    # ran (process-wide counter delta — approximate under concurrency,
+    # exact in DEBUG-mode single-query investigation, which is its use)
+    verify_time_ms: float = 0.0
+    sort_time_ms: float = 0.0
+    device_dispatches: int = 0
+    _dispatch_mark: int = 0
 
 
 @dataclass
@@ -130,7 +138,9 @@ class SearchPipeline:
         """Full pipeline. collect_all: FACET needs the complete result set
         regardless of limit."""
         t_start = time.perf_counter()
+        from ..ops import runtime as _rt
         dbg = DebugInfo()
+        dbg._dispatch_mark = _rt.dispatches.count
         out = PipelineOutput(debug=dbg)
 
         # cache lookup (unsorted full result sets keyed canonically);
@@ -173,7 +183,7 @@ class SearchPipeline:
                 dbg.search_terms = out.all_search_terms
                 dbg.final_results = total
                 dbg.optimization_used = "device_count"
-                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                self._finish_dbg(dbg, t_start)
                 return out
 
         # fused verified fast path: search -> extract -> window-verify
@@ -194,7 +204,7 @@ class SearchPipeline:
                 dbg.optimization_used = "device_fused_verify"
                 dbg.limit_applied = query.limit
                 dbg.offset_applied = query.offset
-                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                self._finish_dbg(dbg, t_start)
                 return out
 
         # device top-N fast path: single AND-gram set, PK order, no
@@ -217,7 +227,7 @@ class SearchPipeline:
                 dbg.offset_applied = query.offset
                 dbg.limit_explicit = query.limit_explicit
                 dbg.offset_explicit = query.offset_explicit
-                dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+                self._finish_dbg(dbg, t_start)
                 return out
 
         t_index = time.perf_counter()
@@ -260,7 +270,9 @@ class SearchPipeline:
 
         # verify_text post-filter
         if out.path != "fuzzy":
+            t_v = time.perf_counter()
             all_ids = self._apply_verify(all_ids, query, terms, out.path)
+            dbg.verify_time_ms = (time.perf_counter() - t_v) * 1000
 
         out.total = int(all_ids.size)
 
@@ -288,6 +300,7 @@ class SearchPipeline:
         dbg = out.debug
         out.total = int(all_ids.size)
         ob = self._canon_order(query) or OrderByClause()
+        t_sort = time.perf_counter()
         if collect_all:
             out.results = all_ids
         elif ob.is_score:
@@ -299,13 +312,21 @@ class SearchPipeline:
             out.results = ResultSorter.sort_and_paginate(
                 all_ids, ob, query.limit, query.offset,
                 self.ctx.doc_store, self.ctx.doc_store.pk_doc_id_order_valid)
+        dbg.sort_time_ms = (time.perf_counter() - t_sort) * 1000
         dbg.final_results = out.total
         dbg.order_by_applied = (f"{ob.column or 'pk'} {ob.order.value}")
         dbg.limit_applied = query.limit
         dbg.offset_applied = query.offset
         dbg.limit_explicit = query.limit_explicit
         dbg.offset_explicit = query.offset_explicit
+        self._finish_dbg(dbg, t_start)
+
+    @staticmethod
+    def _finish_dbg(dbg: DebugInfo, t_start: float) -> None:
+        from ..ops import runtime as _rt
         dbg.query_time_ms = (time.perf_counter() - t_start) * 1000
+        dbg.device_dispatches = max(
+            0, _rt.dispatches.count - dbg._dispatch_mark)
 
     # ------------------------------------------------------------------
     # COUNT fast path: no NOT/filters/verify => the popcount IS the answer

@@ -155,6 +155,11 @@ def format_debug_block(dbg, detailed: bool = True,
              f"index_time: {dbg.index_time_ms:.3f}ms"]
     if dbg.filter_time_ms > 0:
         lines.append(f"filter_time: {dbg.filter_time_ms:.3f}ms")
+    if dbg.verify_time_ms > 0:
+        lines.append(f"verify_time: {dbg.verify_time_ms:.3f}ms")
+    if dbg.sort_time_ms > 0:
+        lines.append(f"sort_time: {dbg.sort_time_ms:.3f}ms")
+    lines.append(f"device_dispatches: {dbg.device_dispatches}")
     lines.append(f"terms: {len(dbg.search_terms)}")
     lines.append(f"ngrams: {len(dbg.ngrams_used)}")
     if detailed:

@@ -22,8 +22,9 @@ from ..ops import runtime
 from .. import native
 
 _C_BUCKETS = (2048, 4096, 8192, 16384)
-_PADDED_BUDGET_BYTES = 1 << 30  # padded text layout cap (row-gather path)
+_PADDED_BUDGET_BYTES = 3 << 30  # padded text layout cap (row-gather path)
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
+_U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
 
 
 def _bucket(n: int, buckets) -> int:
@@ -48,38 +49,71 @@ class DeviceTextStore:
                              _MAXT_CHOICES[-1])
         else:
             self.maxT = _MAXT_CHOICES[0]
-        parts: List[np.ndarray] = []
-        pos = 0
         self._overflow: set = set()
+        kept_ids: List[int] = []
+        kept_texts: List[str] = []
         for doc_id, text in texts_by_doc.items():
-            if doc_id >= capacity:
+            if doc_id >= capacity or len(text) > self.maxT:
                 self._overflow.add(doc_id)
                 continue
-            if len(text) > self.maxT:
-                self._overflow.add(doc_id)
-                continue
-            cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
-            offsets[doc_id] = pos
-            lengths[doc_id] = cp.size
-            parts.append(cp)
-            pos += cp.size
-        flat = np.concatenate(parts) if parts else \
-            np.zeros(1, dtype=np.uint32)
+            kept_ids.append(doc_id)
+            kept_texts.append(text)
+        # one encode over the whole corpus (per-doc encode at 1M+ docs is
+        # a multi-minute Python loop)
+        flat = np.frombuffer("".join(kept_texts).encode("utf-32-le"),
+                             dtype=np.uint32).copy()
+        ids_arr = np.asarray(kept_ids, dtype=np.int64)
+        lens_arr = np.asarray([len(t) for t in kept_texts], dtype=np.int64)
+        starts = np.zeros(lens_arr.size, dtype=np.int64)
+        if lens_arr.size:
+            np.cumsum(lens_arr[:-1], out=starts[1:])
+        # BMP check per doc: non-BMP docs fall back to the host verify path
+        # so the pack can be uint16 (halves HBM bytes + doubles the padded
+        # row-gather budget). U+FFFF itself is excluded too — it is the
+        # padding sentinel (a Unicode noncharacter, never in real text).
+        if flat.size and flat.max() >= _U16_MAX:
+            nonzero = lens_arr > 0
+            segmax = np.zeros(lens_arr.size, dtype=np.uint32)
+            if nonzero.any():
+                segmax[nonzero] = np.maximum.reduceat(flat,
+                                                      starts[nonzero])
+            bad = segmax >= _U16_MAX
+            if bad.any():
+                for d in ids_arr[bad].tolist():
+                    self._overflow.add(int(d))
+                keep_cp = np.repeat(~bad, lens_arr)
+                flat = flat[keep_cp]
+                ids_arr = ids_arr[~bad]
+                lens_arr = lens_arr[~bad]
+                starts = np.zeros(lens_arr.size, dtype=np.int64)
+                if lens_arr.size:
+                    np.cumsum(lens_arr[:-1], out=starts[1:])
+        self.dtype = np.uint16 if (not flat.size
+                                   or flat.max() < _U16_MAX) else np.uint32
+        sentinel = _U16_MAX if self.dtype == np.uint16 else 0xFFFFFFFF
+        flat = flat.astype(self.dtype, copy=False)
+        if not flat.size:
+            flat = np.zeros(1, dtype=self.dtype)
+        offsets[ids_arr] = starts.astype(np.int32)
+        lengths[ids_arr] = lens_arr.astype(np.int32)
         # padded (N, maxT) layout when it fits the budget: the kernels then
         # ROW-gather candidate texts (contiguous DMA) instead of C*maxT
         # element gathers — order-of-magnitude faster at large C. Large
         # corpora keep the compact flat pack.
-        if capacity * self.maxT * 4 <= _PADDED_BUDGET_BYTES:
-            padded = np.full((capacity, self.maxT), 0xFFFFFFFF,
-                             dtype=np.uint32)
-            for doc_id in texts_by_doc:
-                if doc_id in self._overflow or doc_id >= capacity:
-                    continue
-                o, ln = offsets[doc_id], lengths[doc_id]
-                padded[doc_id, :ln] = flat[o:o + ln]
+        itemsize = np.dtype(self.dtype).itemsize
+        if capacity * self.maxT * itemsize <= _PADDED_BUDGET_BYTES:
+            padded = np.full((capacity, self.maxT), sentinel,
+                             dtype=self.dtype)
+            if flat.size and ids_arr.size:
+                idx_doc = np.repeat(ids_arr, lens_arr)
+                pos_in_flat = np.arange(int(lens_arr.sum()), dtype=np.int64)
+                idx_pos = pos_in_flat - np.repeat(starts, lens_arr)
+                padded[idx_doc, idx_pos] = flat[:pos_in_flat.size]
             self.codepoints = jax.device_put(padded, device)
+            del padded
         else:
             self.codepoints = jax.device_put(flat, device)
+        del flat
         self.offsets = jax.device_put(offsets, device)
         self.lengths = jax.device_put(lengths, device)
         self.n_packed = len(texts_by_doc) - len(self._overflow)
@@ -268,4 +302,5 @@ class DeviceTextStore:
         return ids, scores
 
     def memory_usage(self) -> int:
-        return int(self.codepoints.size * 4 + self.offsets.size * 8)
+        return int(self.codepoints.size * self.codepoints.dtype.itemsize
+                   + self.offsets.size * 8)

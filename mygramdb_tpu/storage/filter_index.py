@@ -36,7 +36,7 @@ class _Column:
     """Typed doc-indexed value array + optional per-value bitmaps."""
 
     def __init__(self, name: str, ftype: str, bitmap_index: bool,
-                 bucket: str = ""):
+                 bucket: str = "", dict_compress: bool = False):
         self.name = name
         self.ftype = ftype
         self.bitmap_index = bitmap_index
@@ -44,8 +44,17 @@ class _Column:
         self.numeric = ftype in ("int", "uint", "bigint", "float", "double",
                                  "bool", "datetime", "date", "time",
                                  "timestamp", "tinyint", "smallint")
+        # dict_compress (reference config.h:134 accepts + persists the
+        # flag): string values intern to int32 codes — ~16x less host
+        # memory per doc at low cardinality, and EQ/NE/FACET vectorize
+        # over codes instead of Python string loops.
+        self.dict_compress = bool(dict_compress) and not self.numeric
         if self.numeric:
             self.values = np.full(_GROW, np.nan, dtype=np.float64)
+        elif self.dict_compress:
+            self.values = np.full(_GROW, -1, dtype=np.int32)
+            self._dict: Dict[str, int] = {}
+            self._rev: List[str] = []
         else:
             self.values: Any = [None] * _GROW
         self.present = np.zeros(_GROW, dtype=bool)
@@ -62,6 +71,10 @@ class _Column:
         new = max(need, cur * 2)
         if self.numeric:
             nv = np.full(new, np.nan, dtype=np.float64)
+            nv[:cur] = self.values
+            self.values = nv
+        elif self.dict_compress:
+            nv = np.full(new, -1, dtype=np.int32)
             nv[:cur] = self.values
             self.values = nv
         else:
@@ -98,11 +111,15 @@ class _Column:
             self.present[doc_id] = False
             if self.numeric:
                 self.values[doc_id] = np.nan
+            elif self.dict_compress:
+                self.values[doc_id] = -1
             else:
                 self.values[doc_id] = None
             return
         if self.numeric:
             self.values[doc_id] = self._to_num(value)
+        elif self.dict_compress:
+            self.values[doc_id] = self._intern(str(value))
         else:
             self.values[doc_id] = str(value)
         self.present[doc_id] = True
@@ -133,6 +150,8 @@ class _Column:
         self.present[doc_id] = False
         if self.numeric:
             self.values[doc_id] = np.nan
+        elif self.dict_compress:
+            self.values[doc_id] = -1
         else:
             self.values[doc_id] = None
 
@@ -140,6 +159,14 @@ class _Column:
     def _clear_bit(bm: np.ndarray, doc_id: int) -> None:
         if (doc_id >> 5) < bm.shape[0]:
             bm[doc_id >> 5] &= ~(np.uint32(1) << np.uint32(doc_id & 31))
+
+    def _intern(self, s: str) -> int:
+        code = self._dict.get(s)
+        if code is None:
+            code = len(self._rev)
+            self._dict[s] = code
+            self._rev.append(s)
+        return code
 
     def _to_num(self, value: Any) -> float:
         if isinstance(value, bool):
@@ -153,7 +180,12 @@ class _Column:
         if doc_id >= self.present.shape[0] or not self.present[doc_id]:
             return None
         v = self.values[doc_id]
-        return float(v) if self.numeric else v
+        if self.numeric:
+            return float(v)
+        if self.dict_compress:
+            c = int(v)
+            return self._rev[c] if 0 <= c < len(self._rev) else None
+        return v
 
     # ------------------------------------------------------------------
     def eq_bitmap(self, value: Any) -> Optional[np.ndarray]:
@@ -197,6 +229,19 @@ class _Column:
             return m & present
         # string column
         sval = str(value)
+        if self.dict_compress:
+            codes = self.values[safe]
+            if op in ("=", "!="):
+                target = self._dict.get(sval, -2)
+                m = codes == target if op == "=" else codes != target
+                return m & present
+            # range ops: compare over the (small) dictionary, then isin
+            ok = np.asarray(
+                [i for i, s in enumerate(self._rev)
+                 if (op == ">" and s > sval) or (op == ">=" and s >= sval)
+                 or (op == "<" and s < sval) or (op == "<=" and s <= sval)],
+                dtype=np.int32)
+            return np.isin(codes, ok) & present
         out = np.zeros(doc_ids.shape[0], dtype=bool)
         vals_list = self.values
         for i, (d, ok) in enumerate(zip(safe.tolist(), present.tolist())):
@@ -238,6 +283,12 @@ class _Column:
                 else:
                     out.append((repr(v), c))
             return out
+        if self.dict_compress:
+            codes, counts = np.unique(self.values[sel], return_counts=True)
+            out = [(self._rev[int(c)], int(n))
+                   for c, n in zip(codes.tolist(), counts.tolist())
+                   if 0 <= c < len(self._rev)]
+            return sorted(out, key=lambda kv: kv[0])
         from collections import Counter
         c = Counter(self.values[d] for d in sel.tolist())
         return sorted(((str(k), v) for k, v in c.items()),
@@ -250,10 +301,11 @@ class FilterIndex:
         self._columns: Dict[str, _Column] = {}
 
     def add_column(self, name: str, ftype: str, bitmap_index: bool = False,
-                   bucket: str = "") -> None:
+                   bucket: str = "", dict_compress: bool = False) -> None:
         with self._lock:
             if name not in self._columns:
-                self._columns[name] = _Column(name, ftype, bitmap_index, bucket)
+                self._columns[name] = _Column(name, ftype, bitmap_index,
+                                              bucket, dict_compress)
 
     def has_column(self, name: str) -> bool:
         return name in self._columns
@@ -290,7 +342,8 @@ class FilterIndex:
         with self._lock:
             for name, col in list(self._columns.items()):
                 self._columns[name] = _Column(name, col.ftype,
-                                              col.bitmap_index, col.bucket)
+                                              col.bitmap_index, col.bucket,
+                                              col.dict_compress)
 
     # ------------------------------------------------------------------
     def eq_bitmap(self, column: str, value: Any,
@@ -328,6 +381,9 @@ class FilterIndex:
         for col in self._columns.values():
             if col.numeric:
                 total += col.values.nbytes
+            elif col.dict_compress:
+                total += col.values.nbytes + sum(
+                    len(s) + 49 for s in col._rev)
             else:
                 total += len(col.values) * 16
             total += col.present.nbytes
@@ -345,12 +401,16 @@ class FilterIndex:
                 present_idx = np.flatnonzero(col.present)
                 if col.numeric:
                     vals = col.values[present_idx].tolist()
+                elif col.dict_compress:
+                    vals = [col._rev[int(col.values[i])]
+                            for i in present_idx.tolist()]
                 else:
                     vals = [col.values[i] for i in present_idx.tolist()]
                 cols[name] = {
                     "type": col.ftype,
                     "bitmap_index": col.bitmap_index,
                     "bucket": col.bucket,
+                    "dict_compress": col.dict_compress,
                     "doc_ids": present_idx.tolist(),
                     "values": vals,
                 }
@@ -361,7 +421,8 @@ class FilterIndex:
         fi = cls()
         for name, cs in state.get("columns", {}).items():
             fi.add_column(name, cs["type"], cs.get("bitmap_index", False),
-                          cs.get("bucket", ""))
+                          cs.get("bucket", ""),
+                          cs.get("dict_compress", False))
             col = fi._columns[name]
             for d, v in zip(cs["doc_ids"], cs["values"]):
                 col.set(int(d), v)

@@ -323,4 +323,99 @@ int64_t mg_shred_batch(const uint32_t* cps, const int64_t* doc_off,
   return total;
 }
 
+// ---------------------------------------------------------------------------
+// Persistent gram-hash -> term-id table (reference: Index's term hash map,
+// index.cpp:79-115). The builder's per-batch np.unique over ALL gram hashes
+// was the remaining index-build bottleneck; this table turns the steady
+// state (vocabulary saturated) into one linear C pass per batch, with only
+// never-seen hashes escaping to Python for string materialization.
+// Open addressing, linear probing, capacity always a power of two.
+// ---------------------------------------------------------------------------
+struct MgH2T {
+  std::vector<uint64_t> keys;  // 0 = empty (hashes are remapped 0 -> 1)
+  std::vector<int64_t> vals;
+  size_t used = 0;
+
+  explicit MgH2T(size_t cap = 1 << 16) : keys(cap, 0), vals(cap, 0) {}
+
+  void grow() {
+    std::vector<uint64_t> ok;
+    std::vector<int64_t> ov;
+    ok.swap(keys);
+    ov.swap(vals);
+    keys.assign(ok.size() * 2, 0);
+    vals.assign(ok.size() * 2, 0);
+    const size_t mask = keys.size() - 1;
+    for (size_t i = 0; i < ok.size(); ++i) {
+      if (!ok[i]) continue;
+      size_t pos = static_cast<size_t>(ok[i]) & mask;
+      while (keys[pos]) pos = (pos + 1) & mask;
+      keys[pos] = ok[i];
+      vals[pos] = ov[i];
+    }
+  }
+
+  void insert(uint64_t key, int64_t val) {
+    if (!key) key = 1;
+    if ((used + 1) * 10 >= keys.size() * 7) grow();
+    const size_t mask = keys.size() - 1;
+    size_t pos = static_cast<size_t>(key) & mask;
+    while (keys[pos]) {
+      if (keys[pos] == key) {
+        vals[pos] = val;
+        return;
+      }
+      pos = (pos + 1) & mask;
+    }
+    keys[pos] = key;
+    vals[pos] = val;
+    ++used;
+  }
+
+  bool find(uint64_t key, int64_t* out) const {
+    if (!key) key = 1;
+    const size_t mask = keys.size() - 1;
+    size_t pos = static_cast<size_t>(key) & mask;
+    while (keys[pos]) {
+      if (keys[pos] == key) {
+        *out = vals[pos];
+        return true;
+      }
+      pos = (pos + 1) & mask;
+    }
+    return false;
+  }
+};
+
+void* mg_h2t_create(void) { return new MgH2T(); }
+
+void mg_h2t_destroy(void* h) { delete static_cast<MgH2T*>(h); }
+
+int64_t mg_h2t_size(void* h) {
+  return static_cast<int64_t>(static_cast<MgH2T*>(h)->used);
+}
+
+// Writes tid (or -1 when absent) per hash; returns the miss count.
+int64_t mg_h2t_lookup(void* h, const uint64_t* hashes, int64_t n,
+                      int64_t* tids_out) {
+  const MgH2T* t = static_cast<MgH2T*>(h);
+  int64_t misses = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t v;
+    if (t->find(hashes[i], &v)) {
+      tids_out[i] = v;
+    } else {
+      tids_out[i] = -1;
+      ++misses;
+    }
+  }
+  return misses;
+}
+
+void mg_h2t_insert(void* h, const uint64_t* hashes, const int64_t* tids,
+                   int64_t n) {
+  MgH2T* t = static_cast<MgH2T*>(h);
+  for (int64_t i = 0; i < n; ++i) t->insert(hashes[i], tids[i]);
+}
+
 }  // extern "C"

@@ -182,3 +182,69 @@ class TestScoreTopk:
         out = st.score_topk(ids, ["aa"], np.asarray([1.0]), 4.0, 1.2, 0.75,
                             5, lambda i: ["aaaa"])
         assert out is None  # caller falls back to exact host path
+
+
+class TestU16Packing:
+    """BMP corpora pack as uint16 (half HBM); non-BMP docs fall back."""
+
+    def test_bmp_corpus_packs_u16(self):
+        st = make_store(TEXTS)
+        assert st.dtype == np.uint16
+        assert st.codepoints.dtype == np.uint16
+
+    def test_non_bmp_doc_overflows_and_verifies_via_host(self):
+        texts = dict(TEXTS)
+        texts[9] = "emoji 😀 doc"
+        st = make_store(texts)
+        assert st.dtype == np.uint16          # pack stays narrow
+        assert 9 in st._overflow
+        ids = np.asarray([9, 1], dtype=np.int32)
+        m = st.verify(ids, ["😀"], lambda i: [texts.get(x) for x in i])
+        assert m.tolist() == [True, False]
+
+    def test_u_ffff_noncharacter_doc_overflows(self):
+        texts = {1: "plain", 2: "bad ￿ char"}
+        st = make_store(texts)
+        assert 2 in st._overflow
+        m = st.verify(np.asarray([2]), ["bad"],
+                      lambda i: [texts.get(x) for x in i])
+        assert m.tolist() == [True]
+
+    def test_non_bmp_needle_on_bmp_pack(self):
+        st = make_store(TEXTS)
+        ids = np.asarray([1, 2], dtype=np.int32)
+        m = st.verify(ids, ["😀"], lambda i: [TEXTS.get(x) for x in i])
+        assert m.tolist() == [False, False]
+
+    def test_tf_parity_u16(self):
+        from mygramdb_tpu import native
+        rng = np.random.default_rng(5)
+        words = ["alpha", "日本語", "the"]
+        texts = {i: " ".join(rng.choice(words, size=int(rng.integers(3, 20))))
+                 for i in range(1, 101)}
+        st = make_store(texts, capacity=128)
+        assert st.dtype == np.uint16
+        ids = np.asarray(sorted(texts), dtype=np.int32)
+        terms = ["alpha", "日本"]
+        tf_d, dl_d = st.count_tf(ids, terms,
+                                 lambda i: [texts.get(x) for x in i])
+        tf_h, dl_h = native.count_occurrences(
+            [texts[int(d)] for d in ids], terms)
+        assert np.array_equal(tf_d, tf_h)
+        assert np.array_equal(dl_d, dl_h)
+
+    def test_vectorized_pack_layout_matches_texts(self):
+        # padded layout row i must equal the utf-32 codepoints of doc i
+        texts = {i: f"doc {i} body 語{i%7}" for i in range(1, 40)}
+        st = make_store(texts, capacity=64)
+        cp = np.asarray(st.codepoints)
+        assert cp.ndim == 2
+        for d, t in texts.items():
+            expect = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            got = cp[d, :len(t)].astype(np.uint32)
+            assert np.array_equal(got, expect), d
+
+    def test_memory_usage_halved(self):
+        st = make_store(TEXTS)
+        assert st.memory_usage() == (st.codepoints.size * 2
+                                     + st.offsets.size * 8)

@@ -98,6 +98,15 @@ class TestSearchCommands:
         core.handle_line("DEBUG OFF", conn)
         assert not conn.debug
 
+    def test_debug_stage_breakdown(self, core):
+        # per-stage timings + device dispatch count (ROADMAP #9)
+        conn = ConnState()
+        core.handle_line("DEBUG ON", conn)
+        resp = core.handle_line("SEARCH articles hello", conn)
+        assert "device_dispatches:" in resp
+        n = int(resp.split("device_dispatches:")[1].split()[0])
+        assert n >= 0
+
 
 class TestInfoAndVariables:
     def test_info(self, core):

@@ -181,3 +181,101 @@ class TestDatetimeBucketing:
         fi.add_document(1, {"d": 86400 + 3600})
         ids = np.asarray([1], dtype=np.int64)
         assert fi.match_mask("d", ids, "=", 86400).tolist() == [True]
+
+
+class TestDictCompress:
+    """dict_compress string interning (reference accepts + persists the
+    flag, config.h:134; here it is a real int32-code layout)."""
+
+    def _mk(self):
+        fi = FilterIndex()
+        fi.add_column("status", "string", bitmap_index=False,
+                      dict_compress=True)
+        for d, v in [(1, "active"), (2, "deleted"), (3, "active"),
+                     (4, None), (5, "pending")]:
+            fi.add_document(d, {"status": v} if v is not None else {})
+        return fi
+
+    def test_interned_storage_and_get(self):
+        fi = self._mk()
+        col = fi._columns["status"]
+        assert col.dict_compress
+        assert col.values.dtype == np.int32
+        assert col.get(1) == "active" and col.get(3) == "active"
+        assert col.get(4) is None
+
+    def test_match_mask_eq_ne(self):
+        fi = self._mk()
+        ids = np.asarray([1, 2, 3, 4, 5])
+        assert fi.match_mask("status", ids, "=", "active").tolist() == \
+            [True, False, True, False, False]
+        assert fi.match_mask("status", ids, "!=", "active").tolist() == \
+            [False, True, False, False, True]
+        # unknown value: = matches nothing, != matches all present
+        assert fi.match_mask("status", ids, "=", "zzz").tolist() == \
+            [False] * 5
+        assert fi.match_mask("status", ids, "!=", "zzz").tolist() == \
+            [True, True, True, False, True]
+
+    def test_match_mask_range_ops(self):
+        fi = self._mk()
+        ids = np.asarray([1, 2, 3, 5])
+        # lexicographic: active < deleted < pending
+        assert fi.match_mask("status", ids, ">", "active").tolist() == \
+            [False, True, False, True]
+        assert fi.match_mask("status", ids, "<=", "deleted").tolist() == \
+            [True, True, True, False]
+
+    def test_value_counts(self):
+        fi = self._mk()
+        assert fi.value_counts("status") == [
+            ("active", 2), ("deleted", 1), ("pending", 1)]
+        assert fi.value_counts("status", np.asarray([1, 2, 4])) == [
+            ("active", 1), ("deleted", 1)]
+
+    def test_update_and_unset(self):
+        fi = self._mk()
+        fi.update_document(1, {"status": "deleted"})
+        assert fi._columns["status"].get(1) == "deleted"
+        fi.remove_document(2)
+        assert fi._columns["status"].get(2) is None
+        assert fi.value_counts("status") == [
+            ("active", 1), ("deleted", 1), ("pending", 1)]
+
+    def test_state_roundtrip(self):
+        fi = self._mk()
+        st = fi.state()
+        fi2 = FilterIndex.from_state(st)
+        col = fi2._columns["status"]
+        assert col.dict_compress
+        assert col.get(1) == "active" and col.get(5) == "pending"
+        assert fi2.value_counts("status") == fi.value_counts("status")
+
+    def test_parity_with_uncompressed(self):
+        rng = np.random.default_rng(7)
+        vals = ["a", "bb", "ccc", None, "dd"]
+        fi_c, fi_p = FilterIndex(), FilterIndex()
+        fi_c.add_column("c", "string", dict_compress=True)
+        fi_p.add_column("c", "string")
+        for d in range(1, 301):
+            v = vals[int(rng.integers(0, len(vals)))]
+            payload = {"c": v} if v is not None else {}
+            fi_c.add_document(d, payload)
+            fi_p.add_document(d, payload)
+        ids = np.arange(1, 301)
+        for op in ("=", "!=", ">", ">=", "<", "<=", "IS NULL",
+                   "IS NOT NULL"):
+            for v in ("bb", "zz", "a"):
+                assert fi_c.match_mask("c", ids, op, v).tolist() == \
+                    fi_p.match_mask("c", ids, op, v).tolist(), (op, v)
+        assert fi_c.value_counts("c") == fi_p.value_counts("c")
+
+    def test_memory_smaller_than_uncompressed(self):
+        fi_c, fi_p = FilterIndex(), FilterIndex()
+        fi_c.add_column("c", "string", dict_compress=True)
+        fi_p.add_column("c", "string")
+        for d in range(1, 20001):
+            v = f"value-{d % 5}"
+            fi_c.add_document(d, {"c": v})
+            fi_p.add_document(d, {"c": v})
+        assert fi_c.memory_usage() < fi_p.memory_usage()
