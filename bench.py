@@ -21,7 +21,10 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+# defaults from the dispatch-saturation sweep (e2e/dispatch_experiment.py):
+# batch 1024 x 48 threads saturates the tunnel dispatch path (~83-90k QPS);
+# batch 2048 exceeds the kernel's SMEM scalar-prefetch budget.
+BATCH = int(os.environ.get("BENCH_BATCH", "1024"))
 K = 8
 TOPN = 128
 N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
@@ -104,7 +107,7 @@ def main() -> int:
     # serving model — many connections, several batches in flight; the
     # dispatch RTT overlaps across threads).
     from concurrent.futures import ThreadPoolExecutor
-    THREADS = int(os.environ.get("BENCH_THREADS", "16"))
+    THREADS = int(os.environ.get("BENCH_THREADS", "48"))
 
     def full_step(_):
         c, i = step(rows)

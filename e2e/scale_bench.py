@@ -39,8 +39,10 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=1_100_000)
     ap.add_argument("--ja-ratio", type=float, default=0.45)
     ap.add_argument("--seed", type=int, default=1234)
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--threads", type=int, default=16)
+    # batch/threads defaults from the dispatch-saturation sweep
+    # (e2e/dispatch_experiment.py): 1024 x 48 saturates the tunnel path
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--threads", type=int, default=48)
     ap.add_argument("--sample", type=int, default=2000,
                     help="docs in the brute-force parity sample")
     ap.add_argument("--queries", type=int, default=120,

@@ -98,6 +98,9 @@ class Application:
         self.scheduler = SnapshotScheduler(
             self.core.dump_manager, self.config.dump,
             busy=lambda: self.core.sync_manager.any_running)
+        self.core.vars.add_listener(
+            lambda name, _v: self.scheduler.apply_interval()
+            if name == "dump.interval_sec" else None)
 
     # ------------------------------------------------------------------
     async def run_async(self) -> None:
@@ -144,16 +147,22 @@ class Application:
             self._stop_event.set()
 
     # ------------------------------------------------------------------
-    def run(self) -> int:
-        # SIGUSR2 -> all-thread stack dump to stderr: first-line diagnosis
-        # for requests stuck in device dispatches (tunnel stalls) or lock
-        # waits, without restarting the server.
+    @staticmethod
+    def register_stack_dump_signal() -> None:
+        """SIGUSR2 -> all-thread stack dump to stderr: first-line diagnosis
+        for requests stuck in device dispatches (tunnel stalls) or lock
+        waits, without restarting the server. Must be registered BEFORE
+        initialize() — startup warmup compiles can run for minutes and an
+        unregistered SIGUSR2 terminates the process."""
         import faulthandler
         try:
             faulthandler.register(signal.SIGUSR2, all_threads=True,
                                   chain=False)
         except (AttributeError, ValueError):  # non-Unix / no SIGUSR2
             pass
+
+    def run(self) -> int:
+        self.register_stack_dump_signal()
 
         async def _main():
             loop = asyncio.get_running_loop()

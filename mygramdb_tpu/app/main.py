@@ -58,6 +58,7 @@ def main(argv=None) -> int:
             return 0
     from .application import Application
     app = Application(config, seed_path=args.seed, restore_dump=args.restore)
+    app.register_stack_dump_signal()  # before slow warmup compiles
     app.initialize()
     return app.run()
 

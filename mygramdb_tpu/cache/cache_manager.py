@@ -54,6 +54,17 @@ class CacheManager:
         self.last_saved_ms = 0.0
 
     # ------------------------------------------------------------------
+    def apply_setting(self, name: str, value) -> None:
+        """Runtime SET for cache knobs that QueryCache snapshots at
+        construction (reference runtime_variable_manager.h mutable set)."""
+        if name == "cache.max_memory_mb":
+            self.cache.max_memory = int(value) * 1024 * 1024
+        elif name == "cache.ttl_seconds":
+            self.cache.ttl = int(value)
+        elif name == "cache.min_query_cost_ms":
+            self.cache.min_cost_ms = float(value)
+
+    # ------------------------------------------------------------------
     def data_version(self, table: str) -> int:
         return self._versions.get(table, 0)
 

@@ -38,13 +38,7 @@ class TableContext:
         store_texts = config.memory.verify_text != "off"
         self.doc_store = DocumentStore(store_texts=store_texts)
         self.index = self._make_index()
-        self.filter_index = FilterIndex()
-        for f in table_cfg.filters:
-            self.filter_index.add_column(f.name, f.type, f.bitmap_index,
-                                         f.bucket, f.dict_compress)
-        for rf in table_cfg.required_filters:
-            if rf.bitmap_index and not self.filter_index.has_column(rf.name):
-                self.filter_index.add_column(rf.name, rf.type, True)
+        self.filter_index = self._make_filter_index()
         self.bm25 = BM25Stats()
         self.device_text = None  # DeviceTextStore after compaction
         self.synonyms: Optional[SynonymDictionary] = None
@@ -79,6 +73,16 @@ class TableContext:
             microbatch=microbatch,
             mesh_shards=cfg.device.mesh_shards)
 
+    def _make_filter_index(self) -> FilterIndex:
+        fi = FilterIndex()
+        for f in self.table_cfg.filters:
+            fi.add_column(f.name, f.type, f.bitmap_index,
+                          f.bucket, f.dict_compress)
+        for rf in self.table_cfg.required_filters:
+            if rf.bitmap_index and not fi.has_column(rf.name):
+                fi.add_column(rf.name, rf.type, True)
+        return fi
+
     # ------------------------------------------------------------------
     def normalize(self, text: str) -> str:
         return textproc.normalize_text(text, *self._norm_args)
@@ -95,6 +99,15 @@ class TableContext:
         if self.doc_count:
             raise RuntimeError("bulk load requires an empty table")
         return BulkLoad(self)
+
+    def begin_staging_rebuild(self) -> "StagingRebuild":
+        """SYNC fast path for LIVE tables: build a complete replacement
+        state aside (sorted-segment builder, fresh stores) while queries
+        keep serving the old state, then swap atomically on finish()
+        (reference SyncOperationManager + LoadFromExistingSnapshot,
+        sync_operation_manager.h:85). Dropping the staging object without
+        finish() discards it and leaves the table untouched."""
+        return StagingRebuild(self)
 
     # ------------------------------------------------------------------
     # Row write path (loader / binlog / SYNC)
@@ -285,6 +298,58 @@ class BulkLoad:
         built = self.builder.finalize()
         with self.ctx._write_lock:
             self.ctx.index = self.ctx._make_index(built)
+        self.ctx._rebuild_device_text()
+
+
+class StagingRebuild:
+    """Builds a full replacement table state off to the side (own
+    DocumentStore / IndexBuilder / FilterIndex / BM25Stats) so a SYNC of
+    a live table never truncates what queries are reading; finish()
+    swaps everything under the write lock. Doc ids restart at 1 in
+    PK-insertion order, re-enabling the device top-N shortcut."""
+
+    def __init__(self, ctx: TableContext):
+        from .index.builder import IndexBuilder
+        self.ctx = ctx
+        t = ctx.table_cfg
+        self.builder = IndexBuilder(t.ngram_size, t.kanji_ngram_size,
+                                    t.cross_boundary_ngrams)
+        self.doc_store = DocumentStore(
+            store_texts=ctx.doc_store.stores_texts)
+        self.filter_index = ctx._make_filter_index()
+        self.bm25 = BM25Stats()
+        self._finished = False
+
+    def add_batch(self, rows) -> int:
+        """rows: iterable of (pk, raw_text, filters|None). No live-state
+        locks — the staging state is private to the SYNC worker."""
+        pairs = []
+        for pk, raw_text, filters in rows:
+            normalized = self.ctx.normalize(raw_text)
+            doc_id, inserted = self.doc_store.add_document(
+                pk, filters,
+                normalized if self.doc_store.stores_texts else None)
+            if not inserted:
+                continue
+            pairs.append((doc_id, normalized))
+            if filters:
+                self.filter_index.add_document(doc_id, filters)
+            self.bm25.add_document(doc_id, len(normalized))
+        self.builder.add_batch(pairs)
+        return len(pairs)
+
+    def finish(self) -> None:
+        if self._finished:
+            return
+        self._finished = True
+        built = self.builder.finalize()
+        new_index = self.ctx._make_index(built)
+        with self.ctx._write_lock:
+            self.ctx.index = new_index
+            self.ctx.doc_store = self.doc_store
+            self.ctx.filter_index = self.filter_index
+            self.ctx.bm25 = self.bm25
+            self.ctx.device_text = None  # old packed corpus: invalid now
         self.ctx._rebuild_device_text()
 
 

@@ -31,8 +31,6 @@ MUTABLE_VARIABLES = {
     "memory.verify_text": str,
     "dump.interval_sec": int,
     "dump.retain": int,
-    "device.microbatch_size": int,
-    "device.microbatch_window_us": int,
 }
 
 # Read-only variables surfaced in SHOW VARIABLES (restart required to change).
@@ -46,6 +44,9 @@ READONLY_VARIABLES = [
     "cache.invalidation_strategy", "cache.compression_enabled",
     "bm25.k1", "bm25.b",
     "device.dense_df_ratio", "device.doc_block", "device.max_query_terms",
+    # compiled into per-table micro-batchers at index construction; a
+    # runtime SET would silently not apply, so: restart required
+    "device.microbatch_size", "device.microbatch_window_us",
 ]
 
 

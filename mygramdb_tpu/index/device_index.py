@@ -622,34 +622,35 @@ class DeviceIndex:
             out = np.asarray(ids)
             out = out[out >= 0]
         else:
-            # mixed/dense: union candidates, then count per-term membership
-            parts = [self.postings_of(t) for t in sparse_tids]
-            if dense_rows:
-                rows = np.asarray([dense_rows], dtype=np.int32)
-                words = np.asarray(bitmap_ops.or_rows(self.bitmaps,
-                                                      jnp.asarray(rows))[0])
-                parts.append(self._bitmap_to_ids(words))
-            if not parts:
-                return np.empty(0, dtype=np.int32)
-            cand = np.unique(np.concatenate(parts)).astype(np.int32)
-            counts = self._sparse_counts(cand, sparse_tids)
-            for r in dense_rows:
-                row = np.asarray(self.bitmaps[r])
-                counts += self._probe_words(row, cand)
-            out = cand[counts >= min_count]
+            # mixed/dense: one fused bit-count dispatch (no host row pulls)
+            rows = list(dense_rows)
+            while len(rows) < _k_bucket(len(rows)):
+                rows.append(self.zeros_row)
+            if sparse_tids:
+                offs = np.asarray([self.offsets32[t] for t in sparse_tids],
+                                  dtype=np.int32)
+                lens = np.asarray([self.lengths[t] for t in sparse_tids],
+                                  dtype=np.int32)
+                Gs = _k_bucket(len(sparse_tids))
+                Cmax = self._cand_bucket(int(lens.max()))
+                offs = np.pad(offs, (0, Gs - offs.size))
+                lens = np.pad(lens, (0, Gs - lens.size))
+            else:
+                Gs, Cmax = 0, 0
+                offs = lens = np.zeros(1, dtype=np.int32)
+            from ..ops import runtime
+            from ..ops.threshold_ops import threshold_count_bitmap
+            runtime.dispatches.bump(1)
+            words = threshold_count_bitmap(
+                self.bitmaps, jnp.asarray(rows, dtype=jnp.int32),
+                self.postings, jnp.asarray(offs), jnp.asarray(lens),
+                jnp.int32(min_count), self.deleted,
+                g_sparse=Gs, c_bucket=Cmax)
+            # tombstones already cleared on device
+            return self._bitmap_to_ids(np.asarray(words))
         if self.deleted_host.any():
             out = out[~self._deleted_mask(out)]
         return out.astype(np.int32)
-
-    def _sparse_counts(self, cand: np.ndarray, tids) -> np.ndarray:
-        counts = np.zeros(cand.size, dtype=np.int32)
-        for t in tids:
-            p = self.postings_of(t)
-            pos = np.searchsorted(p, cand)
-            pos = np.minimum(pos, max(p.size - 1, 0))
-            if p.size:
-                counts += (p[pos] == cand).astype(np.int32)
-        return counts
 
     @staticmethod
     def _probe_words(words: np.ndarray, ids: np.ndarray) -> np.ndarray:
@@ -663,18 +664,27 @@ class DeviceIndex:
         reference index.cpp:355-376)."""
         if candidates.size == 0:
             return candidates
-        keep = np.ones(candidates.size, dtype=bool)
+        dense_rs: List[int] = []
+        sparse: List[int] = []
         for t in tids:
             r = int(self.dense_row[t])
-            if r >= 0:
-                row = np.asarray(self.bitmaps[r])
+            (dense_rs if r >= 0 else sparse).append(r if r >= 0 else t)
+        keep = np.ones(candidates.size, dtype=bool)
+        if dense_rs:
+            # one bucketed device->host pull for ALL dense rows (padding
+            # with the all-ones row is the AND identity)
+            while len(dense_rs) < _k_bucket(len(dense_rs)):
+                dense_rs.append(self.ones_row)
+            rows = np.asarray(
+                self.bitmaps[jnp.asarray(dense_rs, dtype=jnp.int32)])
+            for row in rows:
                 keep &= self._probe_words(row, candidates).astype(bool)
-            else:
-                p = self.postings_of(t)
-                if p.size == 0:
-                    return np.empty(0, dtype=np.int32)
-                pos = np.minimum(np.searchsorted(p, candidates), p.size - 1)
-                keep &= p[pos] == candidates
+        for t in sparse:
+            p = self.postings_of(t)
+            if p.size == 0:
+                return np.empty(0, dtype=np.int32)
+            pos = np.minimum(np.searchsorted(p, candidates), p.size - 1)
+            keep &= p[pos] == candidates
         return candidates[keep]
 
     # ------------------------------------------------------------------

@@ -39,7 +39,11 @@ class FileLoader:
 
     def load_rows(self, rows: Iterable[Dict[str, object]],
                   cancel: Optional[threading.Event] = None,
-                  progress: Optional[Callable[[int], None]] = None) -> int:
+                  progress: Optional[Callable[[int], None]] = None,
+                  rebuild: bool = False) -> int:
+        """rebuild=True (SYNC): build a staging state aside and swap on
+        completion — queries keep serving the old state, and a cancelled
+        rebuild is discarded."""
         pk_col, text_cols, delim = self._row_fields()
         n = 0
         t0 = time.time()
@@ -48,6 +52,8 @@ class FileLoader:
         bulk = None
         if self.ctx.doc_count == 0:
             bulk = self.ctx.begin_bulk_load()
+        elif rebuild:
+            bulk = self.ctx.begin_staging_rebuild()
         pending = []
 
         def flush_pending():
@@ -74,6 +80,8 @@ class FileLoader:
             n += 1
             if progress is not None and n % self.batch_size == 0:
                 progress(n)
+        if cancel is not None and cancel.is_set():
+            return n  # staging (if any) is discarded; old state survives
         flush_pending()
         if bulk is not None:
             bulk.finish()
@@ -97,10 +105,13 @@ class FileLoader:
     # ------------------------------------------------------------------
     def load_file(self, path: str,
                   cancel: Optional[threading.Event] = None,
-                  progress: Optional[Callable[[int], None]] = None) -> int:
+                  progress: Optional[Callable[[int], None]] = None,
+                  rebuild: bool = False) -> int:
         if path.endswith(".jsonl") or path.endswith(".json"):
-            return self.load_rows(self._iter_jsonl(path), cancel, progress)
-        return self.load_rows(self._iter_tsv(path), cancel, progress)
+            return self.load_rows(self._iter_jsonl(path), cancel, progress,
+                                  rebuild)
+        return self.load_rows(self._iter_tsv(path), cancel, progress,
+                              rebuild)
 
     @staticmethod
     def _iter_jsonl(path: str):
@@ -161,9 +172,10 @@ def load_seed_file(ctx: TableContext, path: str, batch_size: int = 5000) -> int:
 
 def make_sync_loader(seed_path: str):
     """loader_factory for SyncOperationManager backed by a seed file:
-    truncates then reloads the table (online rebuild semantics)."""
+    builds a staging state aside and swaps on completion, so queries keep
+    serving the old state during the rebuild (online rebuild semantics)."""
     def factory(ctx: TableContext, cancel: threading.Event,
                 progress: Callable[[int], None]) -> int:
-        ctx.truncate()
-        return FileLoader(ctx).load_file(seed_path, cancel, progress)
+        return FileLoader(ctx).load_file(seed_path, cancel, progress,
+                                         rebuild=True)
     return factory

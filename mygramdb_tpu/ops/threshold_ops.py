@@ -14,7 +14,48 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .posting_ops import SENTINEL
+from .posting_ops import SENTINEL, gather_slices
+
+
+@functools.partial(jax.jit, static_argnames=("g_sparse", "c_bucket"))
+def threshold_count_bitmap(bitmaps: jax.Array, rows: jax.Array,
+                           postings: jax.Array, offs: jax.Array,
+                           lens: jax.Array, min_count: jax.Array,
+                           deleted: jax.Array, *, g_sparse: int,
+                           c_bucket: int) -> jax.Array:
+    """Mixed dense+sparse threshold count, fully on device.
+
+    Counts, per doc, how many of the given posting sets contain it and
+    returns the ``count >= min_count`` result as a packed bitmap
+    (W32,) uint32 with tombstones cleared (reference SearchByThreshold,
+    index.cpp:448-528 — the k-way heap becomes a bit-count accumulate).
+
+    bitmaps: (R, W32) uint32 dense rows; rows: (G,) int32 row indices,
+    padding entries must point at an all-zero row. postings/offs/lens:
+    sparse CSR slices (g_sparse of them; g_sparse=0 compiles the
+    dense-only variant). Dense counts are accumulated per (word, bit)
+    lane; sparse ids scatter-add into the flat per-doc counter.
+    """
+    w32 = bitmaps.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :]
+
+    def body(i, cnt):
+        row = bitmaps[rows[i]]
+        bits = jnp.bitwise_and(jnp.right_shift(row[:, None], shifts), 1)
+        return cnt + bits.astype(jnp.int32)
+
+    cnt = jax.lax.fori_loop(0, rows.shape[0], body,
+                            jnp.zeros((w32, 32), jnp.int32))
+    flat = cnt.reshape(-1)
+    if g_sparse:
+        slices = gather_slices(postings, offs, lens, c_bucket)
+        # SENTINEL pads are far out of range -> dropped by the scatter
+        flat = flat.at[slices.reshape(-1)].add(1, mode="drop")
+    ok = (flat >= min_count).reshape(w32, 32)
+    words = jnp.sum(
+        jnp.left_shift(ok.astype(jnp.uint32), shifts), axis=1,
+        dtype=jnp.uint32)
+    return jnp.bitwise_and(words, jnp.bitwise_not(deleted))
 
 
 @functools.partial(jax.jit, static_argnames=("max_out",))

@@ -51,16 +51,21 @@ class InitialLoader:
         self.conn.execute("START TRANSACTION WITH CONSISTENT SNAPSHOT")
         try:
             self.snapshot_gtid = self.conn.fetch_executed_gtid()
-            if truncate_first:
-                self.ctx.truncate()
             pk_col = t.primary_key or "id"
             last_pk: Optional[str] = None
             total = 0
             t0 = time.time()
             # empty table -> sorted-segment bulk path (reference
-            # AddDocumentBatch analog); live tables use per-row writes
-            bulk = (self.ctx.begin_bulk_load()
-                    if self.ctx.doc_count == 0 else None)
+            # AddDocumentBatch analog); SYNC of a live table builds a
+            # staging state aside and swaps (queries keep serving the old
+            # snapshot — reference LoadFromExistingSnapshot semantics);
+            # otherwise per-row live writes
+            if self.ctx.doc_count == 0:
+                bulk = self.ctx.begin_bulk_load()
+            elif truncate_first:
+                bulk = self.ctx.begin_staging_rebuild()
+            else:
+                bulk = None
             while True:
                 if cancel is not None and cancel.is_set():
                     break
@@ -96,6 +101,12 @@ class InitialLoader:
                     progress(total)
                 if len(rs.rows) < self.batch_size:
                     break
+            if cancel is not None and cancel.is_set():
+                # discard staging state; keep the old snapshot + GTID so a
+                # cancelled SYNC changes nothing (partial swap would
+                # desync the binlog resume point)
+                self.snapshot_gtid = ""
+                return total
             if bulk is not None:
                 bulk.finish()
             dt = max(time.time() - t0, 1e-9)

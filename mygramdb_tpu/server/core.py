@@ -125,6 +125,15 @@ class ServerCore:
             rl = self.config.api.rate_limiting
             self.rate_limiter.configure(rl.capacity, rl.refill_rate,
                                         rl.enable)
+        elif name == "api.default_limit":
+            self.parser.default_limit = int(value)
+        elif name == "api.max_query_length":
+            self.parser.max_query_length = int(value)
+        elif name.startswith("cache."):
+            self.cache.apply_setting(name, value)
+        elif name == "logging.level":
+            from ..utils.structured_log import set_log_level
+            set_log_level(str(value))
 
     # ------------------------------------------------------------------
     def handle_line(self, line: str, conn: Optional[ConnState] = None) -> str:

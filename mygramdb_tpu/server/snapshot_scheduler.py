@@ -38,6 +38,16 @@ class SnapshotScheduler:
             self._worker.stop()
             self._worker = None
 
+    def apply_interval(self) -> None:
+        """Runtime `SET dump.interval_sec` took effect on self.cfg:
+        start/stop/retime the worker to match."""
+        if self.cfg.interval_sec <= 0:
+            self.stop()
+        elif self._worker is None:
+            self.start()
+        else:
+            self._worker.set_interval(self.cfg.interval_sec)
+
     # ------------------------------------------------------------------
     def _tick(self) -> None:
         if self.busy() or self.dm.busy:

@@ -38,6 +38,11 @@ class PeriodicWorker:
                     "worker", self._name).field(
                     "error", traceback.format_exc(limit=3)).error()
 
+    def set_interval(self, interval_sec: float) -> None:
+        """Takes effect at the next wakeup (the current sleep finishes at
+        the old interval); adequate for runtime SET of dump.interval_sec."""
+        self._interval = interval_sec
+
     def trigger_now(self) -> None:
         try:
             self._fn()

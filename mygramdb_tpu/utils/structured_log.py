@@ -36,6 +36,13 @@ def configure_logging(level: str = "info", fmt: str = "json",
             _config["file"] = open(file, "a", buffering=1, encoding="utf-8")
 
 
+def set_log_level(level: str) -> None:
+    """Runtime `SET logging.level` — changes only the threshold, leaving
+    format/file untouched (configure_logging would reopen the file)."""
+    with _lock:
+        _config["level"] = _LEVELS.get(level, _config["level"])
+
+
 def _target() -> TextIO:
     return _config["file"] or _config["stream"]
 

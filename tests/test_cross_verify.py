@@ -152,6 +152,58 @@ class TestCrossVerify:
             out = run(pipe, f'COUNT t "{term}"')
             assert out.total == len(oracle(corpus, ctx, require=[term]))
 
+    def test_random_query_matrix(self, engine, corpus):
+        """Property sweep: random combinations of AND terms / NOT /
+        filters / sort column / pagination, full ordered-result parity
+        against the oracle (reference cross-verify breadth)."""
+        pipe, ctx = engine
+        rng = np.random.default_rng(42)
+        vocab = EN + JA
+        for case in range(60):
+            k = int(rng.integers(1, 3))
+            require = list(rng.choice(vocab, size=k, replace=False))
+            forbid = []
+            if rng.random() < 0.3:
+                forbid = [str(rng.choice([w for w in vocab
+                                          if w not in require]))]
+            status_eq = int(rng.integers(0, 3)) if rng.random() < 0.4 \
+                else None
+            score_gte = float(rng.integers(0, 80)) / 10 \
+                if rng.random() < 0.3 else None
+            limit = int(rng.choice([5, 37, 100, 2000]))
+            offset = int(rng.choice([0, 0, 3, 11]))
+            sort_status = rng.random() < 0.25
+            desc = bool(rng.random() < 0.5)
+
+            q = "SEARCH t " + " AND ".join(f'"{t}"' for t in require)
+            for f in forbid:
+                q += f' NOT "{f}"'
+            if status_eq is not None:
+                q += f" FILTER status = {status_eq}"
+            if score_gte is not None:
+                q += f" FILTER score >= {score_gte}"
+            if sort_status:
+                q += f" SORT status {'DESC' if desc else 'ASC'}"
+            else:
+                q += f" SORT id {'DESC' if desc else 'ASC'}"
+            q += f" LIMIT {offset},{limit}" if offset else f" LIMIT {limit}"
+
+            matched = oracle(corpus, ctx, require=require, forbid=forbid,
+                             status_eq=status_eq, score_gte=score_gte)
+            asc_ids = sorted(matched)
+            if sort_status:
+                # stable sort over ascending ids, NULLs last (none here)
+                exp = [d for d in sorted(
+                    asc_ids, key=lambda d: corpus[d]["status"],
+                    reverse=desc)]
+            else:
+                exp = asc_ids[::-1] if desc else asc_ids
+            exp = exp[offset:offset + limit]
+
+            out = run(pipe, q)
+            assert out.total == len(matched), q
+            assert out.results.tolist() == exp, q
+
     def test_mutation_then_verify(self, engine, corpus):
         pipe, ctx = engine
         ctx.add_row("9001", "alpha special mutation", {"status": 1})

@@ -147,6 +147,67 @@ class TestDensePath:
         assert total == 1 and ids.tolist() == [60]
 
 
+class TestThresholdMixed:
+    """Brute-force cross-check of the fused dense+sparse threshold kernel
+    (reference search_by_threshold_test.cpp tier)."""
+
+    def build_random(self, n_docs=400, seed=7):
+        rng = np.random.default_rng(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+        # 'aa'/'bb' appear in most docs (dense at low ratio); rest rare
+        docs = {}
+        for i in range(1, n_docs + 1):
+            words = []
+            if rng.random() < 0.7:
+                words.append("aa")
+            if rng.random() < 0.5:
+                words.append("bb")
+            for w in vocab[2:]:
+                if rng.random() < 0.03:
+                    words.append(w)
+            docs[i] = " ".join(words) if words else "zz"
+        return docs, vocab
+
+    @pytest.mark.parametrize("min_count", [1, 2, 3, 5])
+    def test_vs_bruteforce(self, min_count):
+        docs, vocab = self.build_random()
+        built = build_index(docs)
+        idx = DeviceIndex(built, dense_df_ratio=0.1)
+        tids = [built.term_dict.get(g) for g in vocab]
+        tids = [t for t in tids if t is not None]
+        dense = [t for t in tids if idx.dense_row[t] >= 0]
+        sparse = [t for t in tids if idx.dense_row[t] < 0]
+        assert dense and sparse  # the mixed branch must be exercised
+        got = idx.search_by_threshold(tids, min_count)
+        want = sorted(
+            d for d, text in docs.items()
+            if sum(g in text for g in vocab) >= min_count)
+        assert got.tolist() == want
+
+    def test_tombstones_cleared_on_device(self):
+        docs, vocab = self.build_random(n_docs=100, seed=11)
+        built = build_index(docs)
+        idx = DeviceIndex(built, dense_df_ratio=0.1)
+        tids = [t for t in (built.term_dict.get(g) for g in vocab)
+                if t is not None]
+        base = idx.search_by_threshold(tids, 1)
+        assert base.size > 2
+        dead = base[:2].tolist()
+        idx.mark_deleted(dead)
+        got = idx.search_by_threshold(tids, 1)
+        assert got.tolist() == [d for d in base.tolist() if d not in dead]
+
+    def test_dense_only_padding_rows(self):
+        # every term dense; padded kernel rows must contribute zero counts
+        built = build_index()
+        idx = DeviceIndex(built, dense_df_ratio=0.000001)
+        tids = [built.term_dict.get(g) for g in ("he", "el", "ll")]
+        got = idx.search_by_threshold(tids, 3)
+        assert got.tolist() == [1, 2, 4]
+        got = idx.search_by_threshold(tids, 1)
+        assert got.tolist() == [1, 2, 4]
+
+
 class TestMutableIndex:
     def make(self):
         built = build_index()

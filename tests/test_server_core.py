@@ -227,3 +227,156 @@ class TestSync:
         core.sync_manager.wait_all(30)
         assert "done" in core.handle_line("SYNC STATUS")
         assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
+
+    def test_sync_live_table_swaps_state(self, tmp_path):
+        """SYNC of a populated table must NOT truncate live state: the
+        rebuild happens aside and swaps (reference
+        LoadFromExistingSnapshot + swap semantics)."""
+        seed = tmp_path / "seed.jsonl"
+        import json
+        with open(seed, "w") as f:
+            f.write(json.dumps({"id": "7", "content": "replacement doc",
+                                "status": 9, "category": "z"}) + "\n")
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        from mygramdb_tpu.loader.file_loader import make_sync_loader
+        core = ServerCore(cfg, cat,
+                          sync_loader_factory=make_sync_loader(str(seed)))
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
+        assert "started" in core.handle_line("SYNC articles")
+        core.sync_manager.wait_all(30)
+        # old corpus replaced wholesale; doc ids restart in PK order
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 0"
+        assert core.handle_line("SEARCH articles replacement") == \
+            "OK RESULTS 1 7"
+        assert core.handle_line(
+            "SEARCH articles replacement FILTER status = 9") == \
+            "OK RESULTS 1 7"
+        assert ctx.doc_count == 1
+
+
+class TestRuntimeVarEffects:
+    """SET must actually take effect, not just mutate the config struct
+    (reference runtime_variable_manager.h:63-69 restart-required
+    contract)."""
+
+    @pytest.fixture()
+    def big_core(self, tmp_path):
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for i in range(1, 21):
+            ctx.add_row(str(i), f"hello document {i}", {"status": i % 3})
+        return ServerCore(cfg, cat)
+
+    def test_default_limit_applies_to_parser(self, big_core):
+        resp = big_core.handle_line("SEARCH articles hello")
+        assert len(resp.split()) - 3 == 20
+        assert big_core.handle_line("SET api.default_limit = 5") == "OK"
+        resp = big_core.handle_line("SEARCH articles hello")
+        assert len(resp.split()) - 3 == 5
+        assert resp.startswith("OK RESULTS 20 ")
+
+    def test_max_query_length_applies(self, big_core):
+        assert big_core.handle_line("SET api.max_query_length = 20") == "OK"
+        assert big_core.handle_line(
+            "SEARCH articles " + "x" * 64).startswith("ERROR")
+        assert big_core.handle_line("SET api.max_query_length = 4096") == "OK"
+
+    def test_cache_knobs_apply(self, big_core):
+        assert big_core.handle_line("SET cache.ttl_seconds = 7") == "OK"
+        assert big_core.cache.cache.ttl == 7
+        assert big_core.handle_line("SET cache.max_memory_mb = 4") == "OK"
+        assert big_core.cache.cache.max_memory == 4 * 1024 * 1024
+        assert big_core.handle_line(
+            "SET cache.min_query_cost_ms = 2.5") == "OK"
+        assert big_core.cache.cache.min_cost_ms == 2.5
+
+    def test_microbatch_is_readonly(self, big_core):
+        resp = big_core.handle_line("SET device.microbatch_size = 64")
+        assert "read-only" in resp
+
+
+class TestSyncFaultInjection:
+    def test_loader_crash_leaves_table_intact(self, tmp_path):
+        """A SYNC worker that dies mid-rebuild must not corrupt or drop
+        the live table (staging is discarded; reference sync state
+        machine failure path)."""
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+
+        def crashing_loader(ctx_, cancel, progress):
+            staging = ctx_.begin_staging_rebuild()
+            staging.add_batch([("100", "partial row", None)])
+            raise RuntimeError("connection lost mid-snapshot")
+
+        core = ServerCore(cfg, cat, sync_loader_factory=crashing_loader)
+        assert "started" in core.handle_line("SYNC articles")
+        core.sync_manager.wait_all(30)
+        status = core.handle_line("SYNC STATUS")
+        assert "failed" in status
+        assert core.sync_manager.status()["articles"]["error"] == \
+            "connection lost mid-snapshot"
+        assert ctx.doc_count == 3
+        assert core.handle_line("SEARCH articles hello") == "OK RESULTS 2 2 1"
+
+
+class TestStagingRebuild:
+    def make_ctx(self):
+        cfg = load_config_from_dict(dict(CFG))
+        return TableCatalog(cfg).resolve("articles")
+
+    def test_old_state_served_until_finish(self):
+        ctx = self.make_ctx()
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        staging = ctx.begin_staging_rebuild()
+        staging.add_batch([("10", "brand new corpus", {"status": 5})])
+        # live state untouched while staging builds
+        assert ctx.doc_store.doc_id("1") is not None
+        assert ctx.doc_count == 3
+        staging.finish()
+        assert ctx.doc_count == 1
+        assert ctx.doc_store.doc_id("10") == 1  # ids restart at 1
+        total, ids = ctx.index.search_and(["br", "ra", "an", "nd"])
+        assert total == 1 and ids.tolist() == [1]
+        assert ctx.filter_index.match_mask(
+            "status", ids.astype("int64"), "=", 5).all()
+
+    def test_discarded_staging_changes_nothing(self):
+        ctx = self.make_ctx()
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        staging = ctx.begin_staging_rebuild()
+        staging.add_batch([("99", "ephemeral", None)])
+        del staging  # never finished -> discarded
+        assert ctx.doc_count == 3
+        assert ctx.doc_store.doc_id("99") is None
+
+    def test_cancelled_file_sync_discards(self, tmp_path):
+        import json
+        import threading
+        seed = tmp_path / "seed.jsonl"
+        with open(seed, "w") as f:
+            f.write(json.dumps({"id": "50", "content": "fresh"}) + "\n")
+        ctx = self.make_ctx()
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        from mygramdb_tpu.loader.file_loader import FileLoader
+        cancel = threading.Event()
+        cancel.set()
+        FileLoader(ctx).load_file(str(seed), cancel=cancel, rebuild=True)
+        assert ctx.doc_count == 3
+        assert ctx.doc_store.doc_id("50") is None
