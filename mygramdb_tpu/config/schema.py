@@ -240,7 +240,8 @@ class DeviceConfig:
     dense_df_ratio: float = 0.01
     max_dense_terms: int = 8192
     doc_block: int = 1024
-    candidate_buckets: List[int] = field(default_factory=lambda: [2048, 65536])
+    candidate_buckets: List[int] = field(
+        default_factory=lambda: [2048, 8192, 32768, 65536])
     max_query_terms: int = 16
     microbatch_size: int = 64
     microbatch_window_us: int = 200

@@ -143,7 +143,8 @@ class DeviceIndex:
     """Immutable compiled index segment resident on device."""
 
     def __init__(self, built: BuiltIndex, dense_df_ratio: float = 0.01,
-                 max_dense_terms: int = 8192, candidate_buckets=(2048, 65536),
+                 max_dense_terms: int = 8192,
+                 candidate_buckets=(2048, 8192, 32768, 65536),
                  device=None, mesh_shards: int = 1):
         """mesh_shards > 1 shards the bitmap matrix over the document axis
         of a ('docs',) mesh via NamedSharding — the jitted query kernels are

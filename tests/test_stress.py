@@ -110,6 +110,7 @@ class TestServerStress:
             await srv.start()
             holder["port"] = srv.port
             holder["core"] = core
+            holder["srv"] = srv
             holder["stop"] = asyncio.get_running_loop().create_future()
             started.set()
             await holder["stop"]
@@ -192,6 +193,86 @@ class TestServerStress:
             assert time.time() - t0 < 10
             slow.close()
             fast.close()
+        finally:
+            self._stop(holder)
+
+    def test_server_busy_backpressure(self):
+        """When the in-flight command budget is exhausted, further
+        requests get SERVER_BUSY instead of queueing unboundedly
+        (reference thread-pool bounded queue, config.h:334-337)."""
+        import socket
+        holder = self._run_server()
+        port = holder["port"]
+        core = holder["core"]
+        orig = core.handle_line
+
+        def slow_handle(line, conn=None):
+            time.sleep(1.0)
+            return orig(line, conn)
+
+        try:
+            core.handle_line = slow_handle
+            # shrink the in-flight budget to 1 (loop-thread-safe enough
+            # here: set before any request is in flight)
+            import asyncio as aio
+            holder["stop"].get_loop().call_soon_threadsafe(
+                lambda: setattr(holder["srv"], "_inflight",
+                                aio.Semaphore(1)))
+            time.sleep(0.2)
+            s1 = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s2 = socket.create_connection(("127.0.0.1", port), timeout=10)
+            f1 = s1.makefile("rwb")
+            f2 = s2.makefile("rwb")
+            f1.write(b"COUNT t alpha\r\n"); f1.flush()
+            time.sleep(0.3)  # let conn 1 occupy the slot
+            f2.write(b"COUNT t alpha\r\n"); f2.flush()
+            r2 = f2.readline().decode()
+            assert "SERVER_BUSY" in r2, r2
+            r1 = f1.readline().decode()
+            assert r1.startswith("OK COUNT"), r1
+            s1.close(); s2.close()
+        finally:
+            core.handle_line = orig
+            self._stop(holder)
+
+    def test_first_frame_timeout_reaps_connection(self, monkeypatch):
+        """A connection that never sends a frame is reaped (reference
+        io_reactor first-frame timeout, io_reactor.h:66-80)."""
+        import socket
+        from mygramdb_tpu.server import tcp_server as mod
+        monkeypatch.setattr(mod, "FIRST_FRAME_TIMEOUT", 0.5)
+        holder = self._run_server()
+        port = holder["port"]
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            s.settimeout(10)
+            t0 = time.time()
+            data = s.recv(64)  # server closes -> EOF
+            assert data == b""
+            assert time.time() - t0 < 8
+            s.close()
+        finally:
+            self._stop(holder)
+
+    def test_rate_limit_enforced(self):
+        import socket
+        holder = self._run_server(
+            {"api": {"tcp": {"bind": "127.0.0.1", "port": 0},
+                     "rate_limiting": {"enable": True, "capacity": 3,
+                                       "refill_rate": 1}}})
+        port = holder["port"]
+        try:
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            f = s.makefile("rwb")
+            seen_limited = False
+            for _ in range(8):
+                f.write(b"COUNT t alpha\r\n"); f.flush()
+                r = f.readline().decode()
+                if "rate limit" in r:
+                    seen_limited = True
+                    break
+            assert seen_limited
+            s.close()
         finally:
             self._stop(holder)
 
