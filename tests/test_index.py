@@ -49,6 +49,24 @@ class TestBuilder:
         assert built.n_docs == 0
         assert built.postings.size == 0
 
+    def test_out_of_order_docs_fall_back_to_lexsort(self):
+        """finalize()'s single-radix fast path requires ascending doc ids;
+        out-of-order adds must produce identical sorted-per-term CSR."""
+        docs_asc = {i: f"hello doc{i} world" for i in range(1, 40)}
+        b1 = IndexBuilder()
+        for d, t in docs_asc.items():
+            b1.add_document(d, t)
+        b2 = IndexBuilder()
+        for d in sorted(docs_asc, reverse=True):  # descending insertion
+            b2.add_document(d, docs_asc[d])
+        i1, i2 = b1.finalize(), b2.finalize()
+        for g in ("he", "wo", "do"):
+            t1 = i1.term_dict.get(g)
+            t2 = i2.term_dict.get(g)
+            assert i1.postings_of(t1).tolist() == \
+                i2.postings_of(t2).tolist(), g
+            assert np.all(np.diff(i2.postings_of(t2)) > 0)
+
 
 class TestDeviceIndexSearch:
     def setup_method(self):
