@@ -172,6 +172,7 @@ class TableContext:
     def _rebuild_device_text(self) -> None:
         """Pack normalized texts into HBM for the device verify kernel."""
         self.device_text = None
+        self._device_text_gen = -1
         if not (self.config.device.enable and
                 self.doc_store.stores_texts):
             return
@@ -180,9 +181,22 @@ class TableContext:
             self.device_text = DeviceTextStore(
                 self.doc_store.texts_snapshot(),
                 self.index.device.n_docs_capacity)
+            self._device_text_gen = self.index.built_generation
         except Exception as e:  # noqa: BLE001 — fall back to host verify
             StructuredLog().event("device_text_build_failed").field(
                 "table", self.name).field("error", str(e)).warn()
+
+    def fresh_device_text(self):
+        """The packed text store, or None when it predates the current
+        device segment (a stale pack would serve empty/old text to the
+        device verify and BM25 kernels for docs compacted after the pack —
+        silent result corruption; callers must fall back to host verify)."""
+        dt = self.device_text
+        if dt is None or \
+                getattr(self, "_device_text_gen", -1) != \
+                self.index.built_generation:
+            return None
+        return dt
 
     # ------------------------------------------------------------------
     # checkpoint state (DUMP SAVE/LOAD)
@@ -192,7 +206,11 @@ class TableContext:
         from .storage.dump import TableState
         with self._write_lock:
             if len(self.index.delta) or self.index.tombstones:
-                self.index.optimize()
+                # ctx-level optimize: compaction moves delta docs onto the
+                # device, so the packed DeviceTextStore MUST be rebuilt too
+                # or the device verify/BM25 kernels read empty text for
+                # them and silently drop matches
+                self.optimize()
             built = self.index.built
             return TableState(
                 name=self.name,

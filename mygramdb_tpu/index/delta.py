@@ -139,6 +139,10 @@ class MutableIndex:
             else self._build_device(built)
         self._device_v = built.n_terms
         self._device_doc_max = built.max_doc_id
+        # bumped on every device-segment swap (optimize/restore): consumers
+        # holding derived device state (packed text store) must match this
+        # or re-derive — a stale pack silently drops verify matches
+        self.built_generation = getattr(self, "built_generation", -1) + 1
 
     # ------------------------------------------------------------------
     # Shredding

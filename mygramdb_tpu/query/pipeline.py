@@ -365,7 +365,7 @@ class SearchPipeline:
         if contains_boolean_syntax(query.search_text) or \
                 self._synonyms_apply(query):
             return None
-        dev_text = getattr(self.ctx, "device_text", None)
+        dev_text = self.ctx.fresh_device_text()
         if dev_text is None or dev_text._overflow:
             return None
         index = self.ctx.index
@@ -569,7 +569,7 @@ class SearchPipeline:
 
     def _substring_filter(self, ids: np.ndarray,
                           needles: Sequence[str]) -> np.ndarray:
-        dev_text = getattr(self.ctx, "device_text", None)
+        dev_text = self.ctx.fresh_device_text()
         if dev_text is not None and ids.size >= 256:
             dirty = self.ctx.index.dirty_doc_ids()
             mask = dev_text.verify(ids, list(needles),
@@ -851,7 +851,7 @@ class SearchPipeline:
             else:
                 dfs.append(0)
         norm_terms = [ti.normalized for ti in terms]
-        dev_text = getattr(self.ctx, "device_text", None)
+        dev_text = self.ctx.fresh_device_text()
         # fused device score+top-k: only limit+offset (id, score) pairs
         # cross to the host (SORT _score DESC with a LIMIT — the headline
         # CJK BM25 workload)

@@ -142,6 +142,50 @@ class TestApplicationLifecycle:
         assert resp == "OK RESULTS 1 1"
         assert health["status"] == "ok"
 
+    def test_restart_persistence_roundtrip(self, tmp_path):
+        """Boot -> mutate -> DUMP SAVE -> shutdown -> boot with --restore:
+        results identical across process generations (reference e2e
+        persistence suite semantics)."""
+        seed = tmp_path / "seed.jsonl"
+        with open(seed, "w") as f:
+            for i, text in [(1, "hello world"), (2, "quick test"),
+                            (3, "日本語 検索")]:
+                f.write(json.dumps({"id": i, "content": text,
+                                    "status": i % 2}) + "\n")
+        base = {
+            "tables": [{"name": "t", "text_source": {"column": "content"},
+                        "filters": [{"name": "status", "type": "int",
+                                     "bitmap_index": True}]}],
+            "memory": {"verify_text": "all"},
+            "dump": {"dir": str(tmp_path)},
+            "replication": {"enable": False},
+        }
+        from mygramdb_tpu.app.application import Application
+        app1 = Application(load_config_from_dict(dict(base)),
+                           seed_path=str(seed))
+        app1.initialize()
+        core1 = app1.core
+        # live mutation after the seed, then checkpoint
+        app1.catalog.resolve("t").add_row("9", "hello again", {"status": 1})
+        assert core1.handle_line("DUMP SAVE persist.dmp").startswith("OK")
+        core1.dump_manager.wait(30)
+        q1 = core1.handle_line("SEARCH t hello SORT id ASC LIMIT 10")
+        q2 = core1.handle_line("SEARCH t 日本語 LIMIT 10")
+        q3 = core1.handle_line("COUNT t hello FILTER status = 1")
+
+        app2 = Application(load_config_from_dict(dict(base)),
+                           restore_dump="persist.dmp")
+        app2.initialize()
+        core2 = app2.core
+        assert app2.catalog.resolve("t").doc_count == 4
+        assert core2.handle_line(
+            "SEARCH t hello SORT id ASC LIMIT 10") == q1
+        assert core2.handle_line("SEARCH t 日本語 LIMIT 10") == q2
+        assert core2.handle_line("COUNT t hello FILTER status = 1") == q3
+        # restored store still accepts writes
+        app2.catalog.resolve("t").add_row("11", "hello third", {"status": 0})
+        assert core2.handle_line("COUNT t hello") == "OK COUNT 3"
+
     def test_config_test_mode(self, tmp_path):
         cfg_file = tmp_path / "c.yaml"
         cfg_file.write_text(

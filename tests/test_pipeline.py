@@ -450,3 +450,47 @@ class TestFusedSparseVerified:
         ctx.index.remove_document(10**6)
         assert out.total == out2.total
         assert out.results.tolist() == out2.results.tolist()
+
+
+class TestDeviceTextFreshness:
+    """A packed DeviceTextStore that predates the current device segment
+    must never be consulted (regression: dump-triggered compaction moved a
+    delta doc onto the device; the stale pack then served empty text to
+    the verify kernel and the doc vanished from verified results)."""
+
+    def test_fused_path_skips_stale_pack(self):
+        ctx, cfg = make_ctx(CFG)
+        pipe = SearchPipeline(ctx, cfg)
+        ctx.optimize()  # builds device_text for docs 1-5
+        assert ctx.fresh_device_text() is not None
+        ctx.add_row("9", "quick mystery snack", {"status": 1})
+        # compact WITHOUT the ctx-level rebuild (simulates any future
+        # code path that swaps the segment directly)
+        ctx.index.optimize()
+        assert ctx.fresh_device_text() is None  # stale pack refused
+        out = run(pipe, 'SEARCH articles "quick mystery" LIMIT 10')
+        assert out.total == 1
+        assert ctx.doc_store.primary_keys_batch(
+            out.results.tolist()) == ["9"]
+        # ctx-level optimize restores device verification
+        ctx.optimize()
+        assert ctx.fresh_device_text() is not None
+        out = run(pipe, 'SEARCH articles "quick mystery" LIMIT 10')
+        assert out.total == 1
+
+    def test_dump_save_keeps_verified_results(self, tmp_path):
+        from mygramdb_tpu.server.core import ServerCore
+        d = dict(CFG)
+        d["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(d)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        core = ServerCore(cfg, cat)
+        ctx.add_row("9", "quick mystery snack", {"status": 1})
+        before = core.handle_line('SEARCH articles "quick mystery" LIMIT 10')
+        core.handle_line("DUMP SAVE fresh.dmp")
+        core.dump_manager.wait(30)
+        after = core.handle_line('SEARCH articles "quick mystery" LIMIT 10')
+        assert before == after == "OK RESULTS 1 9"
