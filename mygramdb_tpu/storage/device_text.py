@@ -9,6 +9,7 @@ yet packed.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,6 +26,17 @@ _C_BUCKETS = (2048, 4096, 8192, 16384)
 _PADDED_BUDGET_BYTES = 3 << 30  # padded text layout cap (row-gather path)
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 _U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
+
+
+@functools.partial(jax.jit, static_argnames=("maxT",))
+def _pad_on_device(flat: jax.Array, offsets: jax.Array, lengths: jax.Array,
+                   maxT: int, sentinel) -> jax.Array:
+    """(P,) flat pack -> (capacity, maxT) padded rows, sentinel-filled."""
+    pos = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    idx = offsets[:, None] + pos
+    valid = pos < lengths[:, None]
+    idx = jnp.clip(jnp.where(valid, idx, 0), 0, flat.shape[0] - 1)
+    return jnp.where(valid, flat[idx], sentinel)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -101,21 +113,22 @@ class DeviceTextStore:
         # element gathers — order-of-magnitude faster at large C. Large
         # corpora keep the compact flat pack.
         itemsize = np.dtype(self.dtype).itemsize
+        self.offsets = jax.device_put(offsets, device)
+        self.lengths = jax.device_put(lengths, device)
         if capacity * self.maxT * itemsize <= _PADDED_BUDGET_BYTES:
-            padded = np.full((capacity, self.maxT), sentinel,
-                             dtype=self.dtype)
-            if flat.size and ids_arr.size:
-                idx_doc = np.repeat(ids_arr, lens_arr)
-                pos_in_flat = np.arange(int(lens_arr.sum()), dtype=np.int64)
-                idx_pos = pos_in_flat - np.repeat(starts, lens_arr)
-                padded[idx_doc, idx_pos] = flat[:pos_in_flat.size]
-            self.codepoints = jax.device_put(padded, device)
-            del padded
+            # build the (capacity, maxT) padded layout ON DEVICE from the
+            # flat pack: host->HBM transfer is the flat bytes only (~3x
+            # less than shipping the padded matrix — at 1.1M docs that is
+            # the dominant text-store build cost on tunneled backends)
+            flat_dev = jax.device_put(flat, device)
+            self.codepoints = _pad_on_device(
+                flat_dev, self.offsets, self.lengths, self.maxT,
+                np.asarray(sentinel, dtype=self.dtype))
+            self.codepoints.block_until_ready()
+            del flat_dev
         else:
             self.codepoints = jax.device_put(flat, device)
         del flat
-        self.offsets = jax.device_put(offsets, device)
-        self.lengths = jax.device_put(lengths, device)
         self.n_packed = len(texts_by_doc) - len(self._overflow)
 
     # ------------------------------------------------------------------
