@@ -188,6 +188,11 @@ class HttpServer:
         peer = request.remote or ""
         if peer and not self.acl.allowed(peer):
             return web.json_response({"error": "forbidden"}, status=403)
+        if request.method == "OPTIONS" and self.config.api.http.enable_cors:
+            # answer preflight BEFORE routing: aiohttp's resource matching
+            # otherwise 405s OPTIONS on every registered POST/GET path and
+            # the catch-all OPTIONS route never fires for them
+            return await self._preflight(request)
         if request.method == "POST" and peer and \
                 not self.core.rate_limiter.allow(peer):
             self.core.stats.record_rate_limited()
@@ -222,6 +227,8 @@ class HttpServer:
     async def _json_body(self, request: web.Request) -> Dict[str, Any]:
         try:
             body = await request.json()
+        except web.HTTPRequestEntityTooLarge:
+            raise HttpError(413, "request body too large")
         except Exception:
             raise HttpError(400, "invalid JSON body")
         if not isinstance(body, dict):

@@ -153,3 +153,156 @@ def test_http_metrics():
         finally:
             await srv.stop()
     run(main())
+
+
+def test_http_fuzzy_and_not_sort_offset():
+    async def main():
+        srv = await make_server()
+        try:
+            # fuzzy: int form
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "helo", "fuzzy": 1})
+            assert st == 200 and body["total"] == 2
+            # fuzzy: object form
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "helo",
+                                  "fuzzy": {"max_distance": 1}})
+            assert body["total"] == 2
+            # fuzzy: invalid distance
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "helo", "fuzzy": 3})
+            assert st == 400
+            # AND terms narrow, NOT terms exclude
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "hello", "and": ["world"]})
+            assert body["results"] == ["1"]
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "world", "not": ["hello"]})
+            assert body["results"] == ["3"]
+            # sort by filter column ASC with offset pagination
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "world",
+                                  "sort": {"column": "status",
+                                           "order": "ASC"},
+                                  "limit": 1, "offset": 1})
+            assert body["results"] == ["3"]
+            # BM25 sort via JSON
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "hello",
+                                  "sort": {"column": "_score",
+                                           "order": "DESC"}})
+            assert st == 200 and body["total"] == 2
+            # bad sort order rejected
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "x", "sort": {"column": "id",
+                                                     "order": "SIDEWAYS"}})
+            assert st == 400
+        finally:
+            await srv.stop()
+    run(main())
+
+
+def test_http_cors_acl_and_body_cap():
+    async def main():
+        import aiohttp
+        # CORS enabled: preflight must answer 204 on REGISTERED paths too
+        # (aiohttp resource matching otherwise 405s OPTIONS there)
+        cors_cfg = load_config_from_dict({
+            **CFG, "api": {"http": {"enable": True, "bind": "127.0.0.1",
+                                    "port": 0, "enable_cors": True}}})
+        cat = TableCatalog(cors_cfg)
+        cat.resolve("articles").add_row("1", "hello world",
+                                        {"status": 1, "category": "a"})
+        srv = HttpServer(ServerCore(cors_cfg, cat), cors_cfg)
+        await srv.start()
+        try:
+            async with aiohttp.ClientSession() as s:
+                async with s.options(
+                        f"http://127.0.0.1:{srv.port}"
+                        "/tables/articles/search") as r:
+                    assert r.status == 204
+                    assert r.headers[
+                        "Access-Control-Allow-Methods"] == \
+                        "GET, POST, OPTIONS"
+                async with s.get(
+                        f"http://127.0.0.1:{srv.port}/health") as r:
+                    assert r.headers["Access-Control-Allow-Origin"] == "*"
+                # oversized body -> 413
+                big = "x" * (2 << 20)
+                async with s.post(
+                        f"http://127.0.0.1:{srv.port}"
+                        "/tables/articles/search",
+                        json={"q": big}) as r:
+                    assert r.status == 413
+        finally:
+            await srv.stop()
+
+        # fail-closed ACL: loopback NOT in the allow list -> 403
+        cfg = load_config_from_dict({**CFG,
+                                     "network": {"allow_cidrs":
+                                                 ["10.0.0.0/8"]}})
+        cat = TableCatalog(cfg)
+        core = ServerCore(cfg, cat)
+        srv2 = HttpServer(core, cfg)
+        await srv2.start()
+        try:
+            st, body = await req(srv2.port, "GET", "/health")
+            assert st == 403
+        finally:
+            await srv2.stop()
+    run(main())
+
+
+def test_http_rate_limit_429():
+    async def main():
+        cfg = load_config_from_dict({
+            **CFG,
+            "api": {**CFG["api"],
+                    "rate_limiting": {"enable": True, "capacity": 2,
+                                      "refill_rate": 1}}})
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        ctx.add_row("1", "hello world", {"status": 1, "category": "a"})
+        core = ServerCore(cfg, cat)
+        srv = HttpServer(core, cfg)
+        await srv.start()
+        try:
+            seen = []
+            for _ in range(6):
+                st, _b = await req(srv.port, "POST",
+                                   "/tables/articles/search", {"q": "x"})
+                seen.append(st)
+            assert 429 in seen
+            # GETs are not rate limited (read-only health must stay up)
+            st, _b = await req(srv.port, "GET", "/health")
+            assert st == 200
+        finally:
+            await srv.stop()
+    run(main())
+
+
+def test_http_health_states_and_detail():
+    async def main():
+        srv = await make_server()
+        try:
+            st, body = await req(srv.port, "GET", "/health/live")
+            assert st == 200
+            st, body = await req(srv.port, "GET", "/health/detail")
+            assert st == 200
+            assert "tables" in body or "status" in body
+            # facet with a filter applied
+            st, body = await req(srv.port, "POST", "/tables/articles/facet",
+                                 {"column": "category", "q": "world",
+                                  "filters": {"status": 1}})
+            assert st == 200 and body["facets"] == {"a": 2}
+            # facet without column -> 400
+            st, body = await req(srv.port, "POST", "/tables/articles/facet",
+                                 {"q": "world"})
+            assert st == 400
+            # limit clamp: non-bool int enforced
+            st, body = await req(srv.port, "POST", "/tables/articles/search",
+                                 {"q": "hello", "limit": True})
+            assert st == 400
+        finally:
+            await srv.stop()
+    run(main())
