@@ -212,3 +212,183 @@ class TestBinlogStreamOverSocket:
             assert self._wait(
                 lambda: search_total(ctx, cfg, "reconnect") == 1)
             reader.stop()
+
+
+class TestReplicationScenarios:
+    """Reference e2e/tests/replication + failover breadth over the fake
+    wire server: UUID failover, required_filters enter/leave, PK-change
+    updates, TRUNCATE DDL, and n-gram cache invalidation."""
+
+    def _wait(self, predicate, timeout=20.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if predicate():
+                return True
+            time.sleep(0.02)
+        return False
+
+    def _start(self, srv, cfg, cat, cache=None):
+        proc = BinlogEventProcessor(cat, cache_manager=cache,
+                                    database="testdb")
+        reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+        reader.mysql_cfg.port = srv.port
+        reader.start()
+        assert self._wait(srv.binlog_started.is_set)
+        return reader
+
+    def test_failover_detected_by_uuid_change(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        with make_server() as srv:
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            # primary switchover: same endpoint, NEW server identity
+            new_uuid = "aaaaaaaa-bbbb-cccc-dddd-eeeeffff0001"
+            srv.variables["server_uuid"] = new_uuid
+            srv.variables["gtid_executed"] = f"{new_uuid}:1-3"
+            srv.end_binlog()
+            srv.binlog_started.clear()
+            assert self._wait(srv.binlog_started.is_set)
+            assert self._wait(lambda: reader.stats.failovers >= 1)
+            # replication continues against the new primary
+            ctx = cat.resolve("articles")
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(new_uuid, 4))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "insert", COLS, METAS,
+                                  [[30, "post failover row", 1, 1]]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("30") is not None)
+            reader.stop()
+
+    def test_required_filter_enter_and_leave(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "insert", COLS, METAS,
+                                  [[40, "gated document", 1, 1]]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("40") is not None)
+            # enabled 1 -> 0: row LEAVES the replica
+            srv.push_event(b.gtid(SID, 7))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "update", COLS, METAS,
+                                  [([40, "gated document", 1, 1],
+                                    [40, "gated document", 1, 0])]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("40") is None)
+            # enabled 0 -> 1: row ENTERS again
+            srv.push_event(b.gtid(SID, 8))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "update", COLS, METAS,
+                                  [([40, "gated document", 1, 0],
+                                    [40, "gated document", 1, 1])]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("40") is not None)
+            assert search_total(ctx, cfg, "gated") == 1
+            reader.stop()
+
+    def test_pk_change_update_is_delete_plus_insert(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "insert", COLS, METAS,
+                                  [[50, "movable document", 1, 1]]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("50") is not None)
+            srv.push_event(b.gtid(SID, 7))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "update", COLS, METAS,
+                                  [([50, "movable document", 1, 1],
+                                    [51, "movable document", 1, 1])]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("51") is not None)
+            assert ctx.doc_store.doc_id("50") is None
+            assert search_total(ctx, cfg, "movable") == 1
+            reader.stop()
+
+    def test_truncate_ddl_clears_table(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            conn = connect(srv, cfg)
+            InitialLoader(ctx, conn, batch_size=10).load()
+            conn.close()
+            assert ctx.doc_count == 3
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.query("TRUNCATE TABLE articles",
+                                   schema="testdb"))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_count == 0)
+            assert search_total(ctx, cfg, "hello") == 0
+            reader.stop()
+
+    def test_cache_invalidated_by_binlog_write(self):
+        cfg = load_config_from_dict({
+            **{k: v for k, v in {
+                "mysql": {"host": "127.0.0.1", "port": 1, "user": "repl",
+                          "password": "secret", "database": "testdb"},
+                "tables": [{"name": "articles",
+                            "text_source": {"column": "content"},
+                            "filters": [{"name": "status", "type": "int"}],
+                            "required_filters": [
+                                {"name": "enabled", "type": "int",
+                                 "op": "=", "value": 1}]}],
+                "memory": {"verify_text": "all"},
+            }.items()},
+            "cache": {"min_query_cost_ms": 0.0,
+                      "invalidation": {"max_delay_ms": 20}},
+        })
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        from mygramdb_tpu.cache import CacheManager
+        cm = CacheManager(cfg.cache, normalize_term=ctx.normalize)
+        pipe = SearchPipeline(ctx, cfg, cm)
+        P = QueryParser()
+        with make_server() as srv:
+            proc = BinlogEventProcessor(cat, cache_manager=cm,
+                                        database="testdb")
+            reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+            reader.mysql_cfg.port = srv.port
+            reader.start()
+            assert self._wait(srv.binlog_started.is_set)
+            q = P.parse("SEARCH articles cached")
+            assert pipe.execute(q).total == 0
+            assert cm.cache.stats.inserts >= 1  # result cached
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "insert", COLS, METAS,
+                                  [[60, "cached gram doc", 1, 1]]))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_store.doc_id("60") is not None)
+            # the deferred n-gram invalidation must evict the stale entry
+            assert self._wait(
+                lambda: pipe.execute(
+                    P.parse("SEARCH articles cached")).total == 1, 10.0)
+            reader.stop()
