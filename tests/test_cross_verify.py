@@ -204,6 +204,55 @@ class TestCrossVerify:
             assert out.total == len(matched), q
             assert out.results.tolist() == exp, q
 
+    def test_random_boolean_ast_matrix(self, engine, corpus):
+        """Random boolean expression trees (NOT > AND > OR, parens) vs a
+        recursive oracle over normalized-substring semantics — the
+        reference's query_ast evaluation breadth."""
+        pipe, ctx = engine
+        rng = np.random.default_rng(7)
+        vocab = EN + JA
+
+        def gen(depth):
+            r = rng.random()
+            if depth >= 3 or r < 0.4:
+                return ("term", str(rng.choice(vocab)))
+            if r < 0.6:
+                return ("and", gen(depth + 1), gen(depth + 1))
+            if r < 0.85:
+                return ("or", gen(depth + 1), gen(depth + 1))
+            return ("not", gen(depth + 1))
+
+        def to_str(node):
+            if node[0] == "term":
+                return f'"{node[1]}"'
+            if node[0] == "not":
+                return f"NOT ({to_str(node[1])})"
+            op = node[0].upper()
+            return f"({to_str(node[1])} {op} {to_str(node[2])})"
+
+        def ev(node, text):
+            if node[0] == "term":
+                return ctx.normalize(node[1]) in text
+            if node[0] == "not":
+                return not ev(node[1], text)
+            a, b = ev(node[1], text), ev(node[2], text)
+            return (a and b) if node[0] == "and" else (a or b)
+
+        checked = 0
+        for _ in range(50):
+            tree = gen(0)
+            if tree[0] == "not" or tree[0] == "term":
+                continue  # bare NOT / single term take non-AST paths
+            expr = to_str(tree)
+            out = run(pipe, f"SEARCH t {expr} LIMIT 2000")
+            exp = sorted((pk for pk, d in corpus.items()
+                          if ev(tree, ctx.normalize(d["content"]))),
+                         reverse=True)
+            assert out.total == len(exp), expr
+            assert out.results.tolist() == exp, expr
+            checked += 1
+        assert checked >= 25
+
     def test_mutation_then_verify(self, engine, corpus):
         pipe, ctx = engine
         ctx.add_row("9001", "alpha special mutation", {"status": 1})

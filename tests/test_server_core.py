@@ -304,6 +304,63 @@ class TestRuntimeVarEffects:
         assert "read-only" in resp
 
 
+class TestSyncConcurrency:
+    def test_queries_flow_during_staged_rebuild(self, tmp_path):
+        """Queries must keep answering consistently while a SYNC rebuild
+        is in flight (reference optimize/sync concurrency tier)."""
+        import json
+        import threading
+        import time as _t
+        seed = tmp_path / "seed.jsonl"
+        with open(seed, "w") as f:
+            for i in range(1, 401):
+                f.write(json.dumps({"id": i,
+                                    "content": f"hello doc{i} world",
+                                    "status": i % 3}) + "\n")
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for i in range(1, 401):
+            ctx.add_row(str(i), f"hello doc{i} world", {"status": i % 3})
+
+        def slow_loader(ctx_, cancel, progress):
+            staging = ctx_.begin_staging_rebuild()
+            n = 0
+            for i in range(1, 401):
+                staging.add_batch([(str(i), f"hello doc{i} world",
+                                    {"status": i % 3})])
+                n += 1
+                if i % 50 == 0:
+                    _t.sleep(0.02)  # stretch the rebuild window
+            staging.finish()
+            return n
+
+        core = ServerCore(cfg, cat, sync_loader_factory=slow_loader)
+        errors = []
+        stop = threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                r = core.handle_line("SEARCH articles hello LIMIT 5")
+                if not r.startswith("OK RESULTS 400"):
+                    errors.append(r)
+                    return
+
+        threads = [threading.Thread(target=hammer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        assert "started" in core.handle_line("SYNC articles")
+        core.sync_manager.wait_all(60)
+        stop.set()
+        for t in threads:
+            t.join(10)
+        assert not errors, errors[:2]
+        assert "done" in core.handle_line("SYNC STATUS")
+        assert core.handle_line("COUNT articles hello") == "OK COUNT 400"
+
+
 class TestSyncFaultInjection:
     def test_loader_crash_leaves_table_intact(self, tmp_path):
         """A SYNC worker that dies mid-rebuild must not corrupt or drop
