@@ -53,6 +53,9 @@ class TableContext:
                     "table", self.name).field("error", str(e)).warn()
                 self.synonyms = None
         self._write_lock = threading.RLock()
+        # seqlock for component swaps (SYNC / DUMP LOAD): odd while a swap
+        # is in flight; query snapshots retry (pipeline._CtxSnapshot)
+        self._swap_seq = 0
 
     # ------------------------------------------------------------------
     def _make_index(self, built=None) -> MutableIndex:
@@ -255,6 +258,7 @@ class TableContext:
         from .query.bm25 import BM25Stats as _BM25
         new_bm25 = _BM25.from_state(ts.bm25_state)
         with self._write_lock:
+            self._swap_seq += 1  # odd: swap in flight
             self.index = new_index
             self.doc_store = new_store
             self.filter_index = new_filters
@@ -263,6 +267,7 @@ class TableContext:
             # it in place would serve old texts for new doc ids in the
             # verify_text / BM25 device kernels after a runtime DUMP LOAD
             self.device_text = None
+            self._swap_seq += 1  # even: consistent again
         self._rebuild_device_text()
 
     # ------------------------------------------------------------------
@@ -314,8 +319,11 @@ class BulkLoad:
             return
         self._finished = True
         built = self.builder.finalize()
+        new_index = self.ctx._make_index(built)
         with self.ctx._write_lock:
-            self.ctx.index = self.ctx._make_index(built)
+            self.ctx._swap_seq += 1
+            self.ctx.index = new_index
+            self.ctx._swap_seq += 1
         self.ctx._rebuild_device_text()
 
 
@@ -363,11 +371,13 @@ class StagingRebuild:
         built = self.builder.finalize()
         new_index = self.ctx._make_index(built)
         with self.ctx._write_lock:
+            self.ctx._swap_seq += 1  # odd: swap in flight
             self.ctx.index = new_index
             self.ctx.doc_store = self.doc_store
             self.ctx.filter_index = self.filter_index
             self.ctx.bm25 = self.bm25
             self.ctx.device_text = None  # old packed corpus: invalid now
+            self.ctx._swap_seq += 1  # even: consistent again
         self.ctx._rebuild_device_text()
 
 

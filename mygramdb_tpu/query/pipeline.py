@@ -93,6 +93,33 @@ class PipelineOutput:
     scores: Optional[np.ndarray] = None
 
 
+class _CtxSnapshot:
+    """Seqlock capture of a context's swappable components.
+
+    SYNC staging swaps and DUMP LOAD replace index/doc_store/filter_index/
+    bm25 together; a query that read the OLD index but resolves PKs
+    against the NEW doc_store (doc ids renumber on swap) would return
+    wrong rows. Writers bump ``_swap_seq`` to odd before swapping and back
+    to even after; readers retry until they capture all four components
+    under one even sequence — no locks on the query path (the write lock
+    is held across whole compactions, so blocking on it would stall
+    queries for seconds at scale)."""
+
+    __slots__ = ("index", "doc_store", "filter_index", "bm25")
+
+    def __init__(self, ctx):
+        while True:
+            s0 = getattr(ctx, "_swap_seq", 0)
+            if s0 % 2 == 0:
+                self.index = ctx.index
+                self.doc_store = ctx.doc_store
+                self.filter_index = ctx.filter_index
+                self.bm25 = ctx.bm25
+                if getattr(ctx, "_swap_seq", 0) == s0:
+                    return
+            time.sleep(0)  # writer mid-swap; yield and retry
+
+
 class SearchPipeline:
     """Bound to one table context (duck-typed: .index MutableIndex,
     .doc_store DocumentStore, .filter_index FilterIndex, .bm25 BM25Stats,
@@ -103,6 +130,15 @@ class SearchPipeline:
         self.ctx = ctx
         self.cfg = config
         self.cache = cache_manager
+        import threading
+        self._tls = threading.local()
+
+    @property
+    def sn(self) -> _CtxSnapshot:
+        """The executing query's consistent component snapshot (pipelines
+        are shared across worker threads — thread-local)."""
+        snap = getattr(self._tls, "snap", None)
+        return snap if snap is not None else _CtxSnapshot(self.ctx)
 
     # ------------------------------------------------------------------
     def _canon_order(self, query: Query) -> Optional[OrderByClause]:
@@ -127,7 +163,7 @@ class SearchPipeline:
         grams = sorted(set(grams))
         est = 0
         if grams:
-            sizes = [self.ctx.index.term_df(g) for g in grams]
+            sizes = [self.sn.index.term_df(g) for g in grams]
             est = min(sizes) if all(s > 0 for s in sizes) else 0
         return TermInfo(raw=raw, normalized=normalized, grams=grams,
                         estimated_size=est)
@@ -137,6 +173,14 @@ class SearchPipeline:
                 collect_all: bool = False) -> PipelineOutput:
         """Full pipeline. collect_all: FACET needs the complete result set
         regardless of limit."""
+        self._tls.snap = _CtxSnapshot(self.ctx)
+        try:
+            return self._execute_inner(query, want_debug, collect_all)
+        finally:
+            self._tls.snap = None
+
+    def _execute_inner(self, query: Query, want_debug: bool,
+                       collect_all: bool) -> PipelineOutput:
         t_start = time.perf_counter()
         from ..ops import runtime as _rt
         dbg = DebugInfo()
@@ -152,7 +196,7 @@ class SearchPipeline:
         if self.cache is not None and query.type in (
                 QueryType.SEARCH, QueryType.COUNT, QueryType.FACET):
             cache_key, cache_entry, cache_version = self.cache.lookup(
-                self.ctx.name, query, self.ctx.doc_store)
+                self.ctx.name, query, self.sn.doc_store)
             dbg.cache_key = cache_key or ""
         if cache_entry is not None:
             total, ids = cache_entry
@@ -306,12 +350,12 @@ class SearchPipeline:
         elif ob.is_score:
             out.results, out.scores = self._score_sort(query, all_ids, terms)
         elif not ob.is_primary_key and \
-                self.ctx.filter_index.has_column(ob.column):
+                self.sn.filter_index.has_column(ob.column):
             out.results = self._column_sort_fast(all_ids, ob, query)
         else:
             out.results = ResultSorter.sort_and_paginate(
                 all_ids, ob, query.limit, query.offset,
-                self.ctx.doc_store, self.ctx.doc_store.pk_doc_id_order_valid)
+                self.sn.doc_store, self.sn.doc_store.pk_doc_id_order_valid)
         dbg.sort_time_ms = (time.perf_counter() - t_sort) * 1000
         dbg.final_results = out.total
         dbg.order_by_applied = (f"{ob.column or 'pk'} {ob.order.value}")
@@ -347,7 +391,7 @@ class SearchPipeline:
         if any(ti.estimated_size == 0 for ti in terms):
             return 0, terms
         grams = sorted({g for ti in terms for g in ti.grams})
-        total, _ = self.ctx.index.search_and(grams, count_only=True)
+        total, _ = self.sn.index.search_and(grams, count_only=True)
         return total, terms
 
     # ------------------------------------------------------------------
@@ -368,7 +412,7 @@ class SearchPipeline:
         dev_text = self.ctx.fresh_device_text()
         if dev_text is None or dev_text._overflow:
             return None
-        index = self.ctx.index
+        index = self.sn.index
         if len(index.delta) or index.frozen_delta is not None:
             return None
         terms = [self.term_info(t) for t in query.all_terms]
@@ -391,7 +435,7 @@ class SearchPipeline:
                 score_mode = True
             elif not (ob.is_primary_key and query.limit > 0 and
                       query.offset <= MAX_OFFSET_FOR_TOPN and
-                      self.ctx.doc_store.pk_doc_id_order_valid):
+                      self.sn.doc_store.pk_doc_id_order_valid):
                 return None
         # candidate bound: intersection size <= rarest gram's df
         grams = sorted({g for ti in terms for g in ti.grams})
@@ -444,7 +488,7 @@ class SearchPipeline:
                 total_df, _ = index.search_and(ti.grams, limit=1)
                 dfs.append(total_df)
             idf = np.asarray(
-                [BM25Scorer.compute_idf(self.ctx.bm25.doc_count, df)
+                [BM25Scorer.compute_idf(self.sn.bm25.doc_count, df)
                  for df in dfs], dtype=np.float32)
             total, ids, scores = fused_ops.search_verify_score_topn(
                 device.bitmaps,
@@ -452,7 +496,7 @@ class SearchPipeline:
                 jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
                 device.deleted, device._pack_extra([]), dev_text,
                 C, n_b, ndl, nlens, idf=idf, k1=self.cfg.bm25.k1,
-                b=self.cfg.bm25.b, avgdl=self.ctx.bm25.avg_doc_length,
+                b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
                 descending=desc, score_mode=True)
         if query.type == QueryType.COUNT:
             return total, np.empty(0, dtype=np.int32), None, terms
@@ -482,7 +526,7 @@ class SearchPipeline:
         if not ob.is_primary_key or query.limit <= 0 or \
                 query.offset > MAX_OFFSET_FOR_TOPN:
             return None
-        if not self.ctx.doc_store.pk_doc_id_order_valid:
+        if not self.sn.doc_store.pk_doc_id_order_valid:
             return None
         terms = [self.term_info(t) for t in query.all_terms]
         if not terms or any(ti.needs_substring_fallback for ti in terms):
@@ -493,7 +537,7 @@ class SearchPipeline:
         if any(ti.estimated_size == 0 for ti in terms):
             return 0, np.empty(0, dtype=np.int32), terms
         grams = sorted({g for ti in terms for g in ti.grams})
-        total, ids = self.ctx.index.search_and(
+        total, ids = self.sn.index.search_and(
             grams, limit=query.offset + query.limit,
             descending=(ob.order == SortOrder.DESC))
         page = ids[query.offset:]
@@ -510,7 +554,7 @@ class SearchPipeline:
         # (no grams) fall back to substring scan over stored text
         gram_terms = [ti for ti in terms if ti.grams]
         short_terms = [ti for ti in terms if ti.needs_substring_fallback]
-        if short_terms and not self.ctx.doc_store.stores_texts:
+        if short_terms and not self.sn.doc_store.stores_texts:
             raise PipelineError(
                 "query term shorter than n-gram size requires stored "
                 "text (memory.verify_text) for substring search")
@@ -525,7 +569,7 @@ class SearchPipeline:
             if any(ti.estimated_size == 0 for ti in gram_terms):
                 ids = np.empty(0, dtype=np.int32)
             else:
-                _, ids = self.ctx.index.search_and(all_grams, limit=0)
+                _, ids = self.sn.index.search_and(all_grams, limit=0)
         elif short_terms:
             ids = self._substring_scan_all(short_terms)
             short_terms = []
@@ -552,8 +596,8 @@ class SearchPipeline:
             if ti.grams:
                 if ti.estimated_size == 0:
                     continue
-                _, bad = self.ctx.index.search_and(ti.grams, limit=0)
-            elif ti.normalized and self.ctx.doc_store.stores_texts:
+                _, bad = self.sn.index.search_and(ti.grams, limit=0)
+            elif ti.normalized and self.sn.doc_store.stores_texts:
                 bad = self._substring_scan_all([ti])
             else:
                 continue
@@ -563,7 +607,7 @@ class SearchPipeline:
 
     def _substring_scan_all(self, terms: List[TermInfo]) -> np.ndarray:
         """Full-store substring scan for terms shorter than the n-gram size."""
-        doc_ids = np.sort(self.ctx.doc_store.all_doc_ids())
+        doc_ids = np.sort(self.sn.doc_store.all_doc_ids())
         return self._substring_filter(doc_ids.astype(np.int32),
                                       [ti.normalized for ti in terms])
 
@@ -571,12 +615,12 @@ class SearchPipeline:
                           needles: Sequence[str]) -> np.ndarray:
         dev_text = self.ctx.fresh_device_text()
         if dev_text is not None and ids.size >= 256:
-            dirty = self.ctx.index.dirty_doc_ids()
+            dirty = self.sn.index.dirty_doc_ids()
             mask = dev_text.verify(ids, list(needles),
-                                   self.ctx.doc_store.texts_batch,
+                                   self.sn.doc_store.texts_batch,
                                    dirty=dirty)
             return ids[mask].astype(np.int32)
-        texts = self.ctx.doc_store.texts_batch(ids.tolist())
+        texts = self.sn.doc_store.texts_batch(ids.tolist())
         from .. import native
         mask = native.substring_verify(texts, list(needles))
         return ids[mask].astype(np.int32)
@@ -597,14 +641,14 @@ class SearchPipeline:
             if ti.grams:
                 if ti.estimated_size == 0:
                     return np.empty(0, dtype=np.int32)
-                _, ids = self.ctx.index.search_and(ti.grams, limit=0)
+                _, ids = self.sn.index.search_and(ti.grams, limit=0)
                 return ids
-            if ti.normalized and self.ctx.doc_store.stores_texts:
+            if ti.normalized and self.sn.doc_store.stores_texts:
                 return self._substring_scan_all([ti])
             return np.empty(0, dtype=np.int32)
 
         def all_docs() -> np.ndarray:
-            return np.sort(self.ctx.doc_store.all_doc_ids()).astype(np.int32)
+            return np.sort(self.sn.doc_store.all_doc_ids()).astype(np.int32)
 
         ids = ast.evaluate(search_term, all_docs).astype(np.int32)
         dbg.total_candidates = int(ids.size)
@@ -615,7 +659,7 @@ class SearchPipeline:
                 break
             ti = self.term_info(raw)
             if ti.grams:
-                ids = self.ctx.index.filter_by_ngrams(ids, ti.grams) \
+                ids = self.sn.index.filter_by_ngrams(ids, ti.grams) \
                     if ids.size <= FILTER_THRESHOLD else \
                     self._intersect_with_term(ids, ti)
             elif ti.normalized:
@@ -626,8 +670,8 @@ class SearchPipeline:
 
         # exact text post-filter removes n-gram false positives per the
         # boolean structure (PostFilterByBooleanText)
-        if self.ctx.doc_store.stores_texts and ids.size:
-            texts = self.ctx.doc_store.texts_batch(ids.tolist())
+        if self.sn.doc_store.stores_texts and ids.size:
+            texts = self.sn.doc_store.texts_batch(ids.tolist())
             keep = []
             for i, tx in enumerate(texts):
                 if tx is None:
@@ -644,7 +688,7 @@ class SearchPipeline:
         return ids, terms
 
     def _intersect_with_term(self, ids: np.ndarray, ti: TermInfo) -> np.ndarray:
-        _, other = self.ctx.index.search_and(ti.grams, limit=0)
+        _, other = self.sn.index.search_and(ti.grams, limit=0)
         return np.intersect1d(ids, other, assume_unique=True).astype(np.int32)
 
     # ------------------------------------------------------------------
@@ -671,12 +715,12 @@ class SearchPipeline:
             for ti in group:
                 if not ti.grams or ti.estimated_size == 0:
                     if ti.needs_substring_fallback and \
-                            self.ctx.doc_store.stores_texts:
+                            self.sn.doc_store.stores_texts:
                         ids = self._substring_scan_all([ti])
                     else:
                         continue
                 else:
-                    _, ids = self.ctx.index.search_and(ti.grams, limit=0)
+                    _, ids = self.sn.index.search_and(ti.grams, limit=0)
                 union = np.union1d(union, ids)
             result = union if result is None else \
                 np.intersect1d(result, union, assume_unique=True)
@@ -690,7 +734,7 @@ class SearchPipeline:
             dbg.after_not = int(ids.size)
         # verify: every group must have >=1 variant present in text
         if self._verify_applies([ti for g in groups for ti in g]) and ids.size:
-            texts = self.ctx.doc_store.texts_batch(ids.tolist())
+            texts = self.sn.doc_store.texts_batch(ids.tolist())
             keep = []
             for i, tx in enumerate(texts):
                 if tx is None:
@@ -711,7 +755,7 @@ class SearchPipeline:
         """Per term: n-gram threshold candidate generation (threshold =
         max(1, |grams| - dist*n), search_pipeline.cpp:1377-1383) then
         text verification: exact substring first, else token Levenshtein."""
-        if not self.ctx.doc_store.stores_texts:
+        if not self.sn.doc_store.stores_texts:
             raise PipelineError("FUZZY requires stored text "
                                 "(memory.verify_text must not be off)")
         dist = query.fuzzy_max_distance or 1
@@ -723,13 +767,13 @@ class SearchPipeline:
                 continue
             n = max(t.ngram_size, 1)
             threshold = max(1, len(ti.grams) - dist * n)
-            cand = self.ctx.index.search_by_threshold(ti.grams, threshold) \
+            cand = self.sn.index.search_by_threshold(ti.grams, threshold) \
                 if ti.grams else \
-                np.sort(self.ctx.doc_store.all_doc_ids()).astype(np.int32)
+                np.sort(self.sn.doc_store.all_doc_ids()).astype(np.int32)
             # verify candidates against text (exact substring, then token
             # Levenshtein) — native batch kernel
             from .. import native
-            texts = self.ctx.doc_store.texts_batch(cand.tolist())
+            texts = self.sn.doc_store.texts_batch(cand.tolist())
             mask = native.fuzzy_verify(texts, ti.normalized, dist)
             cand = cand[mask].astype(np.int32)
             result = cand if result is None else \
@@ -753,9 +797,9 @@ class SearchPipeline:
             return ids
         mask = np.ones(ids.size, dtype=bool)
         for f in filters:
-            if not self.ctx.filter_index.has_column(f.column):
+            if not self.sn.filter_index.has_column(f.column):
                 raise PipelineError(f"unknown filter column: {f.column}")
-            mask &= self.ctx.filter_index.match_mask(
+            mask &= self.sn.filter_index.match_mask(
                 f.column, ids.astype(np.int64), f.op.value, f.value)
         return ids[mask]
 
@@ -764,7 +808,7 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _verify_applies(self, terms: List[TermInfo]) -> bool:
         mode = self.cfg.memory.verify_text
-        if mode == "off" or not self.ctx.doc_store.stores_texts:
+        if mode == "off" or not self.sn.doc_store.stores_texts:
             return False
         if mode == "all":
             return True
@@ -814,11 +858,11 @@ class SearchPipeline:
         """Vectorized filter-column sort through the FilterIndex's typed
         numpy columns (NULLs last both directions); falls back to the
         generic sorter for string columns."""
-        col = self.ctx.filter_index._columns.get(ob.column)
+        col = self.sn.filter_index._columns.get(ob.column)
         if col is None or not col.numeric:
             return ResultSorter.sort_and_paginate(
-                ids, ob, query.limit, query.offset, self.ctx.doc_store,
-                self.ctx.doc_store.pk_doc_id_order_valid)
+                ids, ob, query.limit, query.offset, self.sn.doc_store,
+                self.sn.doc_store.pk_doc_id_order_valid)
         size = col.present.shape[0]
         in_range = ids < size
         safe = np.where(in_range, ids, 0)
@@ -835,7 +879,7 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     def _score_sort(self, query: Query, all_ids: np.ndarray,
                     terms: List[TermInfo]) -> Tuple[np.ndarray, np.ndarray]:
-        if not self.ctx.doc_store.stores_texts:
+        if not self.sn.doc_store.stores_texts:
             raise PipelineError(
                 "SORT _score requires stored normalized text "
                 "(memory.verify_text must not be off)")
@@ -846,7 +890,7 @@ class SearchPipeline:
             if ti.doc_freq:
                 dfs.append(ti.doc_freq)
             elif ti.grams and ti.estimated_size > 0:
-                total, _ = self.ctx.index.search_and(ti.grams, limit=1)
+                total, _ = self.sn.index.search_and(ti.grams, limit=1)
                 dfs.append(total)
             else:
                 dfs.append(0)
@@ -858,30 +902,30 @@ class SearchPipeline:
         if dev_text is not None and all_ids.size >= 512 and \
                 query.limit > 0 and ob.order == SortOrder.DESC:
             idf = np.asarray(
-                [BM25Scorer.compute_idf(self.ctx.bm25.doc_count, df)
+                [BM25Scorer.compute_idf(self.sn.bm25.doc_count, df)
                  for df in dfs], dtype=np.float64)
             fused = dev_text.score_topk(
-                all_ids, norm_terms, idf, self.ctx.bm25.avg_doc_length,
+                all_ids, norm_terms, idf, self.sn.bm25.avg_doc_length,
                 self.cfg.bm25.k1, self.cfg.bm25.b,
-                query.limit + query.offset, self.ctx.doc_store.texts_batch,
-                dirty=self.ctx.index.dirty_doc_ids())
+                query.limit + query.offset, self.sn.doc_store.texts_batch,
+                dirty=self.sn.index.dirty_doc_ids())
             if fused is not None:
                 ids_top, scores_top = fused
                 page = ids_top[query.offset:]
                 return page.astype(np.int32), scores_top[query.offset:]
         if dev_text is not None and all_ids.size >= 512:
             tf, dl = dev_text.count_tf(
-                all_ids, norm_terms, self.ctx.doc_store.texts_batch,
-                dirty=self.ctx.index.dirty_doc_ids())
+                all_ids, norm_terms, self.sn.doc_store.texts_batch,
+                dirty=self.sn.index.dirty_doc_ids())
             scores = BM25Scorer.score_from_tf(
-                tf, dl, dfs, self.ctx.bm25.doc_count,
-                self.ctx.bm25.avg_doc_length,
+                tf, dl, dfs, self.sn.bm25.doc_count,
+                self.sn.bm25.avg_doc_length,
                 self.cfg.bm25.k1, self.cfg.bm25.b)
         else:
-            texts = self.ctx.doc_store.texts_batch(ids_list)
+            texts = self.sn.doc_store.texts_batch(ids_list)
             scores = BM25Scorer.score_documents(
                 ids_list, norm_terms, dfs, texts,
-                self.ctx.bm25.doc_count, self.ctx.bm25.avg_doc_length,
+                self.sn.bm25.doc_count, self.sn.bm25.avg_doc_length,
                 self.cfg.bm25.k1, self.cfg.bm25.b)
         order = ResultSorter.sort_by_score(
             ids_list, scores.tolist(), ob.order == SortOrder.DESC)

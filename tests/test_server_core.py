@@ -361,6 +361,56 @@ class TestSyncConcurrency:
         assert core.handle_line("COUNT articles hello") == "OK COUNT 400"
 
 
+class TestSwapConsistency:
+    def test_queries_never_mix_swapped_states(self):
+        """Repeated staging swaps between two different corpora while
+        queries hammer: every response must be complete-old or
+        complete-new, never a mix (the swap seqlock contract)."""
+        import threading
+        cfg = load_config_from_dict(dict(CFG))
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        corpus_a = [(str(i), f"alpha doc{i}", {"status": 1})
+                    for i in range(1, 8)]
+        corpus_b = [(str(i), f"bravo doc{i}", {"status": 2})
+                    for i in range(1, 13)]
+        for pk, text, filt in corpus_a:
+            ctx.add_row(pk, text, filt)
+        core = ServerCore(cfg, cat)
+        errors = []
+        stop = threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                ra = core.handle_line("COUNT articles alpha")
+                rb = core.handle_line("COUNT articles bravo")
+                if ra not in ("OK COUNT 7", "OK COUNT 0") or \
+                        rb not in ("OK COUNT 12", "OK COUNT 0"):
+                    errors.append((ra, rb))
+                    return
+                # a GET against whatever state is live must be coherent
+                g = core.handle_line("GET articles 5")
+                if not (g.startswith("OK DOC 5") or "not found" in g):
+                    errors.append(g)
+                    return
+
+        threads = [threading.Thread(target=hammer) for _ in range(3)]
+        for t in threads:
+            t.start()
+        try:
+            for round_i in range(10):
+                rows = corpus_b if round_i % 2 == 0 else corpus_a
+                staging = ctx.begin_staging_rebuild()
+                staging.add_batch(rows)
+                staging.finish()
+                core.cache.clear_table(ctx.name)
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(10)
+        assert not errors, errors[:3]
+
+
 class TestSyncFaultInjection:
     def test_loader_crash_leaves_table_intact(self, tmp_path):
         """A SYNC worker that dies mid-rebuild must not corrupt or drop
