@@ -69,9 +69,19 @@ class MicroBatcher:
                 t.start()
         if flush_now:
             self._flush(key)
-        # generous bound: first-ever XLA compiles of a shape bucket run
-        # inside the flusher and can take minutes on tunneled/1-CPU hosts
-        req.event.wait(timeout=600)
+        # Generous overall bound: first-ever XLA compiles of a shape bucket
+        # run inside the flusher and can take minutes on tunneled/1-CPU
+        # hosts. If the window elapses without completion, self-flush —
+        # _flush is idempotent (pops whatever is queued), so a lost or
+        # starved timer can delay a request but never strand it.
+        import time as _time
+        deadline = _time.monotonic() + 600
+        waited = max(self.window * 50, 0.05)
+        while not req.event.wait(timeout=waited):
+            if _time.monotonic() >= deadline:
+                break
+            self._flush(key)
+            waited = 5.0
         if req.error is not None:
             raise req.error
         if req.ids is None:
