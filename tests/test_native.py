@@ -89,3 +89,59 @@ class TestHybridNgrams:
                 assert got == py, (text, cross)
                 # hash uniqueness should match gram uniqueness
                 assert len(set(hashes.tolist())) == len(set(py))
+
+
+class TestHybridNgramsRandomDifferential:
+    def test_random_unicode_parity(self):
+        """Differential fuzz: native shredder vs the Python reference over
+        randomized mixed-script text (ASCII / kana / kanji / Hangul /
+        symbols / astral), every (n, kanji_n, cross) combination."""
+        rng = np.random.default_rng(99)
+        pools = [
+            list("abc def XYZ 012"),
+            list("あいうカキク"),
+            list("日本語検索高速"),
+            list("한국어페이지"),
+            list("—·★〜ｱｲ"),
+            ["𝄞", "🎵"],  # astral plane
+        ]
+        for case in range(150):
+            n = int(rng.integers(1, 30))
+            chars = []
+            for _ in range(n):
+                pool = pools[int(rng.integers(0, len(pools)))]
+                chars.append(pool[int(rng.integers(0, len(pool)))])
+            text = "".join(chars)
+            ngram = int(rng.integers(1, 4))
+            kanji_n = int(rng.integers(1, 3))
+            cross = bool(rng.integers(0, 2))
+            py = textproc.generate_hybrid_ngrams(text, ngram, kanji_n, cross)
+            out = native.hybrid_ngrams(text, ngram, kanji_n, cross)
+            if out is None:
+                continue  # native lib unavailable in this env
+            starts, lens, hashes = out
+            got = [text[s:s + l] for s, l in
+                   zip(starts.tolist(), lens.tolist())]
+            assert got == py, (text, ngram, kanji_n, cross)
+            # FNV hash collisions across DISTINCT grams would silently
+            # merge posting lists — require injectivity on this corpus
+            seen = {}
+            for g, h in zip(got, hashes.tolist()):
+                assert seen.setdefault(h, g) == g, (g, seen[h])
+
+    def test_batch_matches_per_doc(self):
+        texts = ["quick 日本 brown", "アイウエオ", "", "x", "検索エンジン高速化"]
+        out = native.shred_batch(texts, 2, 1, True)
+        if out is None:
+            return
+        flat, starts, lens, hashes, counts = out
+        pos = 0
+        for t, c in zip(texts, counts.tolist()):
+            per_doc = set()
+            single = native.hybrid_ngrams(t, 2, 1, True)
+            if single is not None:
+                _, _, h1 = single
+                per_doc = set(h1.tolist())
+            batch_h = set(hashes[pos:pos + c].tolist())
+            assert batch_h == per_doc, t
+            pos += c
