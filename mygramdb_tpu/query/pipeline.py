@@ -91,6 +91,10 @@ class PipelineOutput:
     debug: Optional[DebugInfo] = None
     all_search_terms: List[str] = field(default_factory=list)
     scores: Optional[np.ndarray] = None
+    # the component snapshot the query executed against: callers resolving
+    # PKs / texts / facet counts for these results must use it, not the
+    # live ctx (a concurrent SYNC/DUMP LOAD swap renumbers doc ids)
+    sn: Optional["_CtxSnapshot"] = None
 
 
 class _CtxSnapshot:
@@ -173,9 +177,12 @@ class SearchPipeline:
                 collect_all: bool = False) -> PipelineOutput:
         """Full pipeline. collect_all: FACET needs the complete result set
         regardless of limit."""
-        self._tls.snap = _CtxSnapshot(self.ctx)
+        snap = _CtxSnapshot(self.ctx)
+        self._tls.snap = snap
         try:
-            return self._execute_inner(query, want_debug, collect_all)
+            out = self._execute_inner(query, want_debug, collect_all)
+            out.sn = snap
+            return out
         finally:
             self._tls.snap = None
 

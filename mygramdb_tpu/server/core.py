@@ -251,10 +251,11 @@ class ServerCore:
             dbg = fmt.format_debug_block(out.debug, detailed=False) \
                 if conn.debug else ""
             return fmt.format_count(out.total, dbg)
-        pks = ctx.doc_store.primary_keys_batch(out.results.tolist())
+        store = out.sn.doc_store if out.sn is not None else ctx.doc_store
+        pks = store.primary_keys_batch(out.results.tolist())
         if q.highlight is not None:
             hl = Highlighter(q.highlight)
-            texts = ctx.doc_store.texts_batch(out.results.tolist())
+            texts = store.texts_batch(out.results.tolist())
             snippets = hl.snippets([t or "" for t in texts],
                                    out.all_search_terms)
             dbg = fmt.format_debug_block(out.debug, detailed=False,
@@ -282,7 +283,9 @@ class ServerCore:
             if not out.success:
                 return fmt.format_error(out.error)
             ids = out.results.astype(np.int64)
-            counts = ctx.filter_index.value_counts(q.facet_column, ids)
+            fi = out.sn.filter_index if out.sn is not None \
+                else ctx.filter_index
+            counts = fi.value_counts(q.facet_column, ids)
         else:
             counts = ctx.filter_index.value_counts(q.facet_column, None)
         counts.sort(key=lambda kv: (-kv[1], kv[0]))

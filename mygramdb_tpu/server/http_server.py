@@ -257,7 +257,8 @@ class HttpServer:
             None, pipe.execute, q)
         if not out.success:
             raise HttpError(400, out.error)
-        pks = ctx.doc_store.primary_keys_batch(out.results.tolist())
+        store = out.sn.doc_store if out.sn is not None else ctx.doc_store
+        pks = store.primary_keys_batch(out.results.tolist())
         resp: Dict[str, Any] = {
             "total": out.total,
             "results": [p for p in pks if p],
@@ -265,7 +266,7 @@ class HttpServer:
         }
         if q.highlight is not None:
             hl = Highlighter(q.highlight)
-            texts = ctx.doc_store.texts_batch(out.results.tolist())
+            texts = store.texts_batch(out.results.tolist())
             resp["hits"] = [
                 {"id": p, "snippet": hl.snippet(t or "",
                                                 out.all_search_terms)}
@@ -310,8 +311,9 @@ class HttpServer:
                 None, lambda: pipe.execute(q, collect_all=True))
             if not out.success:
                 raise HttpError(400, out.error)
-            counts = ctx.filter_index.value_counts(
-                column, out.results.astype(np.int64))
+            fi = out.sn.filter_index if out.sn is not None \
+                else ctx.filter_index
+            counts = fi.value_counts(column, out.results.astype(np.int64))
         else:
             counts = ctx.filter_index.value_counts(column, None)
         counts.sort(key=lambda kv: (-kv[1], kv[0]))
