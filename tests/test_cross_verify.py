@@ -253,6 +253,30 @@ class TestCrossVerify:
             checked += 1
         assert checked >= 25
 
+    def test_facet_counts_parity(self, engine, corpus):
+        """FACET aggregation vs a brute-force Counter over oracle-matched
+        docs, with and without a search restriction."""
+        from collections import Counter
+        pipe, ctx = engine
+        P2 = QueryParser()
+        for term in ["alpha", "日本語", None]:
+            if term is None:
+                matched = list(corpus)
+            else:
+                matched = oracle(corpus, ctx, require=[term])
+            expected = Counter(str(corpus[d]["status"]) for d in matched)
+            q = P2.parse(f'FACET t status "{term}"' if term
+                         else "FACET t status")
+            out = pipe.execute(q, collect_all=True)
+            assert out.success, out.error
+            ids = out.results
+            got = Counter()
+            fi = ctx.filter_index
+            for v, c in fi.value_counts(
+                    "status", ids.astype(np.int64) if term else None):
+                got[v] = c
+            assert got == expected, term
+
     def test_mutation_then_verify(self, engine, corpus):
         pipe, ctx = engine
         ctx.add_row("9001", "alpha special mutation", {"status": 1})
