@@ -487,3 +487,84 @@ class TestStagingRebuild:
         FileLoader(ctx).load_file(str(seed), cancel=cancel, rebuild=True)
         assert ctx.doc_count == 3
         assert ctx.doc_store.doc_id("50") is None
+
+
+class TestMultiTable:
+    """Reference e2e/tests/multi_table: isolation between tables,
+    qualified-name resolution, per-table SYNC, dump covering all."""
+
+    CFG2 = {
+        "tables": [
+            {"name": "articles", "database": "blog",
+             "text_source": {"column": "content"},
+             "filters": [{"name": "status", "type": "int"}]},
+            {"name": "products", "database": "shop",
+             "text_source": {"column": "title"},
+             "kanji_ngram_size": 1},
+        ],
+        "memory": {"verify_text": "all"},
+        "cache": {"min_query_cost_ms": 0.0},
+    }
+
+    @pytest.fixture()
+    def multi(self, tmp_path):
+        cfg_dict = dict(self.CFG2)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        a = cat.resolve("articles")
+        p = cat.resolve("products")
+        a.add_row("1", "hello blogging world", {"status": 1})
+        a.add_row("2", "quick article", {"status": 2})
+        p.add_row("1", "quick silver widget", {})
+        p.add_row("2", "日本語ガジェット", {})
+        return ServerCore(cfg, cat), cat, tmp_path
+
+    def test_isolation_and_qualified_resolution(self, multi):
+        core, cat, _ = multi
+        # same term, different corpora
+        assert core.handle_line("SEARCH articles quick") == "OK RESULTS 1 2"
+        assert core.handle_line("SEARCH products quick") == "OK RESULTS 1 1"
+        # qualified names resolve to the same contexts
+        assert core.handle_line("SEARCH blog.articles quick") == \
+            "OK RESULTS 1 2"
+        assert core.handle_line("SEARCH shop.products 日本語") == \
+            "OK RESULTS 1 2"
+        # unknown qualification fails
+        assert core.handle_line("SEARCH shop.articles x").startswith("ERROR")
+        # doc ids are per-table namespaces; GET goes to the right store
+        assert core.handle_line("GET articles 1").startswith("OK DOC 1 ")
+        assert "status" in core.handle_line("GET articles 1")
+        assert core.handle_line("GET products 1") == "OK DOC 1"
+
+    def test_sync_one_table_leaves_other(self, multi, tmp_path):
+        core, cat, _ = multi
+        import json
+        seed = tmp_path / "products.jsonl"
+        with open(seed, "w") as f:
+            f.write(json.dumps({"id": "9", "title": "replacement item"})
+                    + "\n")
+        from mygramdb_tpu.loader.file_loader import make_sync_loader
+        core.sync_manager.loader_factory = make_sync_loader(str(seed))
+        assert "started" in core.handle_line("SYNC products")
+        core.sync_manager.wait_all(30)
+        assert core.handle_line("SEARCH products replacement") == \
+            "OK RESULTS 1 9"
+        assert core.handle_line("SEARCH products quick") == "OK RESULTS 0"
+        # articles untouched
+        assert core.handle_line("SEARCH articles quick") == "OK RESULTS 1 2"
+
+    def test_dump_covers_all_tables(self, multi):
+        core, cat, tmp_path = multi
+        assert core.handle_line("DUMP SAVE multi.dmp").startswith("OK")
+        core.dump_manager.wait(30)
+        # mutate both, then load: both restored
+        cat.resolve("articles").add_row("50", "ephemeral post", {"status": 1})
+        cat.resolve("products").remove_row("1")
+        assert core.handle_line("DUMP LOAD multi.dmp").startswith("OK")
+        core.dump_manager.wait(30)
+        assert core.handle_line("SEARCH articles ephemeral") == \
+            "OK RESULTS 0"
+        assert core.handle_line("SEARCH products quick") == "OK RESULTS 1 1"
+        info = core.handle_line("INFO")
+        assert "blog.articles" in info and "shop.products" in info
