@@ -21,6 +21,7 @@ server's worker pool).
 
 from __future__ import annotations
 
+import contextlib
 import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -28,6 +29,11 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 MAX_K = 32  # dense row bucket ceiling for batched queries
+
+# Multi-device (virtual mesh) XLA-CPU executions deadlock when launched
+# concurrently from several Python threads onto the same device set;
+# serialize them process-wide. Single-device backends skip this.
+_MESH_DISPATCH_LOCK = threading.Lock()
 
 
 @dataclass
@@ -49,34 +55,32 @@ class MicroBatcher:
         self.window = window_us / 1e6
         self._lock = threading.Lock()
         self._queues: Dict[tuple, List[_Request]] = {}
-        self._timers: Dict[tuple, threading.Timer] = {}
         self.batches_executed = 0
         self.queries_batched = 0
         self.sparse_batches = 0
 
     # ------------------------------------------------------------------
     def _enqueue(self, key: tuple, req: _Request) -> None:
+        """Requester-driven batching: the queue collects for up to the
+        window; the first waiter whose window expires (or the arrival
+        that fills max_batch) executes the whole batch on ITS OWN worker
+        thread. No timer threads — execution on daemon timers raced other
+        multi-device dispatches and is one thread pool harder to bound.
+        _flush is idempotent, so concurrent waiters flushing is safe."""
         flush_now = False
         with self._lock:
             q = self._queues.setdefault(key, [])
             q.append(req)
             if len(q) >= self.max_batch:
                 flush_now = True
-            elif len(q) == 1:
-                t = threading.Timer(self.window, self._flush, args=(key,))
-                t.daemon = True
-                self._timers[key] = t
-                t.start()
         if flush_now:
             self._flush(key)
         # Generous overall bound: first-ever XLA compiles of a shape bucket
         # run inside the flusher and can take minutes on tunneled/1-CPU
-        # hosts. If the window elapses without completion, self-flush —
-        # _flush is idempotent (pops whatever is queued), so a lost or
-        # starved timer can delay a request but never strand it.
+        # hosts.
         import time as _time
         deadline = _time.monotonic() + 600
-        waited = max(self.window * 50, 0.05)
+        waited = max(self.window, 0.0005)
         while not req.event.wait(timeout=waited):
             if _time.monotonic() >= deadline:
                 break
@@ -149,23 +153,26 @@ class MicroBatcher:
         return req.total, req.ids
 
     # ------------------------------------------------------------------
+    def _dispatch_guard(self):
+        if getattr(self.idx, "_row_sharding", None) is not None:
+            return _MESH_DISPATCH_LOCK
+        return contextlib.nullcontext()
+
     def _flush(self, key: tuple) -> None:
         with self._lock:
             q = self._queues.pop(key, [])
-            t = self._timers.pop(key, None)
-            if t is not None:
-                t.cancel()
         if not q:
             return
         try:
-            if key[0] == "dense":
-                self._execute_dense(q, key[1], key[2])
-            elif key[0] == "fusedv":
-                self._execute_fused_verify(q, key)
-            elif key[0] == "fusedsv":
-                self._execute_fused_sparse_verify(q, key)
-            else:
-                self._execute_sparse(q, key)
+            with self._dispatch_guard():
+                if key[0] == "dense":
+                    self._execute_dense(q, key[1], key[2])
+                elif key[0] == "fusedv":
+                    self._execute_fused_verify(q, key)
+                elif key[0] == "fusedsv":
+                    self._execute_fused_sparse_verify(q, key)
+                else:
+                    self._execute_sparse(q, key)
         except BaseException as e:  # noqa: BLE001 — propagate to waiters
             for r in q:
                 r.error = e
