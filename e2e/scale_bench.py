@@ -64,7 +64,9 @@ def main() -> int:
     rng = np.random.default_rng(args.seed + 7)
     gen = CorpusGenerator(args.docs, ja_ratio=args.ja_ratio, seed=args.seed)
 
-    # ---------------- build ----------------
+    # ---------------- build (engine path: columnar frozen doc store) ----
+    from mygramdb_tpu.storage.document_store import DocumentStore
+    from mygramdb_tpu.storage.frozen_docs import FrozenDocBuilder
     sample_ids = set(
         rng.choice(np.arange(1, args.docs + 1), size=min(args.sample,
                                                          args.docs),
@@ -76,15 +78,16 @@ def main() -> int:
 
     b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
                      cross_boundary_ngrams=True)
-    texts_by_doc = {}  # only kept with --verify
+    fb = FrozenDocBuilder(store_texts=args.verify)
     sample_texts = {}
     t0 = time.time()
     n_done = 0
     for batch in gen.batches(10_000):
         normed = [(did, norm(text)) for did, text in batch]
         b.add_batch(normed)
-        if args.verify:
-            texts_by_doc.update(normed)
+        fb.append([str(did) for did, _ in normed],
+                  [nt for _, nt in normed] if args.verify else
+                  [""] * len(normed))
         for did, nt in normed:
             if did in sample_ids:
                 sample_grams[did] = frozenset(b.shred(nt))
@@ -95,6 +98,8 @@ def main() -> int:
             print(f"# built {n_done}/{args.docs} ({rate:.0f} docs/s)",
                   file=sys.stderr)
     built = b.finalize()
+    doc_store = DocumentStore.from_frozen(fb, args.verify, True,
+                                          str(args.docs))
     build_secs = time.time() - t0
     host_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
@@ -211,7 +216,8 @@ def main() -> int:
         from mygramdb_tpu.ops.verify_ops import NEEDLE_CAP
         from mygramdb_tpu.storage.device_text import DeviceTextStore
         t0 = time.time()
-        dev_text = DeviceTextStore(texts_by_doc, idx.n_docs_capacity)
+        dev_text = DeviceTextStore.from_doc_store(doc_store,
+                                                  idx.n_docs_capacity)
         pack_secs = time.time() - t0
         B = min(args.batch, 64)
         ja_q = gen.sample_ja_terms(B * 60)
@@ -248,7 +254,8 @@ def main() -> int:
             nlen = np.zeros(2, dtype=np.int32)
             nlen[0] = cp.size
             payload.append((int(idx.offsets32[sparse[0]]), dlen, sp_off,
-                            sp_len, sp_inv, dn, dn_inv, ndl, nlen))
+                            sp_len, sp_inv, dn, dn_inv, ndl, nlen,
+                            sparse[0]))
             q_terms.append(term)
             if len(payload) == B:
                 break
@@ -264,14 +271,23 @@ def main() -> int:
         ndl_j = np.stack([p[7] for p in payload])
         nlen_j = np.stack([p[8] for p in payload])
         Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
+        # per-batch maxT bucket from driver-term doc-length bounds (the
+        # planner computes this per query; one batch shares the max)
+        Kv = min(C, idx._KV_BUCKET)
+        maxT = 1
+        for p in payload:
+            drv = p[9]
+            maxT = max(maxT, idx.verify_maxT(dev_text, drv))
 
         def vstep(_):
             return fused_ops.sparse_search_verify_topn_batch(
                 idx.postings, idx.bitmaps, idx.deleted,
                 d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
-                dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words)
+                dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words,
+                Kv=Kv, maxT=maxT, use_dense_probes=False)
 
-        counts, topids = vstep(0)
+        pre, counts, topids = vstep(0)
+        n_clipped = int(np.sum(pre > Kv))
         vstep(0)
         lat = []
         for _ in range(8):
@@ -292,11 +308,14 @@ def main() -> int:
             "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
             "text_pack_secs": round(pack_secs, 1),
             "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
+            "maxT": maxT, "Kv": Kv, "clipped": n_clipped,
         }
         # verified parity vs sampled texts: counts must equal substring
         # ground truth on the sample intersection
         sample_arr_v = np.asarray(sorted(sample_texts), dtype=np.int64)
         for qi in range(min(60, len(q_terms))):
+            if int(pre[qi]) > Kv:
+                continue  # compaction clipped: serving re-runs exact path
             term = q_terms[qi]
             got_top = set(int(x) for x in topids[qi] if x >= 0)
             expected = {d for d, tx in sample_texts.items() if term in tx}

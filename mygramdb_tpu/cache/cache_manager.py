@@ -48,6 +48,9 @@ class CacheManager:
         self.enabled = cfg.enabled
         self.strategy = cfg.invalidation_strategy
         self._versions: Dict[str, int] = {}
+        # (table, key) -> component-swap generation at insert (bounded by
+        # the cache's own eviction: pruned opportunistically on overflow)
+        self._entry_generation: Dict[Tuple[str, str], int] = {}
         self._lock = threading.Lock()
         # last lookup/insert bookkeeping for debug info
         self.last_hit_age_ms = 0.0
@@ -89,13 +92,21 @@ class CacheManager:
         pks = doc_store.primary_keys_batch(sampled.tolist())
         return any(pk is None for pk in pks)
 
-    def lookup(self, table: str, query: Query, doc_store=None
+    def lookup(self, table: str, query: Query, doc_store=None,
+               generation: Optional[int] = None
                ) -> Tuple[Optional[str], Optional[Tuple[int, np.ndarray]], int]:
         """-> (cache_key, entry or None, data_version at lookup time).
 
         The version is captured BEFORE the query computes so insert() can
         reject results that raced with a table mutation. Key returned even
-        on miss so the pipeline can insert after computing."""
+        on miss so the pipeline can insert after computing.
+
+        ``generation`` is the caller's component-swap seqlock value: an
+        entry inserted under a different generation was computed against a
+        swapped-out corpus whose doc ids may be renumbered — PK sampling
+        cannot catch that (a SYNC re-load can reuse both PKs and ids), so
+        generation mismatch evicts unconditionally. This closes the window
+        between a staging swap and the caller's clear_table()."""
         version = self.data_version(table)
         if not self.enabled:
             return None, None, version
@@ -104,7 +115,13 @@ class CacheManager:
         if hit is None:
             return key, None, version
         total, ids, age_ms, saved_ms = hit
-        if self._is_stale(ids, doc_store):
+        stale = self._is_stale(ids, doc_store)
+        if not stale and generation is not None:
+            with self._lock:
+                gen_at_insert = self._entry_generation.get((table, key))
+            stale = (gen_at_insert is not None
+                     and gen_at_insert != generation)
+        if stale:
             self.cache.invalidate(key)
             self.invalidation.unregister(key)
             self.cache.stats.misses += 1
@@ -116,7 +133,8 @@ class CacheManager:
     def insert(self, table: str, key: str, query: Query,
                entry: Tuple[int, np.ndarray], cost_ms: float,
                ngrams: List[str],
-               version_at_lookup: Optional[int] = None) -> bool:
+               version_at_lookup: Optional[int] = None,
+               generation: Optional[int] = None) -> bool:
         if not self.enabled or key is None:
             return False
         if self.strategy == "ngram" and not ngrams:
@@ -131,6 +149,15 @@ class CacheManager:
         total, ids = entry
         ok = self.cache.insert(key, total, ids, cost_ms)
         if ok:
+            if generation is not None:
+                with self._lock:
+                    self._entry_generation[(table, key)] = generation
+                    if len(self._entry_generation) > 65536:
+                        live = set(self.cache.keys())
+                        self._entry_generation = {
+                            tk: g for tk, g in
+                            self._entry_generation.items()
+                            if tk[1] in live}
             if self.data_version(table) != version_before:
                 # mutation landed between the check and the insert
                 self.cache.invalidate(key)

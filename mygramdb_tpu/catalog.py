@@ -22,7 +22,7 @@ from .config.schema import Config, TableConfig
 from .index.delta import MutableIndex
 from .query.bm25 import BM25Stats
 from .query.synonyms import SynonymDictionary
-from .storage.document_store import DocumentStore
+from .storage.document_store import DocumentStore, _pk_sort_key
 from .storage.filter_index import FilterIndex
 from .utils import textproc
 from .utils.structured_log import StructuredLog
@@ -181,9 +181,8 @@ class TableContext:
             return
         try:
             from .storage.device_text import DeviceTextStore
-            self.device_text = DeviceTextStore(
-                self.doc_store.texts_snapshot(),
-                self.index.device.n_docs_capacity)
+            self.device_text = DeviceTextStore.from_doc_store(
+                self.doc_store, self.index.device.n_docs_capacity)
             self._device_text_gen = self.index.built_generation
         except Exception as e:  # noqa: BLE001 — fall back to host verify
             StructuredLog().event("device_text_build_failed").field(
@@ -280,39 +279,107 @@ class TableContext:
         return self.doc_store.count
 
 
-class BulkLoad:
-    """Accumulates an initial snapshot into a sorted-segment builder
-    (reference InitialLoader's AddDocumentBatch bulk path,
-    initial_loader.h:117-134) — ~4-5x the per-row delta path and no
-    per-doc host set churn. finish() compiles + installs the segment."""
+class _ColumnarLoad:
+    """Shared bulk-load core: rows accumulate into a sorted-segment
+    IndexBuilder + a columnar FrozenDocBuilder (no per-doc dict entries —
+    the host-memory story at 1M+ docs, see storage/frozen_docs.py), plus
+    a private FilterIndex and BM25Stats. ``build_doc_store()`` freezes
+    the columns into a hybrid DocumentStore.
+
+    Duplicate-PK handling (insert-or-ignore, reference InitialLoader):
+    a PK-sorted stream — the ordered SELECT common case — only needs an
+    adjacency check inside equal-sort-key runs; an out-of-order stream
+    falls back to a full seen-set built on first disorder."""
 
     def __init__(self, ctx: TableContext):
         from .index.builder import IndexBuilder
+        from .storage.frozen_docs import FrozenDocBuilder
         self.ctx = ctx
         t = ctx.table_cfg
         self.builder = IndexBuilder(t.ngram_size, t.kanji_ngram_size,
                                     t.cross_boundary_ngrams)
-        self._finished = False
+        store_texts = ctx.doc_store.stores_texts
+        self.fbuilder = FrozenDocBuilder(store_texts)
+        self.filter_index = ctx._make_filter_index()
+        self.bm25 = BM25Stats()
+        self.pk_order_valid = True
+        self.last_pk: Optional[str] = None
+        self._last_key = None
+        self._run_pks: set = set()   # PKs sharing the current sort key
+        self._seen: Optional[set] = None  # full dup set (disorder fallback)
+        self._next_doc = 1
+
+    def _backfill_seen(self) -> None:
+        self._seen = set()
+        for chunk in self.fbuilder._pk_chunks:
+            self._seen.update(chunk.decode("utf-8").split("\x00"))
+        self._seen.update(self._inflight)  # current batch's accepted rows
+
+    def _is_dup(self, pk: str) -> bool:
+        if self._seen is not None:
+            return pk in self._seen
+        key = _pk_sort_key(pk)
+        if self._last_key is None or key > self._last_key:
+            self._last_key = key
+            self._run_pks = {pk}
+            return False
+        if key == self._last_key:
+            if pk in self._run_pks:
+                return True
+            self._run_pks.add(pk)
+            return False
+        # out of order: PK order invalid AND duplicates can be anywhere
+        self.pk_order_valid = False
+        self._backfill_seen()
+        return pk in self._seen
 
     def add_batch(self, rows) -> int:
         """rows: iterable of (pk, raw_text, filters|None). Returns number
         of rows inserted (insert-or-ignore on duplicate PKs)."""
         ctx = self.ctx
         pairs = []
-        with ctx._write_lock:
-            for pk, raw_text, filters in rows:
-                normalized = ctx.normalize(raw_text)
-                doc_id, inserted = ctx.doc_store.add_document(
-                    pk, filters,
-                    normalized if ctx.doc_store.stores_texts else None)
-                if not inserted:
-                    continue
-                pairs.append((doc_id, normalized))
-                if filters:
-                    ctx.filter_index.add_document(doc_id, filters)
-                ctx.bm25.add_document(doc_id, len(normalized))
-            self.builder.add_batch(pairs)
+        pks: List[str] = []
+        texts: List[str] = []
+        self._inflight = pks
+        for pk, raw_text, filters in rows:
+            pk = str(pk)
+            if self._is_dup(pk):
+                continue
+            if self._seen is not None:
+                self._seen.add(pk)
+            normalized = ctx.normalize(raw_text)
+            doc_id = self._next_doc
+            self._next_doc += 1
+            pairs.append((doc_id, normalized))
+            pks.append(pk)
+            texts.append(normalized)
+            self.last_pk = pk
+            if filters:
+                self.filter_index.add_document(doc_id, filters)
+            self.bm25.add_document(doc_id, len(normalized))
+        self.fbuilder.append(pks, texts)
+        self.builder.add_batch(pairs)
         return len(pairs)
+
+    def build_doc_store(self) -> DocumentStore:
+        ds = DocumentStore.from_frozen(
+            self.fbuilder, self.ctx.doc_store.stores_texts,
+            self.pk_order_valid, self.last_pk)
+        fi = self.filter_index
+        ds.filters_source = fi.values_of
+        return ds
+
+
+class BulkLoad(_ColumnarLoad):
+    """Accumulates an initial snapshot into a sorted-segment builder
+    (reference InitialLoader's AddDocumentBatch bulk path,
+    initial_loader.h:117-134) — ~4-5x the per-row delta path and no
+    per-doc host dict/set churn. finish() compiles + installs the whole
+    state (empty table precondition => nothing is lost by swapping)."""
+
+    def __init__(self, ctx: TableContext):
+        super().__init__(ctx)
+        self._finished = False
 
     def finish(self) -> None:
         if self._finished:
@@ -320,49 +387,27 @@ class BulkLoad:
         self._finished = True
         built = self.builder.finalize()
         new_index = self.ctx._make_index(built)
+        new_store = self.build_doc_store()
         with self.ctx._write_lock:
             self.ctx._swap_seq += 1
             self.ctx.index = new_index
+            self.ctx.doc_store = new_store
+            self.ctx.filter_index = self.filter_index
+            self.ctx.bm25 = self.bm25
             self.ctx._swap_seq += 1
         self.ctx._rebuild_device_text()
 
 
-class StagingRebuild:
+class StagingRebuild(_ColumnarLoad):
     """Builds a full replacement table state off to the side (own
-    DocumentStore / IndexBuilder / FilterIndex / BM25Stats) so a SYNC of
-    a live table never truncates what queries are reading; finish()
-    swaps everything under the write lock. Doc ids restart at 1 in
-    PK-insertion order, re-enabling the device top-N shortcut."""
+    columnar doc store / IndexBuilder / FilterIndex / BM25Stats) so a
+    SYNC of a live table never truncates what queries are reading;
+    finish() swaps everything under the write lock. Doc ids restart at 1
+    in PK-insertion order, re-enabling the device top-N shortcut."""
 
     def __init__(self, ctx: TableContext):
-        from .index.builder import IndexBuilder
-        self.ctx = ctx
-        t = ctx.table_cfg
-        self.builder = IndexBuilder(t.ngram_size, t.kanji_ngram_size,
-                                    t.cross_boundary_ngrams)
-        self.doc_store = DocumentStore(
-            store_texts=ctx.doc_store.stores_texts)
-        self.filter_index = ctx._make_filter_index()
-        self.bm25 = BM25Stats()
+        super().__init__(ctx)
         self._finished = False
-
-    def add_batch(self, rows) -> int:
-        """rows: iterable of (pk, raw_text, filters|None). No live-state
-        locks — the staging state is private to the SYNC worker."""
-        pairs = []
-        for pk, raw_text, filters in rows:
-            normalized = self.ctx.normalize(raw_text)
-            doc_id, inserted = self.doc_store.add_document(
-                pk, filters,
-                normalized if self.doc_store.stores_texts else None)
-            if not inserted:
-                continue
-            pairs.append((doc_id, normalized))
-            if filters:
-                self.filter_index.add_document(doc_id, filters)
-            self.bm25.add_document(doc_id, len(normalized))
-        self.builder.add_batch(pairs)
-        return len(pairs)
 
     def finish(self) -> None:
         if self._finished:
@@ -370,10 +415,11 @@ class StagingRebuild:
         self._finished = True
         built = self.builder.finalize()
         new_index = self.ctx._make_index(built)
+        new_store = self.build_doc_store()
         with self.ctx._write_lock:
             self.ctx._swap_seq += 1  # odd: swap in flight
             self.ctx.index = new_index
-            self.ctx.doc_store = self.doc_store
+            self.ctx.doc_store = new_store
             self.ctx.filter_index = self.filter_index
             self.ctx.bm25 = self.bm25
             self.ctx.device_text = None  # old packed corpus: invalid now

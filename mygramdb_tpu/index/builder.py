@@ -158,6 +158,10 @@ class IndexBuilder:
         if len(self._cur_tids) >= _CHUNK:
             self._flush()
 
+    def pair_count(self) -> int:
+        return (sum(c.size for c in self._tid_chunks)
+                + len(self._cur_tids))
+
     def add_batch(self, items: Iterable[Tuple[int, str]]) -> None:
         """Bulk insert: ONE native shred call for the whole batch with
         per-doc dedup in C++, then a vectorized hash->tid mapping — the
@@ -183,10 +187,10 @@ class IndexBuilder:
         flat, starts, lens, hashes, counts = out
         tids = self._resolve_tids(flat, starts, lens, hashes)
         doc_ids = np.repeat(
-            np.asarray([d for d, _ in items], dtype=np.int64),
+            np.asarray([d for d, _ in items], dtype=np.int32),
             counts.astype(np.int64))
         self._flush()
-        self._tid_chunks.append(tids)
+        self._tid_chunks.append(tids.astype(np.int32, copy=False))
         self._doc_chunks.append(doc_ids)
         self._n_docs += len(items)
         if items:
@@ -195,8 +199,8 @@ class IndexBuilder:
 
     def _flush(self) -> None:
         if self._cur_tids:
-            self._tid_chunks.append(np.asarray(self._cur_tids, dtype=np.int64))
-            self._doc_chunks.append(np.asarray(self._cur_docs, dtype=np.int64))
+            self._tid_chunks.append(np.asarray(self._cur_tids, dtype=np.int32))
+            self._doc_chunks.append(np.asarray(self._cur_docs, dtype=np.int32))
             self._cur_tids = []
             self._cur_docs = []
 
@@ -211,18 +215,27 @@ class IndexBuilder:
                               self._max_doc_id, self._n_docs)
         tids = np.concatenate(self._tid_chunks)
         docs = np.concatenate(self._doc_chunks)
-        # One sorted segment: order by (term, doc). Loaders feed doc ids in
-        # ascending order, so the common case needs only ONE stable radix
-        # argsort by term (docs stay sorted inside each term) — measured
-        # ~2.5x faster than np.lexsort's two passes at 112M pairs. int32
-        # keys halve the radix work (V and doc ids both fit).
+        self._tid_chunks = []
+        self._doc_chunks = []
+        # One sorted segment: order by (term, doc). Loaders feed doc ids
+        # in ascending order, so the common case is a single STABLE
+        # counting-sort grouping pass by term (docs stay sorted inside
+        # each term) — the C++ parallel scatter (native mg_radix_finalize)
+        # runs it in O(E) with no comparison sort and no argsort order
+        # array (the peak-RSS hog at 100M+ pairs).
         if bool(np.all(docs[1:] >= docs[:-1])):
-            order = np.argsort(tids.astype(np.int32, copy=False),
-                               kind="stable")
+            from .. import native
+            out = native.radix_finalize(tids, docs, V)
+            if out is not None:
+                postings, lengths = out
+                del tids, docs
+                return self._dedup_build(postings, lengths, V)
+            order = np.argsort(tids, kind="stable")
         else:
             order = np.lexsort((docs, tids))
         tids = tids[order]
         docs = docs[order]
+        del order
         # dedupe (term, doc) pairs (documents are shredded deduped, but
         # incremental merges may re-add)
         if tids.size:
@@ -236,7 +249,30 @@ class IndexBuilder:
         offsets = np.zeros(V, dtype=np.int64)
         np.cumsum(lengths[:-1], out=offsets[1:])
         return BuiltIndex(self.term_dict, offsets, lengths,
-                          docs.astype(np.int32), self._max_doc_id, self._n_docs)
+                          docs.astype(np.int32), self._max_doc_id,
+                          self._n_docs)
+
+    def _dedup_build(self, postings: np.ndarray, lengths: np.ndarray,
+                     V: int) -> BuiltIndex:
+        """Adjacent-duplicate cleanup within term segments (rare: only
+        incremental re-adds produce dups) + BuiltIndex assembly."""
+        E = postings.size
+        offsets = np.zeros(V, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        if E:
+            dup = np.zeros(E, dtype=bool)
+            np.equal(postings[1:], postings[:-1], out=dup[1:])
+            dup[offsets[lengths > 0]] = False  # segment starts never dup
+            if dup.any():
+                term_of = np.repeat(np.arange(V, dtype=np.int64),
+                                    lengths)
+                lengths = (lengths - np.bincount(
+                    term_of[dup], minlength=V)).astype(np.int32)
+                postings = postings[~dup]
+                offsets = np.zeros(V, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=offsets[1:])
+        return BuiltIndex(self.term_dict, offsets, lengths, postings,
+                          self._max_doc_id, self._n_docs)
 
 
 def build_from_csr_like(term_dict: TermDict,

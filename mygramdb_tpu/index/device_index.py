@@ -101,35 +101,87 @@ def _sparse_query(postings, bitmaps, deleted, extra, d_off, d_len,
 
 
 @functools.partial(jax.jit, static_argnames=("C", "Cmax", "limit_b",
-                                             "descending", "n_words"))
+                                             "descending", "n_words",
+                                             "has_extra"))
 def _sparse_query_batch(postings, bitmaps, deleted, d_off, d_len,
-                        sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                        sp_off, sp_len, sp_inv, dn_rows, dn_inv, extra,
                         *, C: int, Cmax: int, limit_b: int, descending: bool,
-                        n_words: int):
+                        n_words: int, has_extra: bool = False):
     """Batched sparse candidate-probe query: one dispatch for B concurrent
     queries sharing a shape bucket (the sparse-path analog of the dense
-    micro-batch). d_off/d_len: (B,); sp_*: (B, Ks); dn_*: (B, Kd).
-    Returns (counts (B,), ids (B, limit_b)). No extra filter bitmaps —
-    filtered queries take the unbatched path."""
+    micro-batch). d_off/d_len: (B,); sp_*: (B, Ks); dn_*: (B, Kd);
+    extra: (F, W) AND-filter word rows shared by the whole batch (the
+    batcher groups by filter identity, so FILTER col = v queries batch
+    with their peers). Returns (counts (B,), ids (B, limit_b))."""
     from ..ops.bitmap_ops import bit_member
     from ..ops.posting_ops import bitmap_membership, mask_to_topn
 
-    def one(doff, dlen, soff, slen, sinv, drows, dinv):
-        cands = gather_slices(postings, doff[None], dlen[None], C)[0]
+    B, Ks = sp_off.shape
+    # batch-level slice gathers (the Pallas DMA fast path runs outside
+    # the vmap; per-lane gathers lowered to serial element gathers)
+    cands_all = gather_slices(postings, d_off, d_len, C)
+    sp_all = gather_slices(postings, sp_off.reshape(B * Ks),
+                           sp_len.reshape(B * Ks), Cmax
+                           ).reshape(B, Ks, Cmax)
+
+    def one(cands, sp, sinv, drows, dinv):
         cmask = cands != SENTINEL
         clip = jnp.clip(cands, 0, n_words * 32 - 1)
-        sp = gather_slices(postings, soff, slen, Cmax)
         spm = jnp.logical_xor(membership_sorted(sp, cands), sinv[:, None])
         dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
                               dinv[:, None])
         alive = jnp.logical_not(bit_member(deleted, clip))
         mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0) & alive)
+        if has_extra:
+            w = jnp.right_shift(clip, 5)
+            bb = jnp.bitwise_and(clip, 31).astype(jnp.uint32)
+            ew = extra[:, w]
+            em = jnp.bitwise_and(jnp.right_shift(ew, bb[None, :]),
+                                 jnp.uint32(1)) == 1
+            mask = jnp.logical_and(mask, jnp.all(em, axis=0))
         count = jnp.sum(mask.astype(jnp.int32))
         _, ids = mask_to_topn(cands, mask, limit_b, descending)
         return count, ids
 
-    return jax.vmap(one)(d_off, d_len, sp_off, sp_len, sp_inv,
-                         dn_rows, dn_inv)
+    return jax.vmap(one)(cands_all, sp_all, sp_inv, dn_rows, dn_inv)
+
+
+@functools.lru_cache(maxsize=128)
+def _ast_words_program(sig: tuple, K: int, S: int, bucket: int,
+                       n_words: int):
+    """Compile ONE device program evaluating a whole boolean-AST tree as
+    word-bitmap algebra (reference in-process Roaring set ops,
+    index.cpp:378-446). ``sig`` is the hashable tree shape:
+    ('t', leaf_idx) | ('&', ...) | ('|', ...) | ('!', child); leaves are
+    AND-of-grams term bitmaps. One compile per (tree shape, K, S, bucket)
+    — boolean query shapes are few and the persistent cache keeps them."""
+    from ..ops import bitmap_ops
+
+    def build(node, leaf_words, universe):
+        tag = node[0]
+        if tag == "t":
+            return leaf_words[node[1]]
+        if tag == "!":
+            return jnp.bitwise_and(
+                universe, jnp.bitwise_not(build(node[1], leaf_words,
+                                                universe)))
+        out = build(node[1], leaf_words, universe)
+        for ch in node[2:]:
+            nxt = build(ch, leaf_words, universe)
+            out = (jnp.bitwise_and(out, nxt) if tag == "&"
+                   else jnp.bitwise_or(out, nxt))
+        return out
+
+    @jax.jit
+    def run(bitmaps, postings, deleted, universe, rows, offs, lens):
+        T = rows.shape[0]
+        leaves = [bitmap_ops.term_bitmap(
+            bitmaps, rows[i], postings, offs[i], lens[i], deleted,
+            K=K, S=S, bucket=bucket, n_words=n_words) for i in range(T)]
+        words = build(sig, leaves, universe)
+        return jnp.bitwise_and(words, jnp.bitwise_not(deleted))
+
+    return run
 
 
 @dataclass
@@ -206,12 +258,27 @@ class DeviceIndex:
             self.bitmaps = jax.device_put(bm, device)
         # device CSR over the full postings array (offsets valid for all
         # terms; dense terms' slices are read by OR/AST paths and
-        # compaction). Replicated across the mesh so the sparse candidate-
-        # probe programs mix it with the doc-sharded bitmaps in one SPMD
-        # computation (candidate gathers stay shard-local; bitmap probes
-        # cross shards via XLA-inserted collectives).
-        self.postings = jax.device_put(built.postings,
-                                       self._repl_sharding or device)
+        # compaction). Single-chip: one replicated array. Multi-chip: the
+        # CSR is DOC-RANGE SHARDED — each chip holds only the postings
+        # whose doc ids fall in its bitmap shard (the round-2 replicated
+        # layout erased most of the multi-chip memory win at scale), plus
+        # per-(shard, term) offset/length tables for the shard_map sparse
+        # kernels (parallel/mesh.py).
+        self.postings_sh = None
+        self.offsets_sh = None   # host (S, V) int64: shard-local offsets
+        self.lengths_sh = None   # host (S, V) int32
+        self.shard_docs = 0
+        if self.mesh is not None:
+            self._build_sharded_csr(built)
+        if self.postings_sh is None:
+            self.postings = jax.device_put(
+                posting_ops.pad_postings(built.postings),
+                self._repl_sharding or device)
+        else:
+            # no replicated device CSR on the mesh: sparse search goes
+            # through the shard_map kernel; threshold/AST/fused-verify
+            # route to host/unfused fallbacks (guarded on postings_sh)
+            self.postings = None
         self.offsets32 = built.offsets.astype(np.int32)
         self.lengths = built.lengths
         self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
@@ -221,6 +288,59 @@ class DeviceIndex:
             np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), del_target)
         self._del_lock = threading.Lock()
         self.batcher = None  # optional MicroBatcher (server attaches)
+
+    # ------------------------------------------------------------------
+    def _build_sharded_csr(self, built: BuiltIndex) -> None:
+        """Doc-range shard the CSR: shard s keeps only postings with
+        doc id in [s*Ds, (s+1)*Ds), stored as shard-LOCAL doc ids in a
+        (S, Pmax) padded array placed P('docs', None) — per-device sparse
+        memory drops ~S x vs the round-2 replicated layout. Per-term
+        sub-slices stay contiguous and sorted (docs are sorted per term,
+        and the shard grouping pass is stable)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        S = int(self.mesh.shape["docs"])
+        Ds = self.n_docs_capacity // S
+        V = built.n_terms
+        E = built.postings.size
+        self.shard_docs = Ds
+        if E == 0 or V == 0:
+            self.lengths_sh = np.zeros((S, max(V, 1)), dtype=np.int32)
+            self.offsets_sh = np.zeros((S, max(V, 1)), dtype=np.int64)
+            self.postings_sh = jax.device_put(
+                np.zeros((S, 1), dtype=np.int32),
+                NamedSharding(self.mesh, P("docs", None)))
+            return
+        shard_of = (built.postings.astype(np.int64) // Ds).astype(np.int32)
+        tid_rep = np.repeat(np.arange(V, dtype=np.int64), built.lengths)
+        counts = np.bincount(tid_rep * S + shard_of,
+                             minlength=V * S).reshape(V, S)
+        del tid_rep
+        self.lengths_sh = counts.T.astype(np.int32)          # (S, V)
+        self.offsets_sh = np.zeros((S, V), dtype=np.int64)
+        np.cumsum(self.lengths_sh[:, :-1], axis=1,
+                  out=self.offsets_sh[:, 1:])
+        from .. import native
+        out = native.radix_finalize(shard_of, built.postings, S)
+        if out is not None:
+            grouped, shard_sizes = out
+            shard_sizes = shard_sizes.astype(np.int64)
+        else:
+            order = np.argsort(shard_of, kind="stable")
+            grouped = built.postings[order]
+            shard_sizes = np.bincount(shard_of, minlength=S).astype(np.int64)
+        del shard_of
+        from ..ops.posting_ops import SLICE_GATHER_PAD, SENTINEL
+        Pmax = max(int(shard_sizes.max()), 1)
+        local = np.full((S, Pmax + SLICE_GATHER_PAD), int(SENTINEL),
+                        dtype=np.int32)
+        pos = 0
+        for s in range(S):
+            n = int(shard_sizes[s])
+            local[s, :n] = grouped[pos:pos + n] - s * Ds
+            local[s, n:Pmax] = 0
+            pos += n
+        self.postings_sh = jax.device_put(
+            local, NamedSharding(self.mesh, P("docs", None)))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -321,12 +441,12 @@ class DeviceIndex:
         # positives); they take the unbatched path below instead.
         from ..server.microbatch import MAX_K
         if (self.batcher is not None and opts.limit > 0 and not ns_tids
-                and not nd_rows and not extra_words
-                and len(dense_rows) <= MAX_K):
+                and not nd_rows and len(dense_rows) <= MAX_K):
             limit_b = min(_bucket_of(opts.limit, _LIMIT_BUCKETS),
                           self.n_docs_capacity)
             total, ids = self.batcher.submit(list(dense_rows), limit_b,
-                                             opts.descending)
+                                             opts.descending,
+                                             extra=tuple(extra_words or ()))
             ids = ids[ids >= 0][:opts.limit]
             return total, ids.astype(np.int32)
         # bucket K so jit caches a bounded set of shapes
@@ -395,6 +515,10 @@ class DeviceIndex:
         dlen = int(self.lengths[driver])
         if dlen == 0:
             return 0, np.empty(0, dtype=np.int32)
+        if self.postings_sh is not None:
+            return self._sparse_and_path_sharded(
+                driver, probes_sparse, dense_rows, ns_tids, nd_rows,
+                extra_words, opts)
         C = self._cand_bucket(dlen)
 
         sp_off, sp_len, sp_inv = [], [], []
@@ -428,14 +552,15 @@ class DeviceIndex:
                    if opts.limit > 0 else 0)
 
         # micro-batched sparse path: share one vmapped dispatch with
-        # concurrent queries in the same shape bucket (no extra filter
-        # bitmaps, no full materialization)
-        if (self.batcher is not None and not extra_words
+        # concurrent queries in the same shape bucket (extra filter
+        # bitmaps group by identity; no full materialization)
+        if (self.batcher is not None
                 and (opts.limit > 0 or opts.count_only)):
             lb = limit_b if limit_b > 0 else min(_LIMIT_BUCKETS[0], C)
             total, ids = self.batcher.submit_sparse(
                 int(self.offsets32[driver]), dlen, sp_off, sp_len, sp_inv,
-                dn_rows, dn_inv, C, Cmax, lb, opts.descending)
+                dn_rows, dn_inv, C, Cmax, lb, opts.descending,
+                extra=tuple(extra_words))
             if opts.count_only:
                 return total, np.empty(0, dtype=np.int32)
             if total > lb and opts.limit > lb:
@@ -470,6 +595,69 @@ class DeviceIndex:
         mask_np = np.asarray(mask)
         return total, cands_np[mask_np].astype(np.int32)
 
+    def _sparse_and_path_sharded(self, driver, probes_sparse, dense_rows,
+                                 ns_tids, nd_rows, extra_words, opts):
+        """Mesh sparse path over the doc-sharded CSR (parallel/mesh.py).
+        Extra filter bitmaps are applied host-side on the merged ids (the
+        fast single-chip path covers the filtered hot case)."""
+        from ..parallel.mesh import sharded_sparse_query
+        S = int(self.mesh.shape["docs"])
+        dlen = int(self.lengths[driver])
+        C = self._cand_bucket(dlen)
+        sp_tids = list(probes_sparse)
+        sp_inv_flags = [False] * len(sp_tids)
+        for t in ns_tids:
+            sp_tids.append(t)
+            sp_inv_flags.append(True)
+        Ks = _k_bucket(len(sp_tids)) if sp_tids else 1
+        max_probe = max([1] + [int(self.lengths[t]) for t in sp_tids])
+        Cmax = self._cand_bucket(max_probe)
+        B = 1
+        d_off = np.zeros((B, S), dtype=np.int32)
+        d_len = np.zeros((B, S), dtype=np.int32)
+        sp_off = np.zeros((B, Ks, S), dtype=np.int32)
+        sp_len = np.zeros((B, Ks, S), dtype=np.int32)
+        sp_inv = np.ones((B, Ks, S), dtype=bool)
+        d_off[0] = self.offsets_sh[:, driver]
+        d_len[0] = self.lengths_sh[:, driver]
+        for i, t in enumerate(sp_tids):
+            sp_off[0, i] = self.offsets_sh[:, t]
+            sp_len[0, i] = self.lengths_sh[:, t]
+            sp_inv[0, i] = sp_inv_flags[i]
+        dn_rows = list(dense_rows) + list(nd_rows)
+        dn_inv = [False] * len(dense_rows) + [True] * len(nd_rows)
+        Kd = _k_bucket(len(dn_rows)) if dn_rows else 1
+        while len(dn_rows) < Kd:
+            dn_rows.append(self.ones_row)
+            dn_inv.append(False)
+        # extra filter bitmaps apply host-side on the merged ids, so they
+        # force the materialize-all width to keep count/limit exact
+        lb = (min(_bucket_of(opts.limit, _LIMIT_BUCKETS), C)
+              if opts.limit > 0 and not extra_words else C)
+        from ..ops import runtime
+        runtime.dispatches.bump()
+        count, ids = sharded_sparse_query(
+            self.mesh, self.postings_sh, self.bitmaps, self.deleted,
+            d_off, d_len, sp_off, sp_len, sp_inv,
+            np.asarray([dn_rows], dtype=np.int32),
+            np.asarray([dn_inv], dtype=bool),
+            C=C, Cmax=Cmax, limit_b=lb, descending=opts.descending,
+            shard_docs=self.shard_docs, words_local=self.n_words // S)
+        total = int(np.asarray(count)[0])
+        out = np.asarray(ids)[0]
+        out = out[out >= 0]
+        if extra_words:
+            keep = np.ones(out.size, dtype=bool)
+            for w in extra_words:
+                keep &= self._probe_words(np.asarray(w), out).astype(bool)
+            out = out[keep]
+            total = int(out.size)
+        if opts.count_only:
+            return total, np.empty(0, dtype=np.int32)
+        if opts.limit > 0:
+            return total, out[:opts.limit].astype(np.int32)
+        return total, np.sort(out).astype(np.int32)
+
     def _get_sparse_kernel(self, C, Cmax, Ks, Kd, F, limit_b, descending):
         # module-level jit keyed by (shapes, statics): compiled code is
         # shared across DeviceIndex instances and survives restarts via the
@@ -479,33 +667,67 @@ class DeviceIndex:
                                  n_words=self.n_words)
 
     # ------------------------------------------------------------------
-    # Fused verified search (one dispatch: match + window verify + top-n)
+    # Fused verified search (one dispatch: match + verify + score + top-n)
     # ------------------------------------------------------------------
-    _VERIFY_WORKSPACE = 512 << 20  # B*C*maxT*4 scratch cap per dispatch
+    _KV_BUCKET = 4096      # verify-compaction width cap (see ops/fused.py)
+    _VERIFY_WORKSPACE = 512 << 20  # B*C*maxT*4 dense-extract scratch cap
+
+    def verify_maxT(self, text_store, driver_tid: Optional[int]) -> int:
+        """Window-tile bucket for the verify: the max stored-text length
+        over the driver term's postings bounds every candidate's length.
+        ONLY applies to the flat-pack text layout (fewer element gathers);
+        on the padded row matrix a column-sliced gather is ~10x SLOWER
+        than full-width rows (measured 368 vs 33 ms), so the full row
+        width is always used there."""
+        if getattr(text_store, "codepoints", None) is not None and \
+                text_store.codepoints.ndim == 2:
+            return text_store.maxT
+        if driver_tid is None or not hasattr(text_store, "maxT_bucket"):
+            return text_store.maxT
+        lens_host = getattr(text_store, "lengths_host", None)
+        if lens_host is None:
+            return text_store.maxT
+        p = self.postings_of(driver_tid)
+        if p.size == 0:
+            return text_store.maxT
+        ok = p < lens_host.shape[0]
+        bound = int(lens_host[p[ok]].max()) if ok.any() else 0
+        return text_store.maxT_bucket(max(bound, 1))
 
     def search_and_verified(self, tids: Sequence[int], text_store,
                             needles: np.ndarray, needle_lens: np.ndarray,
-                            limit_b: int, descending: bool):
-        """One-dispatch verified AND over a DeviceTextStore: (total, ids)
-        with total = VERIFIED match count, or None when no fused shape
-        applies (caller falls back to the multi-dispatch exact path).
-        Routes dense-only queries through the bitmap extractor and
-        sparse-driver queries through the CSR candidate probe — the latter
-        is the Wikipedia-scale CJK+verify shape (rarest gram sparse)."""
+                            limit_b: int, descending: bool,
+                            score_mode: bool = False, idf=None,
+                            k1: float = 1.2, b: float = 0.75,
+                            avgdl: float = 1.0, nonoverlap: bool = False):
+        """One-dispatch verified AND over a DeviceTextStore:
+        (total, ids, scores) with total = VERIFIED match count, or None
+        when no fused shape applies OR the match set exceeded the verify
+        compaction width (pre > Kv) — the caller falls back to the exact
+        multi-dispatch path. Routes dense-only queries through the bitmap
+        extractor and sparse-driver queries through the CSR candidate
+        probe — the latter is the Wikipedia-scale CJK+verify shape
+        (rarest gram sparse)."""
         from ..ops import fused as fused_ops
         dense_rows, sparse_tids = self.classify(list(tids))
-        maxT = text_store.maxT
+        idf_row = (np.zeros(needles.shape[0], dtype=np.float32)
+                   if idf is None else np.asarray(idf, dtype=np.float32))
+        empty = (0, np.empty(0, dtype=np.int32),
+                 np.empty(0, dtype=np.float32))
         if sparse_tids:
+            if self.postings_sh is not None:
+                return None  # mesh: sharded CSR -> unfused sharded path
             sparse_tids = sorted(sparse_tids,
                                  key=lambda t: int(self.lengths[t]))
             driver = sparse_tids[0]
             dlen = int(self.lengths[driver])
             if dlen == 0:
-                return 0, np.empty(0, dtype=np.int32)
+                return empty
             C = self._cand_bucket(dlen)
-            if C > self.candidate_buckets[-1] or \
-                    C * maxT * 4 > self._VERIFY_WORKSPACE:
+            if C > self.candidate_buckets[-1]:
                 return None
+            Kv = min(C, self._KV_BUCKET)
+            maxT = self.verify_maxT(text_store, driver)
             sp_off, sp_len, sp_inv = [], [], []
             for t in sparse_tids[1:]:
                 sp_off.append(int(self.offsets32[t]))
@@ -523,13 +745,19 @@ class DeviceIndex:
             while len(dn_rows) < Kd:
                 dn_rows.append(self.ones_row)
                 dn_inv.append(False)
-            lb = min(limit_b, C)
+            lb = min(limit_b, Kv)
+            # the window verify subsumes dense-gram membership (the
+            # pipeline's needles contain every query term, and text that
+            # contains a term contains each of its grams) — skipping the
+            # (Kd, C) bitmap probe saves a multi-million element gather
             if self.batcher is not None:
                 return self.batcher.submit_fused_sparse_verify(
                     int(self.offsets32[driver]), dlen, sp_off, sp_len,
                     sp_inv, dn_rows, dn_inv, needles, needle_lens,
-                    text_store, C, Cmax, lb, descending)
-            count, ids = fused_ops.sparse_search_verify_topn_batch(
+                    text_store, C, Cmax, lb, descending,
+                    Kv=Kv, maxT=maxT, score_mode=score_mode, idf=idf_row,
+                    k1=k1, b=b, avgdl=avgdl, nonoverlap=nonoverlap)
+            out = fused_ops.sparse_search_verify_topn_batch(
                 self.postings, self.bitmaps, self.deleted,
                 np.asarray([self.offsets32[driver]], dtype=np.int32),
                 np.asarray([dlen], dtype=np.int32),
@@ -539,13 +767,22 @@ class DeviceIndex:
                 np.asarray([dn_rows], dtype=np.int32),
                 np.asarray([dn_inv], dtype=bool),
                 text_store, C, Cmax, lb, needles[None], needle_lens[None],
-                self.n_words, descending)
-            return int(count[0]), ids[0]
+                self.n_words, descending, Kv=Kv, maxT=maxT,
+                idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
+                score_mode=score_mode, nonoverlap=nonoverlap,
+                use_dense_probes=False)
+            pre, count, ids = out[0], out[1], out[2]
+            if int(pre[0]) > Kv:
+                return None  # compaction clipped: exact path re-runs
+            scores = (out[3][0] if score_mode
+                      else np.zeros(ids.shape[1], dtype=np.float32))
+            return int(count[0]), ids[0], scores
         # dense-only: candidate bound = min dense df
         if not dense_rows:
-            return 0, np.empty(0, dtype=np.int32)
+            return empty
         dfs = [int(self.lengths[t]) for t in tids]
         C = self._cand_bucket(max(min(dfs), 1))
+        maxT = text_store.maxT
         if C > self.candidate_buckets[-1] or \
                 C * maxT * 4 > self._VERIFY_WORKSPACE:
             return None
@@ -557,13 +794,79 @@ class DeviceIndex:
         lb = min(limit_b, C)
         if self.batcher is not None:
             return self.batcher.submit_fused_verify(
-                rows, needles, needle_lens, text_store, C, lb, descending)
-        count, ids = fused_ops.search_verify_topn_batch(
+                rows, needles, needle_lens, text_store, C, lb, descending,
+                score_mode=score_mode, idf=idf_row, k1=k1, b=b,
+                avgdl=avgdl, nonoverlap=nonoverlap)
+        out = fused_ops.search_verify_topn_batch(
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([[self.zeros_row]], dtype=jnp.int32),
             self.deleted, self._pack_extra([]), text_store, C, lb,
-            needles[None], needle_lens[None], descending)
-        return int(count[0]), ids[0]
+            needles[None], needle_lens[None], descending, maxT=maxT,
+            idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
+            score_mode=score_mode, nonoverlap=nonoverlap)
+        pre, count, ids = out[0], out[1], out[2]
+        if int(pre[0]) > C:
+            return None  # extraction clipped: exact path re-runs
+        scores = (out[3][0] if score_mode
+                  else np.zeros(ids.shape[1], dtype=np.float32))
+        return int(count[0]), ids[0], scores
+
+    # ------------------------------------------------------------------
+    # Boolean-AST device evaluation
+    # ------------------------------------------------------------------
+    def ast_words(self, sig: tuple, leaf_tids: Sequence[Sequence[int]],
+                  universe) -> Optional[np.ndarray]:
+        """Evaluate a boolean AST (shape ``sig`` over ``leaf_tids`` term
+        gram lists) entirely on device; returns the result words pulled to
+        host (W uint32 — ~4 orders less transfer than per-clause id
+        materialization at 1M+ docs), or None when a leaf doesn't fit a
+        device shape (caller falls back to the host set-algebra path).
+        ``universe`` is the all-live-docs bitmap for NOT complements."""
+        if self.postings_sh is not None:
+            return None  # mesh: no replicated CSR for the leaf scatters
+        rows_l, offs_l, lens_l = [], [], []
+        K = S = 1
+        max_len = 1
+        for tids in leaf_tids:
+            if tids is None:
+                # unknown/empty gram: the term matches nothing
+                dense_rows, sparse = [self.zeros_row], []
+            else:
+                dense_rows, sparse = self.classify(list(tids))
+                if any(int(self.lengths[t]) == 0 for t in sparse):
+                    dense_rows, sparse = [self.zeros_row], []
+            rows_l.append(dense_rows or [self.ones_row])
+            offs_l.append([int(self.offsets32[t]) for t in sparse])
+            lens_l.append([int(self.lengths[t]) for t in sparse])
+            K = max(K, len(rows_l[-1]))
+            S = max(S, max(1, len(sparse)))
+            max_len = max([max_len] + lens_l[-1])
+        bucket = self._cand_bucket(max_len)
+        if bucket > self.candidate_buckets[-1]:
+            return None
+        K = _k_bucket(K)
+        S = _k_bucket(S)
+        T = len(leaf_tids)
+        rows = np.full((T, K), self.ones_row, dtype=np.int32)
+        offs = np.zeros((T, S), dtype=np.int32)
+        lens = np.zeros((T, S), dtype=np.int32)
+        for i in range(T):
+            rows[i, :len(rows_l[i])] = rows_l[i]
+            offs[i, :len(offs_l[i])] = offs_l[i]
+            lens[i, :len(lens_l[i])] = lens_l[i]
+        fn = _ast_words_program(sig, K, S, bucket, self.n_words)
+        from ..ops import runtime
+        runtime.dispatches.bump()
+        words = fn(self.bitmaps, self.postings, self.deleted, universe,
+                   jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(lens))
+        return np.asarray(words)
+
+    def universe_words(self, doc_ids: np.ndarray):
+        """Device bitmap of all live docs (NOT complement base), built
+        host-side from the doc store's id set and uploaded once per
+        segment generation (caller caches)."""
+        bm = bitmap_ops.make_bitmap_from_ids(doc_ids, self.n_words)
+        return jax.device_put(bm, self._row_sharding or self._device)
 
     # ------------------------------------------------------------------
     def search_or(self, tids: Sequence[int]) -> np.ndarray:
@@ -605,6 +908,17 @@ class DeviceIndex:
         if not tids or min_count <= 0:
             return np.empty(0, dtype=np.int32)
         dense_rows, sparse_tids = self.classify(list(tids))
+        if sparse_tids and self.postings_sh is not None:
+            # mesh: no replicated device CSR — host bincount over the
+            # (df-bounded) term slices; fuzzy traffic is host-dominated
+            # (Levenshtein verify) anyway
+            ids = np.concatenate([self.postings_of(t) for t in tids])
+            cnt = np.bincount(ids, minlength=0)
+            out = np.flatnonzero(cnt >= min_count).astype(np.int32)
+            out = out[:max_out]
+            if self.deleted_host.any():
+                out = out[~self._deleted_mask(out)]
+            return out
         if not dense_rows and sparse_tids:
             # pure-sparse: single device sort-rank-count kernel
             offs = np.asarray([self.offsets32[t] for t in sparse_tids],
@@ -642,9 +956,11 @@ class DeviceIndex:
             from ..ops import runtime
             from ..ops.threshold_ops import threshold_count_bitmap
             runtime.dispatches.bump(1)
+            post = (self.postings if self.postings is not None
+                    else jnp.zeros(1, dtype=jnp.int32))  # dense-only mesh
             words = threshold_count_bitmap(
                 self.bitmaps, jnp.asarray(rows, dtype=jnp.int32),
-                self.postings, jnp.asarray(offs), jnp.asarray(lens),
+                post, jnp.asarray(offs), jnp.asarray(lens),
                 jnp.int32(min_count), self.deleted,
                 g_sparse=Gs, c_bucket=Cmax)
             # tombstones already cleared on device
@@ -708,5 +1024,14 @@ class DeviceIndex:
 
     # ------------------------------------------------------------------
     def memory_usage(self) -> int:
-        return int(self.bitmaps.size * 4 + self.postings.size * 4 +
+        post = (self.postings.size if self.postings is not None
+                else self.postings_sh.size)
+        return int(self.bitmaps.size * 4 + post * 4 +
                    self.deleted.size * 4)
+
+    def per_device_sparse_bytes(self) -> int:
+        """Sparse-CSR bytes resident on ONE device (the multi-chip memory
+        scaling metric: sharded = total/S, replicated = total)."""
+        if self.postings_sh is not None:
+            return int(self.postings_sh.addressable_shards[0].data.size * 4)
+        return int(self.postings.size * 4)

@@ -115,6 +115,13 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:  # stale .so without the batch entry point
         pass
     try:
+        lib.mg_radix_finalize.restype = None
+        lib.mg_radix_finalize.argtypes = [_c_i32p, _c_i32p, ctypes.c_int64,
+                                          ctypes.c_int32, ctypes.c_int32,
+                                          _c_i32p, _c_i32p]
+    except AttributeError:  # stale .so without the finalize entry point
+        pass
+    try:
         lib.mg_h2t_create.restype = ctypes.c_void_p
         lib.mg_h2t_create.argtypes = []
         lib.mg_h2t_destroy.restype = None
@@ -240,6 +247,27 @@ def levenshtein(a: str, b: str, max_distance: int = 2 ** 30) -> int:
     return int(lib.mg_levenshtein(
         _ptr(np.ascontiguousarray(ca), _c_u32p), ca.size,
         _ptr(np.ascontiguousarray(cb), _c_u32p), cb.size, max_distance))
+
+
+def radix_finalize(tids: np.ndarray, docs: np.ndarray, V: int,
+                   n_threads: int = 0):
+    """Parallel stable counting sort of (tid, doc) pairs by tid — the
+    index builder's finalize. Returns (postings int32, lengths int32) or
+    None when the native library is unavailable (caller falls back to the
+    numpy argsort path). Stability keeps per-term docs in arrival order."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_radix_finalize"):
+        return None
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 8)
+    tids = np.ascontiguousarray(tids, dtype=np.int32)
+    docs = np.ascontiguousarray(docs, dtype=np.int32)
+    postings = np.empty(tids.size, dtype=np.int32)
+    lengths = np.zeros(max(V, 1), dtype=np.int32)
+    lib.mg_radix_finalize(_ptr(tids, _c_i32p), _ptr(docs, _c_i32p),
+                          tids.size, V, n_threads,
+                          _ptr(postings, _c_i32p), _ptr(lengths, _c_i32p))
+    return postings, lengths[:V]
 
 
 def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:

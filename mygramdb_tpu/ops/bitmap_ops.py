@@ -339,23 +339,51 @@ def _topn_direct(words: jax.Array, n: int, descending: bool) -> jax.Array:
     return jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
 
 
+_SELECT_BSEARCH_MIN_L = 16384  # broadcast-compare wins below this width
+
+
 def _select_first_k(flags_dir: jax.Array, k: int):
-    """Positions (direction-order) of the first k set flags per row,
-    sort-free AND gather-free: inclusive cumsum, then each target rank's
-    position falls out of a broadcast-compare reduction
-    (pos_j = #positions with csum < j+1 — searchsorted-left, computed as a
-    fused (B, k, L) compare+sum on the VPU; binary-search gathers and
-    top_k sorts both measured several ms at Wikipedia-scale L).
+    """Positions (direction-order) of the first k set flags per row.
+
     flags_dir: (B, L) int32 0/1 in DIRECTION order.
     -> (pos (B, k) int32, valid (B, k) bool).
+
+    Two regimes over the inclusive cumsum (pos_j = searchsorted-left of
+    rank j+1):
+    - small L: one fused (B, k, L) broadcast compare+sum on the VPU.
+    - large L (Wikipedia scale, W ~ 127k words at 4M docs): the broadcast
+      matrix is O(B*k*L) ~ 16G ops per batch and dominated the whole
+      dense dispatch; a fixed-iteration vectorized binary search costs
+      log2(L) gathers of (B, k) instead. (jnp.searchsorted itself is a
+      data-dependent gather loop on TPU — hand-rolled fori_loop keeps it
+      static.)
     """
     L = flags_dir.shape[-1]
     csum = jnp.cumsum(flags_dir, axis=-1)  # non-decreasing
     targets = jnp.arange(1, k + 1, dtype=csum.dtype)
-    pos = jnp.sum((csum[:, None, :] < targets[None, :, None])
-                  .astype(jnp.int32), axis=-1)
-    valid = pos < L
-    return jnp.where(valid, pos, 0).astype(jnp.int32), valid
+    if L < _SELECT_BSEARCH_MIN_L:
+        pos = jnp.sum((csum[:, None, :] < targets[None, :, None])
+                      .astype(jnp.int32), axis=-1)
+        valid = pos < L
+        return jnp.where(valid, pos, 0).astype(jnp.int32), valid
+    B = flags_dir.shape[0]
+    tgt = jnp.broadcast_to(targets[None, :], (B, k))
+    lo = jnp.zeros((B, k), dtype=jnp.int32)
+    hi = jnp.full((B, k), L, dtype=jnp.int32)
+    # search space is [0, L] inclusive (L+1 states): L.bit_length() halvings
+    steps = max(1, L.bit_length())
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = jnp.minimum((lo + hi) >> 1, L - 1)
+        v = jnp.take_along_axis(csum, mid, axis=1)
+        smaller = v < tgt
+        return (jnp.where(smaller, mid + 1, lo),
+                jnp.where(smaller, hi, mid))
+
+    lo, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    valid = lo < L
+    return jnp.where(valid, lo, 0).astype(jnp.int32), valid
 
 
 @functools.partial(jax.jit, static_argnames=("n", "descending"))
@@ -451,6 +479,79 @@ def dense_search_topn(bitmaps, rows, nrows, deleted, extra,
     runtime.dispatches.bump()
     return _dense_search_topn(bitmaps, rows, nrows, deleted, extra,
                               has_not, has_extra, n, descending, use_pallas)
+
+
+# ---------------------------------------------------------------------------
+# Device bitmap algebra (boolean-AST path: reference Roaring set ops,
+# index.cpp:378-446 — here whole trees evaluate on device and only the
+# final W words cross to the host)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def bm_and(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.bitwise_and(a, b)
+
+
+@jax.jit
+def bm_or(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.bitwise_or(a, b)
+
+
+@jax.jit
+def bm_andnot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.bitwise_and(a, jnp.bitwise_not(b))
+
+
+@functools.partial(jax.jit, static_argnames=("bucket", "n_words"))
+def bitmap_from_postings(postings: jax.Array, off: jax.Array, ln: jax.Array,
+                         *, bucket: int, n_words: int) -> jax.Array:
+    """Scatter one CSR posting slice into a (W,) word bitmap on device
+    (no host round-trip of the id list)."""
+    from .posting_ops import gather_slices
+    ids = gather_slices(postings, off[None], ln[None], bucket)[0]
+    w = jnp.right_shift(ids, 5)
+    bit = jnp.left_shift(jnp.uint32(1),
+                         jnp.bitwise_and(ids, 31).astype(jnp.uint32))
+    w = jnp.where((ids >= 0) & (w < n_words), w, n_words)  # pad -> dropped
+    words = jnp.zeros((n_words + 1,), dtype=jnp.uint32)
+    # scatter-add == scatter-or here: a slice's doc ids are unique, so
+    # every (word, bit) contribution is distinct
+    words = words.at[w].add(bit)
+    return words[:n_words]
+
+
+@functools.partial(jax.jit, static_argnames=("K", "S", "bucket", "n_words"))
+def term_bitmap(bitmaps: jax.Array, rows: jax.Array, postings: jax.Array,
+                offs: jax.Array, lens: jax.Array, deleted: jax.Array,
+                *, K: int, S: int, bucket: int, n_words: int) -> jax.Array:
+    """(W,) bitmap of docs containing ALL grams of one term: AND of dense
+    rows (padded with the all-ones sentinel) and scattered sparse slices
+    (len 0 slots = padding = AND identity). Tombstones cleared."""
+    words = _reduce_rows_jnp(bitmaps, rows[None], "and")[0]
+
+    def body(i, acc):
+        wi = bitmap_from_postings(postings, offs[i], lens[i],
+                                  bucket=bucket, n_words=n_words)
+        wi = jnp.where(lens[i] > 0, wi, jnp.uint32(U32_ONES))
+        return jnp.bitwise_and(acc, wi)
+
+    words = jax.lax.fori_loop(0, S, body, words)
+    return jnp.bitwise_and(words, jnp.bitwise_not(deleted))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "descending", "count_only"))
+def bitmap_count_topn(words: jax.Array, n: int, descending: bool,
+                      count_only: bool = False):
+    """Final AST reduction: (count, top-n ids) from one (W,) bitmap."""
+    w2 = words[None, :]
+    count = popcount_words(w2)[0]
+    if count_only:
+        return count, jnp.zeros((1,), dtype=jnp.int32)
+    if words.shape[-1] >= _HIER_MIN_WORDS:
+        ids, _ = _topn_hierarchical(w2, n, descending)
+    else:
+        ids = _topn_direct(w2, n, descending)
+    return count, ids[0]
 
 
 def make_bitmap_from_ids(doc_ids, n_words: int):

@@ -6,16 +6,22 @@ BASELINE.md) previously issued 2-3 sequential dispatches per query (search,
 window-verify, TF/score) — each a full RTT on tunneled backends. This
 program chains them on-device:
 
-1. dense AND over bitmap rows (+tombstones)            [VPU / Pallas]
-2. extract ALL matching doc ids up to a static bucket C (the pipeline
-   routes here only when the rarest gram's df bounds the candidate count)
-3. gather candidate texts, one window pass computing per-needle match
-   COUNTS (tf): verify mask = every needle count > 0 — verify and BM25
-   term frequencies come from the same compare pass
-4. verified count = popcount(mask); top-n by doc id, or by BM25
-   (score desc, ties id desc) when score_mode
+1. dense AND over bitmap rows (+tombstones), or the rarest sparse term's
+   CSR slice probed by the other grams                  [VPU / Pallas]
+2. COMPACT the first Kv masked candidates (rank scatter): the window
+   verify then runs over the actual match set, not the full driver slice.
+   The kernel also returns the pre-verify match count; when it exceeds Kv
+   the caller falls back to the exact multi-dispatch path (rare: Kv covers
+   the AND-intersection, which is far smaller than the driver df).
+3. gather candidate texts — column-sliced to the query's doc-length bound
+   (maxT bucket), native dtype (uint16 for BMP corpora)
+4. one statically-unrolled window pass computing per-needle match COUNTS
+   (tf): verify mask = every needle count > 0 — verify and BM25 term
+   frequencies come from the same compare pass
+5. verified count; top-n by doc id, or by BM25 (score desc, ties id desc)
+   when score_mode
 
-Only (count, n ids, n scores) cross back to the host.
+Only (counts, n ids [, n scores]) cross back to the host.
 """
 
 from __future__ import annotations
@@ -28,217 +34,192 @@ import jax.numpy as jnp
 from . import runtime
 from .bitmap_ops import (_topn_hierarchical, dense_query, dense_query_pallas,
                          PBLOCK, _single_device)
-from .verify_ops import (NEEDLE_CAP, _gather_text_flat,
-                         _gather_text_padded, needle_cap_bucket)
+from .posting_ops import SENTINEL
+from .verify_ops import (NEEDLE_CAP, bm25_scores, contains_all, gather_text,
+                         needle_cap_bucket, tf_matrix, tf_matrix_nonoverlap)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "C", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
-    "cap"))
-def _search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
-                              codepoints, offsets, lengths,
-                              needles, needle_lens, idf, k1, b, avgdl,
-                              *, C: int, n: int, Nn: int, maxT: int,
-                              descending: bool, score_mode: bool,
-                              use_pallas: bool, cap: int = NEEDLE_CAP):
-    """Single query (B=1 shapes on the bitmap side). needles: (Nn, CAP);
-    idf: (Nn,) f32. -> (count, ids (n,), scores (n,) f32)."""
-    if use_pallas:
-        _, res = dense_query_pallas(bitmaps, rows, deleted)
-    else:
-        _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
-                             has_not=False, has_extra=False)
-    # ALL matching ids, ascending, -1 padded (caller guarantees <= C)
-    cand, _ = _topn_hierarchical(res, C, False)
-    cand = cand[0]
-    alive = cand >= 0
+def compact_first_k(cands: jax.Array, mask: jax.Array, Kv: int):
+    """First Kv masked candidates (input order), SENTINEL-padded, via a
+    rank scatter — O(C) work, no per-slot compare matrix.
+    -> (sel (Kv,) int32, pre_count scalar int32)."""
+    m = mask.astype(jnp.int32)
+    rank = jnp.cumsum(m) - 1
+    pre = jnp.sum(m)
+    idx = jnp.where(jnp.logical_and(mask, rank < Kv), rank, Kv)
+    sel = jnp.full((Kv + 1,), SENTINEL, dtype=jnp.int32)
+    sel = sel.at[idx].set(cands, mode="drop")[:Kv]
+    return sel, pre
 
-    if codepoints.ndim == 2:
-        text, doc_len = _gather_text_padded(codepoints, lengths, cand, maxT)
-    else:
-        text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
-                                          cand, maxT)
-    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
 
-    def one_needle(j, tf):
-        ndl = needles[j]
-        nlen = needle_lens[j]
-
-        def step(k, m):
-            window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
-            cmp = jnp.logical_or(k >= nlen, window == ndl[k])
-            return jnp.logical_and(m, cmp)
-
-        match_at = jax.lax.fori_loop(
-            0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
-        in_range = starts + nlen <= doc_len[:, None]
-        count = jnp.sum(jnp.logical_and(match_at, in_range
-                                        ).astype(jnp.int32), axis=1)
-        count = jnp.where(nlen == 0, 0, count)
-        return tf.at[:, j].set(count)
-
-    tf = jax.lax.fori_loop(0, Nn, one_needle,
-                           jnp.zeros((C, Nn), dtype=jnp.int32))
-    # verified = contains every (present) needle
-    present = needle_lens > 0
-    ok = jnp.logical_or(tf > 0, jnp.logical_not(present)[None, :])
-    mask = jnp.logical_and(jnp.all(ok, axis=1), alive)
-    count = jnp.sum(mask.astype(jnp.int32))
-
+def _verify_topn(sel, codepoints, offsets, lengths, needles, needle_lens,
+                 idf, k1, b, avgdl, *, Kv, n, Nn, maxT, cap, descending,
+                 score_mode, nonoverlap):
+    """Shared tail: window-verify a compacted candidate vector and reduce
+    to (verified count, top-n ids [, scores])."""
+    from .posting_ops import mask_to_topn
+    alive = sel != SENTINEL
+    safe = jnp.where(alive, sel, 0)
+    text, doc_len = gather_text(codepoints, offsets, lengths, safe, maxT,
+                                cap)
     if score_mode:
-        tff = tf.astype(jnp.float32)
-        norm = k1 * (1.0 - b + b * doc_len.astype(jnp.float32)[:, None] /
-                     jnp.maximum(avgdl, 1e-9))
-        score = jnp.sum(idf[None, :] * tff * (k1 + 1.0) /
-                        jnp.maximum(tff + norm, 1e-9), axis=1)
-        score = jnp.where(mask, score, -jnp.inf)
-        neg_score = -score
-        neg_id = -cand
+        fn = tf_matrix_nonoverlap if nonoverlap else tf_matrix
+        tf = fn(text, doc_len, needles, needle_lens, maxT, Nn, cap)
+        present = needle_lens > 0
+        ok = jnp.logical_or(tf > 0, jnp.logical_not(present)[None, :])
+        vmask = jnp.logical_and(jnp.all(ok, axis=1), alive)
+        count = jnp.sum(vmask.astype(jnp.int32))
+        score = bm25_scores(tf, doc_len, idf, k1, b, avgdl)
+        score = jnp.where(vmask, score, -jnp.inf)
+        ids_for_sort = jnp.where(alive, sel, -1)
         _, _, ids_sorted, score_sorted = jax.lax.sort(
-            (neg_score, neg_id, cand, score), num_keys=2)
+            (-score, -ids_for_sort, ids_for_sort, score), num_keys=2)
         ids_out = jnp.where(jnp.isfinite(score_sorted[:n]),
                             ids_sorted[:n], -1)
         return count, ids_out, score_sorted[:n]
-    # PK order: top-n masked candidates by doc id
-    from .posting_ops import mask_to_topn
-    safe = jnp.where(alive, cand, jnp.int32(2 ** 31 - 1))
-    _, ids_out = mask_to_topn(safe, mask, n, descending)
+    vmask = contains_all(text, doc_len, needles, needle_lens, maxT, Nn, cap)
+    vmask = jnp.logical_and(vmask, alive)
+    count = jnp.sum(vmask.astype(jnp.int32))
+    _, ids_out = mask_to_topn(sel, vmask, n, descending)
     return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "n", "Nn", "maxT", "descending", "use_pallas", "cap"))
+    "C", "Kv", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
+    "cap", "nonoverlap"))
 def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
-                              needles, needle_lens,
-                              *, C: int, n: int, Nn: int, maxT: int,
-                              descending: bool, use_pallas: bool,
-                              cap: int = NEEDLE_CAP):
-    """Batched fused verified search (PK order, no scoring): B queries,
-    each with its OWN needle set, in one dispatch. rows: (B, K);
-    needles: (B, Nn, CAP); needle_lens: (B, Nn).
-    -> (counts (B,), ids (B, n))."""
-    from .posting_ops import mask_to_topn
+                              needles, needle_lens, idf, k1, b, avgdl,
+                              *, C: int, Kv: int, n: int, Nn: int,
+                              maxT: int, descending: bool, score_mode: bool,
+                              use_pallas: bool, cap: int = NEEDLE_CAP,
+                              nonoverlap: bool = False):
+    """Batched dense-driver fused verified search: B queries, each with its
+    OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
+    needle_lens: (B, Nn); idf: (B, Nn) f32.
+    -> (pre (B,), counts (B,), ids (B, n), scores (B, n)).
 
+    The dense AND result words are compacted to the first C matching ids
+    (ascending); pre > C means the extraction clipped and the caller must
+    fall back (its verified count would be under-reported)."""
     if use_pallas:
         _, res = dense_query_pallas(bitmaps, rows, deleted)
     else:
         _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
                              has_not=False, has_extra=False)
-    cand, _ = _topn_hierarchical(res, C, False)  # (B, C) ascending, -1 pad
+    cand, pre = _topn_hierarchical(res, C, False)  # (B, C) asc, -1 pad
 
-    def one(cand_row, ndl_set, nlen_set):
-        alive = cand_row >= 0
-        if codepoints.ndim == 2:
-            text, doc_len = _gather_text_padded(codepoints, lengths,
-                                                cand_row, maxT)
-        else:
-            text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
-                                              cand_row, maxT)
-        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    def one(cand_row, ndl_set, nlen_set, idf_row):
+        sel = jnp.where(cand_row >= 0, cand_row, SENTINEL)
+        sel = sel[:Kv] if Kv < C else sel
+        return _verify_topn(
+            sel, codepoints, offsets, lengths, ndl_set, nlen_set,
+            idf_row, k1, b, avgdl, Kv=min(Kv, C), n=n, Nn=Nn, maxT=maxT,
+            cap=cap, descending=descending, score_mode=score_mode,
+            nonoverlap=nonoverlap)
 
-        def one_needle(j, acc):
-            ndl = ndl_set[j]
-            nlen = nlen_set[j]
-
-            def step(k, m):
-                window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
-                cmp = jnp.logical_or(k >= nlen, window == ndl[k])
-                return jnp.logical_and(m, cmp)
-
-            match_at = jax.lax.fori_loop(
-                0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
-            in_range = starts + nlen <= doc_len[:, None]
-            contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
-            contains = jnp.logical_or(contains, nlen == 0)
-            return jnp.logical_and(acc, contains)
-
-        mask = jax.lax.fori_loop(0, Nn, one_needle,
-                                 jnp.ones((C,), dtype=jnp.bool_))
-        mask = jnp.logical_and(mask, alive)
-        count = jnp.sum(mask.astype(jnp.int32))
-        safe = jnp.where(alive, cand_row, jnp.int32(2 ** 31 - 1))
-        _, ids_out = mask_to_topn(safe, mask, n, descending)
-        return count, ids_out
-
-    return jax.vmap(one)(cand, needles, needle_lens)
+    count, ids, scores = jax.vmap(one)(cand, needles, needle_lens, idf)
+    return pre, count, ids, scores
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "C", "Cmax", "n", "Nn", "maxT", "descending", "n_words", "cap"))
+    "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
+    "n_words", "cap", "nonoverlap", "use_dense_probes",
+    "check_tombstones"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
                                      dn_rows, dn_inv,
                                      codepoints, offsets, lengths,
                                      needles, needle_lens,
-                                     *, C: int, Cmax: int, n: int, Nn: int,
-                                     maxT: int, descending: bool,
-                                     n_words: int, cap: int):
+                                     idf, k1, b, avgdl,
+                                     *, C: int, Cmax: int, Kv: int, n: int,
+                                     Nn: int, maxT: int, descending: bool,
+                                     score_mode: bool, n_words: int,
+                                     cap: int, nonoverlap: bool = False,
+                                     use_dense_probes: bool = True,
+                                     check_tombstones: bool = True):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
-    queries whose rarest gram is sparse), probed by the other grams, then
-    window-verified, counted, top-n'd — ONE dispatch. At Wikipedia scale
-    this is THE north-star query shape (CJK bigram + verify_text: the
-    rarest kanji unigram is almost always in the sparse tail)."""
+    queries whose rarest gram is sparse), probed by the other grams,
+    compacted to the first Kv survivors, window-verified, counted,
+    top-n'd (or BM25-scored) — ONE dispatch. At Wikipedia scale this is
+    THE north-star query shape (CJK + verify_text: the rarest kanji
+    unigram is almost always in the sparse tail).
+
+    -> (pre (B,), counts (B,), ids (B, n), scores (B, n)); pre > Kv means
+    the compaction clipped and that query must take the exact path."""
     from .bitmap_ops import bit_member
-    from .posting_ops import (SENTINEL, bitmap_membership, gather_slices,
-                              mask_to_topn, membership_sorted)
+    from .posting_ops import (bitmap_membership, gather_slices,
+                              membership_sorted)
 
-    compare_all = C * Cmax <= (1 << 26)
+    # broadcast equality only for small probe matrices: at C*Cmax ~ 2^26
+    # the compare pass alone costs ~60 ms/batch on the VPU, while the
+    # blocked membership probe stays ~28 ms and scales better
+    compare_all = C * Cmax <= (1 << 24)
+    B, Ks = sp_off.shape
+    # PROBELESS fast path: when the driver slice already fits the verify
+    # width and the needles cover every query gram, the window verify
+    # subsumes ALL gram membership probes (text contains term => text
+    # contains each gram) — no sparse membership (~70 ms/batch of block
+    # gathers), no dense bitmap probe, no compaction. This is the common
+    # CJK + verify_text serving shape (rare-gram driver df <= Kv).
+    probeless = (not use_dense_probes) and C <= Kv
+    # batch-level slice gathers: the Pallas DMA fast path runs outside
+    # the vmap (per-lane gathers lower to serial element gathers —
+    # measured 280 ms vs ~1 ms for a 64-query probe batch)
+    cands_all = gather_slices(postings, d_off, d_len, C)
+    if probeless:
+        sp_all = jnp.zeros((B, 1, 1), dtype=jnp.int32)
+    else:
+        sp_all = gather_slices(postings, sp_off.reshape(B * Ks),
+                               sp_len.reshape(B * Ks), Cmax
+                               ).reshape(B, Ks, Cmax)
+    # tombstones are zero in the steady state (compaction folds them in);
+    # the host wrapper switches check_tombstones off when none are set,
+    # saving a (B, C) element gather into the deleted bitmap
+    check_tomb = check_tombstones
 
-    def one(doff, dlen, soff, slen, sinv, drows, dinv, ndl_set, nlen_set):
-        cands = gather_slices(postings, doff[None], dlen[None], C)[0]
+    def one(cands, sp, sinv, drows, dinv, ndl_set, nlen_set, idf_row):
         cmask = cands != SENTINEL
         clip = jnp.clip(cands, 0, n_words * 32 - 1)
-        sp = gather_slices(postings, soff, slen, Cmax)
-        if compare_all:
-            # probe by fused broadcast equality (vectorizes on the VPU;
-            # binary-search gathers measured ~5x slower at these shapes)
-            spm = jax.vmap(lambda row: jnp.any(
-                row[None, :] == cands[:, None], axis=1))(sp)
+        mask = cmask
+        if check_tomb:
+            mask = mask & jnp.logical_not(bit_member(deleted, clip))
+        if not probeless:
+            if compare_all:
+                # probe by fused broadcast equality (vectorizes on the
+                # VPU; binary-search gathers measured ~5x slower)
+                spm = jax.vmap(lambda row: jnp.any(
+                    row[None, :] == cands[:, None], axis=1))(sp)
+            else:
+                spm = membership_sorted(sp, cands)
+            spm = jnp.logical_xor(spm, sinv[:, None])
+            mask = mask & jnp.all(spm, axis=0)
+            if use_dense_probes:
+                dnm = jnp.logical_xor(
+                    bitmap_membership(bitmaps, drows, clip),
+                    dinv[:, None])
+                mask = mask & jnp.all(dnm, axis=0)
+        if probeless and Kv == C:
+            # driver slice IS the candidate vector: pre <= Kv always
+            sel = jnp.where(mask, cands, SENTINEL)
+            pre = jnp.sum(mask.astype(jnp.int32))
         else:
-            spm = membership_sorted(sp, cands)
-        spm = jnp.logical_xor(spm, sinv[:, None])
-        dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
-                              dinv[:, None])
-        alive = jnp.logical_not(bit_member(deleted, clip))
-        mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0) & alive)
+            sel, pre = compact_first_k(cands, mask, Kv)
+        count, ids_out, scores = _verify_topn(
+            sel, codepoints, offsets, lengths, ndl_set, nlen_set,
+            idf_row, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
+            descending=descending, score_mode=score_mode,
+            nonoverlap=nonoverlap)
+        return pre, count, ids_out, scores
 
-        # window verify over the candidate slice
-        safe_ids = jnp.where(cmask, cands, 0)
-        if codepoints.ndim == 2:
-            text, doc_len = _gather_text_padded(codepoints, lengths,
-                                                safe_ids, maxT)
-        else:
-            text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
-                                              safe_ids, maxT)
-        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    return jax.vmap(one)(cands_all, sp_all, sp_inv,
+                         dn_rows, dn_inv, needles, needle_lens, idf)
 
-        def one_needle(j, acc):
-            ndl = ndl_set[j]
-            nlen = nlen_set[j]
 
-            def step(k, m):
-                window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
-                cmp = jnp.logical_or(k >= nlen, window == ndl[k])
-                return jnp.logical_and(m, cmp)
-
-            match_at = jax.lax.fori_loop(
-                0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
-            in_range = starts + nlen <= doc_len[:, None]
-            contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
-            contains = jnp.logical_or(contains, nlen == 0)
-            return jnp.logical_and(acc, contains)
-
-        vmask = jax.lax.fori_loop(0, Nn, one_needle,
-                                  jnp.ones((C,), dtype=jnp.bool_))
-        mask = jnp.logical_and(mask, vmask)
-        count = jnp.sum(mask.astype(jnp.int32))
-        _, ids_out = mask_to_topn(cands, mask, n, descending)
-        return count, ids_out
-
-    return jax.vmap(one)(d_off, d_len, sp_off, sp_len, sp_inv,
-                         dn_rows, dn_inv, needles, needle_lens)
+def _zero_idf(B, Nn):
+    import numpy as np
+    return np.zeros((B, Nn), dtype=np.float32)
 
 
 def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
@@ -246,71 +227,78 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                     dn_rows, dn_inv, text_store,
                                     C: int, Cmax: int, n: int,
                                     needles, needle_lens, n_words: int,
-                                    descending: bool = True):
-    """numpy wrapper; see _sparse_search_verify_topn_batch."""
+                                    descending: bool = True,
+                                    Kv: int = 0, maxT: int = 0,
+                                    idf=None, k1: float = 1.2,
+                                    b: float = 0.75, avgdl: float = 1.0,
+                                    score_mode: bool = False,
+                                    nonoverlap: bool = False,
+                                    use_dense_probes: bool = True,
+                                    check_tombstones: bool = True):
+    """numpy wrapper; see _sparse_search_verify_topn_batch.
+
+    -> (pre, count, ids[, scores if score_mode]). Entries with
+    pre > Kv clipped compaction: their count/ids are invalid and the
+    caller must re-run those queries on the exact path."""
     import numpy as np
 
+    Kv = Kv or min(C, 4096)
+    maxT = maxT or text_store.maxT
+    B = d_off.shape[0] if hasattr(d_off, "shape") else len(d_off)
+    if idf is None:
+        idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
-    count, ids = _sparse_search_verify_topn_batch(
+    pre, count, ids, scores = _sparse_search_verify_topn_batch(
         postings, bitmaps, deleted,
         jnp.asarray(d_off), jnp.asarray(d_len),
         jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
         jnp.asarray(dn_rows), jnp.asarray(dn_inv),
         text_store.codepoints, text_store.offsets, text_store.lengths,
         jnp.asarray(needles), jnp.asarray(needle_lens),
-        C=C, Cmax=Cmax, n=n, Nn=needles.shape[1], maxT=text_store.maxT,
-        descending=descending, n_words=n_words,
-        cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)))
-    return np.asarray(count), np.asarray(ids)
+        jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
+        jnp.float32(b), jnp.float32(avgdl),
+        C=C, Cmax=Cmax, Kv=Kv, n=n, Nn=needles.shape[1], maxT=maxT,
+        descending=descending, score_mode=score_mode, n_words=n_words,
+        cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
+        nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
+        check_tombstones=check_tombstones)
+    if score_mode:
+        return (np.asarray(pre), np.asarray(count), np.asarray(ids),
+                np.asarray(scores))
+    return np.asarray(pre), np.asarray(count), np.asarray(ids)
 
 
 def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                              text_store, cand_bucket: int, n: int,
-                             needles, needle_lens, descending: bool = True):
-    """One-dispatch batched verified search (see _search_verify_topn_batch).
-    Returns numpy (counts, ids)."""
+                             needles, needle_lens, descending: bool = True,
+                             maxT: int = 0, idf=None, k1: float = 1.2,
+                             b: float = 0.75, avgdl: float = 1.0,
+                             score_mode: bool = False,
+                             nonoverlap: bool = False):
+    """One-dispatch batched dense-driver verified search.
+    Returns numpy (pre, counts, ids[, scores]); pre > cand_bucket means
+    the extraction clipped (caller falls back for that query)."""
     import numpy as np
 
     use_pallas = (_single_device(bitmaps) and runtime.use_pallas()
                   and bitmaps.shape[1] % PBLOCK == 0)
-    runtime.dispatches.bump()
-    count, ids = _search_verify_topn_batch(
-        bitmaps, rows, nrows, deleted, extra,
-        text_store.codepoints, text_store.offsets, text_store.lengths,
-        jnp.asarray(needles), jnp.asarray(needle_lens),
-        C=cand_bucket, n=n, Nn=needles.shape[1], maxT=text_store.maxT,
-        descending=descending, use_pallas=use_pallas,
-        cap=needle_cap_bucket(int(np.max(needle_lens))
-                              if np.max(needle_lens) > 0 else 1))
-    return np.asarray(count), np.asarray(ids)
-
-
-def search_verify_score_topn(bitmaps, rows, nrows, deleted, extra,
-                             text_store, cand_bucket: int, n: int,
-                             needles, needle_lens, idf=None,
-                             k1: float = 1.2, b: float = 0.75,
-                             avgdl: float = 1.0, descending: bool = True,
-                             score_mode: bool = False):
-    """One-dispatch verified search over a DeviceTextStore. needles /
-    needle_lens: packed (Nn, CAP) uint32 / (Nn,) int32."""
-    import numpy as np
-
-    use_pallas = (_single_device(bitmaps) and runtime.use_pallas()
-                  and bitmaps.shape[1] % PBLOCK == 0)
-    Nn = needles.shape[0]
+    maxT = maxT or text_store.maxT
+    B = rows.shape[0] if hasattr(rows, "shape") else len(rows)
     if idf is None:
-        idf = jnp.zeros((Nn,), dtype=jnp.float32)
+        idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
-    import numpy as _np
-    count, ids, scores = _search_verify_score_topn(
+    pre, count, ids, scores = _search_verify_topn_batch(
         bitmaps, rows, nrows, deleted, extra,
         text_store.codepoints, text_store.offsets, text_store.lengths,
         jnp.asarray(needles), jnp.asarray(needle_lens),
         jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
         jnp.float32(b), jnp.float32(avgdl),
-        C=cand_bucket, n=n, Nn=Nn, maxT=text_store.maxT,
-        descending=descending, score_mode=score_mode,
-        use_pallas=use_pallas,
-        cap=needle_cap_bucket(int(_np.max(needle_lens))
-                              if int(_np.max(needle_lens)) > 0 else 1))
-    return int(count), np.asarray(ids), np.asarray(scores)
+        C=cand_bucket, Kv=cand_bucket, n=n, Nn=needles.shape[1], maxT=maxT,
+        descending=descending, score_mode=score_mode, use_pallas=use_pallas,
+        cap=needle_cap_bucket(int(np.max(needle_lens))
+                              if np.max(needle_lens) > 0 else 1),
+        nonoverlap=nonoverlap)
+    if score_mode:
+        return (np.asarray(pre), np.asarray(count), np.asarray(ids),
+                np.asarray(scores))
+    return np.asarray(pre), np.asarray(count), np.asarray(ids)

@@ -3,14 +3,31 @@
 The reference's verify_text post-filter scans candidate documents' stored
 normalized text for every query term (search_pipeline.h:159-190) — a
 host hot loop. Here the normalized corpus lives in HBM as one flat
-code-point array (+ per-doc offset/length), and verification is a fused
-window-compare kernel:
+code-point array (+ per-doc offset/length) or a padded (N, maxT) matrix,
+and verification is a fused window-compare kernel:
 
     match_at(i) = AND_k ( k >= needle_len  OR  text[i+k] == needle[k] )
     contains    = OR_i ( match_at(i) AND i + needle_len <= doc_len )
 
 evaluated for every candidate x needle in one dispatch — O(C * maxT * L)
 vectorized compares on the VPU instead of per-doc Python/C host scans.
+
+Kernel shape notes (the round-3 rewrite; measured on the 1.1M-doc bench):
+
+- The window loop is STATICALLY UNROLLED over the needle-cap bucket with
+  static column slices ``text[:, k:k+maxT]``.  The previous
+  ``fori_loop`` + ``dynamic_slice`` form forced XLA to materialize a full
+  (C, maxT) window copy per step — cap x Nn times the memory traffic.
+  Static slices fuse into ONE elementwise pass over the text tile.
+- Compares run in the pack's native dtype (uint16 for BMP corpora —
+  halves both HBM gather bytes and VPU compare work). Needle code points
+  that don't fit the narrow dtype are mapped to the padding sentinel,
+  which can never match an in-range text cell, so a non-BMP needle
+  correctly fails device-side (non-BMP documents are host-verified).
+- ``maxT`` may be SMALLER than the padded matrix row width: the gather
+  slices columns, so callers that know a candidate-length bound (e.g.
+  the max doc length over a sparse driver term's postings) pay
+  O(C * bound) instead of O(C * global_p99).
 """
 
 from __future__ import annotations
@@ -33,40 +50,145 @@ def needle_cap_bucket(max_len: int) -> int:
     return NEEDLE_CAP
 
 
-def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT):
-    """(C, maxT+CAP) text window via element gather from the flat pack.
+def _sentinel_of(dtype) -> int:
+    return 0xFFFF if dtype == jnp.uint16 else 0xFFFFFFFF
 
-    The pack may be uint16 (BMP-only corpora — halves HBM bytes; the
-    store routes non-BMP docs to the host path). Comparison happens in
-    uint32: XLA fuses the post-gather convert into the gather, so only
-    the HBM read is narrow.
-    """
+
+def _cast_needles(needles: jax.Array, dtype):
+    """needles (Nn, CAP) uint32 -> text dtype. Code points that don't fit
+    the narrow dtype become the padding sentinel — which never equals an
+    in-range text cell (in-range cells are real sub-sentinel text), so the
+    compare correctly never matches."""
+    if dtype == jnp.uint16:
+        sent = jnp.uint32(0xFFFF)
+        return jnp.minimum(needles, sent).astype(jnp.uint16)
+    return needles.astype(jnp.uint32)
+
+
+def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
+                      cap=NEEDLE_CAP):
+    """(C, maxT+cap) text window via element gather from the flat pack,
+    in the pack's native dtype (uint16 for BMP-only corpora)."""
     ids = jnp.maximum(cand_ids, 0)
     off = offsets[ids]
     doc_len = lengths[ids]
-    pos = jnp.arange(maxT + NEEDLE_CAP, dtype=jnp.int32)[None, :]
+    sent = _sentinel_of(codepoints.dtype)
+    pos = jnp.arange(maxT + cap, dtype=jnp.int32)[None, :]
     idx = off[:, None] + pos
     valid = pos < doc_len[:, None]
     idx = jnp.where(valid, idx, 0)
     idx = jnp.minimum(idx, codepoints.shape[0] - 1)
-    text = codepoints[idx].astype(jnp.uint32)
-    text = jnp.where(valid, text, jnp.uint32(0xFFFFFFFF))
+    text = codepoints[idx]
+    text = jnp.where(valid, text, jnp.asarray(sent, dtype=codepoints.dtype))
     return text, doc_len
 
 
-def _gather_text_padded(padded, lengths, cand_ids, maxT):
-    """(C, maxT+CAP) text window via ROW gather from a (N, maxT) padded
-    matrix — contiguous DMA rows instead of C*maxT random element gathers
-    (order-of-magnitude faster on TPU for large candidate sets). The
-    matrix may be uint16 (see _gather_text_flat)."""
+def _gather_text_padded(padded, lengths, cand_ids, maxT, cap=NEEDLE_CAP):
+    """(C, maxT+cap) text window via ROW gather from a (N, rowT) padded
+    matrix — contiguous DMA rows instead of C*maxT random element gathers.
+    maxT may be < rowT: the gather slices columns (callers guarantee every
+    candidate's length <= maxT). Native dtype (see _gather_text_flat).
+
+    doc_len is recovered from the row's sentinel fill (the pad builder
+    writes sentinel at every pos >= length, and the sentinel code point
+    can never appear in packed text) — a (C,) element gather of lengths
+    costs ~10 ms per 256k candidates on TPU; the row scan is VPU-free."""
     ids = jnp.maximum(cand_ids, 0)
-    doc_len = lengths[ids]
-    rows = padded[ids].astype(jnp.uint32)  # (C, maxT)
-    pos = jnp.arange(maxT, dtype=jnp.int32)[None, :]
-    valid = pos < doc_len[:, None]
-    rows = jnp.where(valid, rows, jnp.uint32(0xFFFFFFFF))
-    pad = jnp.full((rows.shape[0], NEEDLE_CAP), 0xFFFFFFFF, dtype=jnp.uint32)
+    sent = jnp.asarray(_sentinel_of(padded.dtype), dtype=padded.dtype)
+    rows = padded[ids, :maxT] if maxT < padded.shape[1] else padded[ids]
+    doc_len = jnp.sum((rows != sent).astype(jnp.int32), axis=1)
+    pad = jnp.full((rows.shape[0], cap), sent, dtype=padded.dtype)
     return jnp.concatenate([rows, pad], axis=1), doc_len
+
+
+def gather_text(codepoints, offsets, lengths, cand_ids, maxT,
+                cap=NEEDLE_CAP):
+    """Dispatch on pack layout: (N, rowT) padded matrix -> row gather;
+    (P,) flat pack -> element gather."""
+    if codepoints.ndim == 2:
+        return _gather_text_padded(codepoints, lengths, cand_ids, maxT, cap)
+    return _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
+                             cap)
+
+
+def _match_at(text, ndl, nlen, maxT: int, cap: int):
+    """match_at (C, maxT) bool for ONE needle. text (C, maxT+cap) native
+    dtype; ndl (cap,) same dtype; nlen traced scalar. Statically unrolled:
+    XLA fuses the cap shifted compares into one pass over the text tile."""
+    m = None
+    for k in range(cap):
+        cmp = jnp.logical_or(k >= nlen, text[:, k:k + maxT] == ndl[k])
+        m = cmp if m is None else jnp.logical_and(m, cmp)
+    return m
+
+
+def contains_all(text, doc_len, needles, needle_lens, maxT: int, Nn: int,
+                 cap: int):
+    """(C,) bool: text contains EVERY (non-empty) needle. needles (Nn, CAP)
+    uint32 (cast to the text dtype internally); needle_lens (Nn,) int32."""
+    ndl = _cast_needles(needles, text.dtype)
+    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    acc = None
+    for j in range(Nn):
+        nlen = needle_lens[j]
+        m = _match_at(text, ndl[j], nlen, maxT, cap)
+        in_range = starts + nlen <= doc_len[:, None]
+        contains = jnp.any(jnp.logical_and(m, in_range), axis=1)
+        contains = jnp.logical_or(contains, nlen == 0)
+        acc = contains if acc is None else jnp.logical_and(acc, contains)
+    return acc
+
+
+def tf_matrix(text, doc_len, needles, needle_lens, maxT: int, Nn: int,
+              cap: int):
+    """(C, Nn) int32 all-positions match counts (== the reference's
+    non-overlapping count for needles with no proper border)."""
+    ndl = _cast_needles(needles, text.dtype)
+    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    cols = []
+    for j in range(Nn):
+        nlen = needle_lens[j]
+        m = _match_at(text, ndl[j], nlen, maxT, cap)
+        in_range = starts + nlen <= doc_len[:, None]
+        count = jnp.sum(jnp.logical_and(m, in_range).astype(jnp.int32),
+                        axis=1)
+        cols.append(jnp.where(nlen == 0, 0, count))
+    return jnp.stack(cols, axis=1)
+
+
+def tf_matrix_nonoverlap(text, doc_len, needles, needle_lens, maxT: int,
+                         Nn: int, cap: int):
+    """(C, Nn) int32 NON-OVERLAPPING (leftmost-greedy) match counts — the
+    reference's CountTermOccurrences semantics (bm25_scorer.h:36-40) for
+    needles with a proper border (e.g. "aa" in "aaaa" -> 2, not 3).
+
+    A lax.scan walks match positions left-to-right with a per-candidate
+    next-free cursor; each step is a tiny vectorized op over (C,), so this
+    is maxT sequential VPU steps — only used when a query term actually
+    self-overlaps (rare), replacing the much slower host fallback."""
+    ndl = _cast_needles(needles, text.dtype)
+    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    cols = []
+    for j in range(Nn):
+        nlen = needle_lens[j]
+        m = _match_at(text, ndl[j], nlen, maxT, cap)
+        in_range = starts + nlen <= doc_len[:, None]
+        hits = jnp.logical_and(m, in_range)  # (C, maxT)
+
+        def step(carry, inp):
+            nextf, cnt = carry
+            pos, col = inp
+            take = jnp.logical_and(col, pos >= nextf)
+            cnt = cnt + take.astype(jnp.int32)
+            nextf = jnp.where(take, pos + nlen, nextf)
+            return (nextf, cnt), None
+
+        C = hits.shape[0]
+        init = (jnp.zeros((C,), jnp.int32), jnp.zeros((C,), jnp.int32))
+        pos_arr = jnp.arange(maxT, dtype=jnp.int32)
+        (_, count), _ = jax.lax.scan(step, init, (pos_arr, hits.T))
+        cols.append(jnp.where(nlen == 0, 0, count))
+    return jnp.stack(cols, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
@@ -77,91 +199,82 @@ def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
                             cap: int = NEEDLE_CAP) -> jax.Array:
     """-> (C,) bool: candidate text contains ALL needles.
 
-    codepoints: (P,) uint32 packed corpus OR (N, maxT) padded text matrix
-    (row-gather fast path); offsets/lengths: (N,) int32 indexed by doc id;
-    cand_ids: (C,) int32 (pad with -1); needles: (Nn, NEEDLE_CAP) uint32
-    (0 padded); needle_lens: (Nn,) int32 (0 len = vacuously true row).
+    codepoints: (P,) packed corpus OR (N, rowT) padded text matrix
+    (row-gather fast path), uint16 or uint32; offsets/lengths: (N,) int32
+    indexed by doc id; cand_ids: (C,) int32 (pad with -1); needles:
+    (Nn, NEEDLE_CAP) uint32 (0 padded); needle_lens: (Nn,) int32
+    (0 len = vacuously true row).
     """
-    if codepoints.ndim == 2:
-        text, doc_len = _gather_text_padded(codepoints, lengths, cand_ids,
-                                            maxT)
-    else:
-        text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
-                                          cand_ids, maxT)
-
-    def one_needle(n, acc):
-        ndl = needles[n]
-        nlen = needle_lens[n]
-
-        def step(k, m):
-            window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
-            cmp = jnp.logical_or(k >= nlen, window == ndl[k])
-            return jnp.logical_and(m, cmp)
-
-        match_at = jax.lax.fori_loop(
-            0, cap, step,
-            jnp.ones((C, maxT), dtype=jnp.bool_))
-        starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
-        in_range = starts + nlen <= doc_len[:, None]
-        contains = jnp.any(jnp.logical_and(match_at, in_range), axis=1)
-        contains = jnp.logical_or(contains, nlen == 0)
-        return jnp.logical_and(acc, contains)
-
-    mask = jax.lax.fori_loop(0, Nn, one_needle,
-                             jnp.ones((C,), dtype=jnp.bool_))
+    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
+                                maxT, cap)
+    mask = contains_all(text, doc_len, needles, needle_lens, maxT, Nn, cap)
     return jnp.logical_and(mask, cand_ids >= 0)
 
 
 @functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
+def substring_masks_device(codepoints: jax.Array, offsets: jax.Array,
+                           lengths: jax.Array, cand_ids: jax.Array,
+                           needles: jax.Array, needle_lens: jax.Array,
+                           *, C: int, maxT: int, Nn: int,
+                           cap: int = NEEDLE_CAP) -> jax.Array:
+    """-> (C, Nn) bool: per-needle contains columns (the boolean-AST
+    exact-text post-filter evaluates the tree over these with numpy
+    algebra instead of a per-doc Python loop)."""
+    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
+                                maxT, cap)
+    ndl = _cast_needles(needles, text.dtype)
+    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    cols = []
+    for j in range(Nn):
+        nlen = needle_lens[j]
+        m = _match_at(text, ndl[j], nlen, maxT, cap)
+        in_range = starts + nlen <= doc_len[:, None]
+        contains = jnp.any(jnp.logical_and(m, in_range), axis=1)
+        cols.append(jnp.logical_or(contains, nlen == 0))
+    masks = jnp.stack(cols, axis=1)
+    return jnp.logical_and(masks, (cand_ids >= 0)[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap",
+                                             "nonoverlap"))
 def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
                              lengths: jax.Array, cand_ids: jax.Array,
                              needles: jax.Array, needle_lens: jax.Array,
                              *, C: int, maxT: int, Nn: int,
-                             cap: int = NEEDLE_CAP):
+                             cap: int = NEEDLE_CAP,
+                             nonoverlap: bool = False):
     """BM25 TF on device: -> (tf (C, Nn) int32, doc_len (C,) int32).
 
-    Counts ALL match positions, which equals the reference's
-    non-overlapping count for needles with no proper border (callers route
-    self-overlapping needles — rare — to the host path).
+    nonoverlap=False counts ALL match positions (== the reference's
+    non-overlapping count for borderless needles); nonoverlap=True runs
+    the exact leftmost-greedy scan (self-overlapping query terms).
     """
-    if codepoints.ndim == 2:
-        text, doc_len = _gather_text_padded(codepoints, lengths, cand_ids,
-                                            maxT)
-    else:
-        text, doc_len = _gather_text_flat(codepoints, offsets, lengths,
-                                          cand_ids, maxT)
-    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
-
-    def one_needle(n, tf):
-        ndl = needles[n]
-        nlen = needle_lens[n]
-
-        def step(k, m):
-            window = jax.lax.dynamic_slice_in_dim(text, k, maxT, axis=1)
-            cmp = jnp.logical_or(k >= nlen, window == ndl[k])
-            return jnp.logical_and(m, cmp)
-
-        match_at = jax.lax.fori_loop(
-            0, cap, step, jnp.ones((C, maxT), dtype=jnp.bool_))
-        in_range = starts + nlen <= doc_len[:, None]
-        count = jnp.sum(jnp.logical_and(match_at, in_range
-                                        ).astype(jnp.int32), axis=1)
-        count = jnp.where(nlen == 0, 0, count)
-        return tf.at[:, n].set(count)
-
-    tf = jax.lax.fori_loop(0, Nn, one_needle,
-                           jnp.zeros((C, Nn), dtype=jnp.int32))
+    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
+                                maxT, cap)
+    fn = tf_matrix_nonoverlap if nonoverlap else tf_matrix
+    tf = fn(text, doc_len, needles, needle_lens, maxT, Nn, cap)
     alive = (cand_ids >= 0)[:, None]
     return jnp.where(alive, tf, 0), jnp.where(cand_ids >= 0, doc_len, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "n", "cap"))
+def bm25_scores(tf, doc_len, idf, k1, b, avgdl):
+    """(C,) float32 BM25 from a TF matrix (reference bm25_scorer.h:41)."""
+    tff = tf.astype(jnp.float32)
+    norm = k1 * (1.0 - b + b * doc_len.astype(jnp.float32)[:, None] /
+                 jnp.maximum(avgdl, 1e-9))
+    return jnp.sum(idf[None, :] * tff * (k1 + 1.0) /
+                   jnp.maximum(tff + norm, 1e-9), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "n", "cap",
+                                             "nonoverlap"))
 def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
                      lengths: jax.Array, cand_ids: jax.Array,
                      needles: jax.Array, needle_lens: jax.Array,
                      idf: jax.Array, k1: jax.Array, b: jax.Array,
                      avgdl: jax.Array, *, C: int, maxT: int, Nn: int,
-                     n: int, cap: int = NEEDLE_CAP):
+                     n: int, cap: int = NEEDLE_CAP,
+                     nonoverlap: bool = False):
     """Fused BM25: TF count -> score -> top-n, ONE dispatch. Only the top
     n (score, id) pairs cross to the host — replacing the
     materialize-all-ids + host-sort path for ``SORT _score`` queries
@@ -173,12 +286,8 @@ def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
     """
     tf, dl = count_occurrences_device(
         codepoints, offsets, lengths, cand_ids, needles, needle_lens,
-        C=C, maxT=maxT, Nn=Nn, cap=cap)
-    tff = tf.astype(jnp.float32)
-    norm = k1 * (1.0 - b + b * dl.astype(jnp.float32)[:, None] /
-                 jnp.maximum(avgdl, 1e-9))
-    score = jnp.sum(idf[None, :] * tff * (k1 + 1.0) /
-                    jnp.maximum(tff + norm, 1e-9), axis=1)
+        C=C, maxT=maxT, Nn=Nn, cap=cap, nonoverlap=nonoverlap)
+    score = bm25_scores(tf, dl, idf, k1, b, avgdl)
     score = jnp.where(cand_ids >= 0, score, -jnp.inf)
     # two-key sort: score desc, doc id desc
     neg_score = -score

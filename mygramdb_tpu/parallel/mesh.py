@@ -100,6 +100,105 @@ def sharded_query_step(mesh: Mesh, n: int = 128, descending: bool = True,
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_sparse_program(mesh_id: int, C: int, Cmax: int, limit_b: int,
+                            descending: bool, shard_docs: int,
+                            words_local: int):
+    """Compiled shard_map sparse candidate-probe step (cached per shape).
+    mesh_id keys the cache to a specific Mesh object (see
+    sharded_sparse_query)."""
+    mesh = _MESH_BY_ID[mesh_id]
+    from jax import shard_map
+    from ..ops.posting_ops import (SENTINEL, bitmap_membership,
+                                   gather_slices, mask_to_topn,
+                                   membership_sorted)
+    from ..ops.bitmap_ops import bit_member
+
+    def step(post_sh, bitmaps, deleted, d_off, d_len, sp_off, sp_len,
+             sp_inv, dn_rows, dn_inv):
+        def body(post_l, bm_l, dl_l, doff, dlen, soff, slen, sinv,
+                 drows, dinv):
+            post = post_l[0]           # (Pmax,) shard-local postings
+            shard = jax.lax.axis_index("docs").astype(jnp.int32)
+            B = doff.shape[0]
+            Ks = soff.shape[1]
+            cands_all = gather_slices(post, doff[:, 0], dlen[:, 0], C)
+            sp_all = gather_slices(
+                post, soff[:, :, 0].reshape(B * Ks),
+                slen[:, :, 0].reshape(B * Ks), Cmax).reshape(B, Ks, Cmax)
+
+            def one(cands, dl_q, sp, si_, dr_, di_):
+                cmask = cands != SENTINEL
+                clip = jnp.clip(cands, 0, words_local * 32 - 1)
+                spm = jnp.logical_xor(membership_sorted(sp, cands),
+                                      si_[:, None])
+                dnm = jnp.logical_xor(
+                    bitmap_membership(bm_l, dr_, clip), di_[:, None])
+                alive = jnp.logical_not(bit_member(dl_l, clip))
+                mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0)
+                        & alive)
+                count_l = jnp.sum(mask.astype(jnp.int32))
+                _, ids_l = mask_to_topn(cands, mask, limit_b, descending)
+                ids_g = jnp.where(ids_l >= 0,
+                                  ids_l + shard * shard_docs, -1)
+                return count_l, ids_g
+
+            count_l, ids_l = jax.vmap(one)(
+                cands_all, dlen[:, 0], sp_all,
+                sinv[:, :, 0], drows, dinv)
+            count = jax.lax.psum(count_l, "docs")
+            gathered = jax.lax.all_gather(ids_l, "docs")  # (S, B, n)
+            S = gathered.shape[0]
+            B = ids_l.shape[0]
+            cat = jnp.swapaxes(gathered, 0, 1).reshape(B, S * limit_b)
+            if descending:
+                vals, _ = jax.lax.top_k(cat, limit_b)
+                ids = jnp.where(vals >= 0, vals, -1)
+            else:
+                keys = jnp.where(cat >= 0, -cat,
+                                 jnp.int32(-(2 ** 31) + 1))
+                vals, _ = jax.lax.top_k(keys, limit_b)
+                ids = jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+            return count, ids
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P("docs", None), P(None, "docs"), P("docs"),
+                      P(None, "docs"), P(None, "docs"),
+                      P(None, None, "docs"), P(None, None, "docs"),
+                      P(None, None, "docs"), P(None), P(None)),
+            out_specs=(P(None), P(None, None)),
+            check_vma=False)(post_sh, bitmaps, deleted, d_off, d_len,
+                             sp_off, sp_len, sp_inv, dn_rows, dn_inv)
+
+    return jax.jit(step)
+
+
+_MESH_BY_ID = {}
+
+
+def sharded_sparse_query(mesh: Mesh, post_sh, bitmaps, deleted,
+                         d_off, d_len, sp_off, sp_len, sp_inv,
+                         dn_rows, dn_inv, *, C: int, Cmax: int,
+                         limit_b: int, descending: bool, shard_docs: int,
+                         words_local: int):
+    """Batched sparse candidate-probe over the doc-sharded CSR.
+
+    Per-query driver/probe slices are PER SHARD: d_off/d_len (B, S);
+    sp_off/sp_len/sp_inv (B, Ks, S) — built from DeviceIndex.offsets_sh /
+    lengths_sh. Each shard probes only its local postings + bitmap block;
+    counts meet in a psum and per-shard top-n ids merge over an
+    all_gather (limit_b ids per shard, never the slices)."""
+    _MESH_BY_ID[id(mesh)] = mesh
+    fn = _sharded_sparse_program(id(mesh), C, Cmax, limit_b, descending,
+                                 shard_docs, words_local)
+    return fn(post_sh, bitmaps, deleted,
+              jnp.asarray(d_off), jnp.asarray(d_len),
+              jnp.asarray(sp_off), jnp.asarray(sp_len),
+              jnp.asarray(sp_inv), jnp.asarray(dn_rows),
+              jnp.asarray(dn_inv))
+
+
 def sharded_update_step(mesh: Mesh, shard_words: int):
     """Build the jitted multi-chip delta-apply step (index mutation).
 

@@ -116,6 +116,53 @@ class QueryNode:
             return any(c.matches_text(contains) for c in self.children)
         return not self.children[0].matches_text(contains)
 
+    def evaluate_masks(self, get_mask: Callable[[str], np.ndarray]
+                       ) -> np.ndarray:
+        """Vectorized matches_text over a candidate batch: get_mask(term)
+        returns a (C,) bool contains-column (device verify kernel output);
+        the AST evaluates with numpy boolean algebra instead of a per-doc
+        Python loop (the boolean exact-text post-filter at 1M+ docs)."""
+        if self.type == NodeType.TERM:
+            return get_mask(self.term)
+        if self.type == NodeType.AND:
+            out = self.children[0].evaluate_masks(get_mask)
+            for c in self.children[1:]:
+                out = out & c.evaluate_masks(get_mask)
+            return out
+        if self.type == NodeType.OR:
+            out = self.children[0].evaluate_masks(get_mask)
+            for c in self.children[1:]:
+                out = out | c.evaluate_masks(get_mask)
+            return out
+        return ~self.children[0].evaluate_masks(get_mask)
+
+    def evaluate_device(self, term_words: Callable[[str], "object"],
+                        ones_words: "object", bm_ops) -> "object":
+        """Evaluate the AST as device bitmap algebra: term_words(term)
+        returns a (W,) uint32 word bitmap on device; AND/OR/NOT map to
+        fused word ops (the reference's in-process Roaring set algebra,
+        index.cpp:378-446 — here nothing but the final W words ever
+        crosses to the host)."""
+        if self.type == NodeType.TERM:
+            return term_words(self.term)
+        if self.type == NodeType.AND:
+            out = self.children[0].evaluate_device(term_words, ones_words,
+                                                   bm_ops)
+            for c in self.children[1:]:
+                out = bm_ops.bm_and(
+                    out, c.evaluate_device(term_words, ones_words, bm_ops))
+            return out
+        if self.type == NodeType.OR:
+            out = self.children[0].evaluate_device(term_words, ones_words,
+                                                   bm_ops)
+            for c in self.children[1:]:
+                out = bm_ops.bm_or(
+                    out, c.evaluate_device(term_words, ones_words, bm_ops))
+            return out
+        child = self.children[0].evaluate_device(term_words, ones_words,
+                                                 bm_ops)
+        return bm_ops.bm_andnot(ones_words, child)
+
 
 class _TokType(enum.Enum):
     AND = "AND"

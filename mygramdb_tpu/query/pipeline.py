@@ -109,7 +109,7 @@ class _CtxSnapshot:
     is held across whole compactions, so blocking on it would stall
     queries for seconds at scale)."""
 
-    __slots__ = ("index", "doc_store", "filter_index", "bm25")
+    __slots__ = ("index", "doc_store", "filter_index", "bm25", "seq")
 
     def __init__(self, ctx):
         while True:
@@ -120,6 +120,10 @@ class _CtxSnapshot:
                 self.filter_index = ctx.filter_index
                 self.bm25 = ctx.bm25
                 if getattr(ctx, "_swap_seq", 0) == s0:
+                    # the generation this snapshot belongs to: cache entries
+                    # are stamped with it so a hit computed against a
+                    # pre-swap corpus can never serve a post-swap snapshot
+                    self.seq = s0
                     return
             time.sleep(0)  # writer mid-swap; yield and retry
 
@@ -203,7 +207,8 @@ class SearchPipeline:
         if self.cache is not None and query.type in (
                 QueryType.SEARCH, QueryType.COUNT, QueryType.FACET):
             cache_key, cache_entry, cache_version = self.cache.lookup(
-                self.ctx.name, query, self.sn.doc_store)
+                self.ctx.name, query, self.sn.doc_store,
+                generation=self.sn.seq)
             dbg.cache_key = cache_key or ""
         if cache_entry is not None:
             total, ids = cache_entry
@@ -334,7 +339,8 @@ class SearchPipeline:
             self.cache.insert(self.ctx.name, cache_key, query,
                               (out.total, all_ids), cost_ms,
                               [g for ti in terms for g in ti.grams],
-                              version_at_lookup=cache_version)
+                              version_at_lookup=cache_version,
+                              generation=self.sn.seq)
 
         try:
             self._finalize(query, out, all_ids, terms, t_start,
@@ -380,14 +386,51 @@ class SearchPipeline:
             0, _rt.dispatches.count - dbg._dispatch_mark)
 
     # ------------------------------------------------------------------
-    # COUNT fast path: no NOT/filters/verify => the popcount IS the answer
+    # Device EQ filters: FILTER col = v on bitmap-indexed columns rides
+    # the device query as an extra AND word row (reference
+    # ApplyFiltersWithBitmap, search_pipeline.cpp:785-793) instead of a
+    # host post-mask over materialized ids — the fast paths stay at ONE
+    # dispatch for the reference's bread-and-butter filtered queries.
+    # ------------------------------------------------------------------
+    def _device_eq_filters(self, query: Query):
+        """Device bitmap rows when EVERY filter is '=' on a bitmap-indexed
+        column -> list of device rows ([] if no filters); None => at least
+        one filter needs the host path."""
+        if not query.filters:
+            return []
+        fi = self.sn.filter_index
+        device = self.sn.index.device
+        rows = []
+        for f in query.filters:
+            if f.op != FilterOp.EQ or not fi.is_bitmap(f.column):
+                return None
+            row = fi.eq_bitmap_device(
+                f.column, f.value, device.n_words,
+                device._row_sharding or device._device)
+            if row is None:
+                return None
+            rows.append(row)
+        return rows
+
+    def _delta_filterer(self, query: Query):
+        """Host filter hook for delta-resident ids merged into a device
+        fast path (their filter values live host-side only)."""
+        if not query.filters:
+            return None
+        return lambda ids: self._apply_filters(ids, query.filters)
+
+    # ------------------------------------------------------------------
+    # COUNT fast path: no NOT/verify => the popcount IS the answer
+    # (bitmap-EQ filters fold into the same dispatch as extra AND rows)
     # ------------------------------------------------------------------
     def _try_count(self, query: Query, dbg: DebugInfo):
-        if query.fuzzy_max_distance is not None or query.not_terms or \
-                query.filters:
+        if query.fuzzy_max_distance is not None or query.not_terms:
             return None
         if contains_boolean_syntax(query.search_text) or \
                 self._synonyms_apply(query):
+            return None
+        extra = self._device_eq_filters(query)
+        if extra is None:
             return None
         terms = [self.term_info(t) for t in query.all_terms]
         if not terms or any(ti.needs_substring_fallback for ti in terms):
@@ -398,7 +441,16 @@ class SearchPipeline:
         if any(ti.estimated_size == 0 for ti in terms):
             return 0, terms
         grams = sorted({g for ti in terms for g in ti.grams})
-        total, _ = self.sn.index.search_and(grams, count_only=True)
+        try:
+            total, _ = self.sn.index.search_and(
+                grams, count_only=True, extra_words=extra or None,
+                delta_filter=self._delta_filterer(query))
+        except PipelineError:
+            raise
+        except Exception:
+            if extra:
+                return None  # raced a segment swap; exact path re-runs
+            raise
         return total, terms
 
     # ------------------------------------------------------------------
@@ -450,24 +502,15 @@ class SearchPipeline:
         if tids is None:
             return (0, np.empty(0, dtype=np.int32), None, terms)
         device = index.device
-        min_df = min(int(index.built.lengths[t])
-                     if t < index.built.lengths.shape[0] else 0
-                     for t in tids)
-        C = device._cand_bucket(max(min_df, 1))
-        if C > device.candidate_buckets[-1]:
-            return None  # too many candidates for one-shot extraction
         from ..ops.verify_ops import has_self_overlap
-        if score_mode and any(has_self_overlap(nd) for nd in needles):
-            return None  # TF would overcount; host path handles
+        nonoverlap = score_mode and any(has_self_overlap(nd)
+                                        for nd in needles)
 
-        from ..ops import fused as fused_ops
         from ..storage.device_text import DeviceTextStore
-        import jax.numpy as jnp
-        from ..index.device_index import _bucket_of, _LIMIT_BUCKETS, \
-            _k_bucket as kb
+        from ..index.device_index import _bucket_of, _LIMIT_BUCKETS
         n_need = query.limit + query.offset if query.limit > 0 else 1
-        n_b = min(max(n_need, 1), C)
-        n_b = min(_bucket_of(n_b, _LIMIT_BUCKETS), C)
+        n_b = min(_bucket_of(max(n_need, 1), _LIMIT_BUCKETS),
+                  device.n_docs_capacity)
         desc = (ob.order == SortOrder.DESC or ob.is_score)
         Nn_b = _bucket_of(len(needles), (2, 4))
         ndl, nlens = DeviceTextStore._pack_needles(needles)
@@ -475,36 +518,27 @@ class SearchPipeline:
         ndl_p[:ndl.shape[0]] = ndl
         nlens_p = np.zeros(Nn_b, dtype=np.int32)
         nlens_p[:nlens.shape[0]] = nlens
-        scores = None
-        if not score_mode:
-            # dense or sparse driver: one dispatch, batched when possible
-            out_sv = device.search_and_verified(tids, dev_text, ndl_p,
-                                                nlens_p, n_b, desc)
-            if out_sv is None:
-                return None
-            total, ids = out_sv
-        else:
-            dense_rows, sparse_tids = device.classify(tids)
-            if sparse_tids:
-                return None  # scored fused path is dense-only
-            rows = list(dense_rows)
-            while len(rows) < kb(len(rows)):
-                rows.append(device.ones_row)
+        idf = None
+        if score_mode:
             dfs = []
             for ti in terms:
                 total_df, _ = index.search_and(ti.grams, limit=1)
                 dfs.append(total_df)
-            idf = np.asarray(
+            idf_t = np.asarray(
                 [BM25Scorer.compute_idf(self.sn.bm25.doc_count, df)
                  for df in dfs], dtype=np.float32)
-            total, ids, scores = fused_ops.search_verify_score_topn(
-                device.bitmaps,
-                jnp.asarray([rows], dtype=jnp.int32),
-                jnp.asarray([[device.zeros_row]], dtype=jnp.int32),
-                device.deleted, device._pack_extra([]), dev_text,
-                C, n_b, ndl, nlens, idf=idf, k1=self.cfg.bm25.k1,
-                b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
-                descending=desc, score_mode=True)
+            idf = np.zeros(Nn_b, dtype=np.float32)
+            idf[:idf_t.shape[0]] = idf_t
+        # dense or sparse driver: one dispatch, batched when possible;
+        # None => no fused shape / match set exceeded the verify width
+        out_sv = device.search_and_verified(
+            tids, dev_text, ndl_p, nlens_p, n_b, desc,
+            score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
+            b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
+            nonoverlap=nonoverlap)
+        if out_sv is None:
+            return None
+        total, ids, scores = out_sv
         if query.type == QueryType.COUNT:
             return total, np.empty(0, dtype=np.int32), None, terms
         keep = ids >= 0
@@ -523,11 +557,13 @@ class SearchPipeline:
     def _try_topn(self, query: Query, dbg: DebugInfo):
         if query.type != QueryType.SEARCH:
             return None
-        if query.fuzzy_max_distance is not None or query.not_terms or \
-                query.filters:
+        if query.fuzzy_max_distance is not None or query.not_terms:
             return None
         if contains_boolean_syntax(query.search_text) or \
                 self._synonyms_apply(query):
+            return None
+        extra = self._device_eq_filters(query)
+        if extra is None:
             return None
         ob = self._canon_order(query) or OrderByClause()
         if not ob.is_primary_key or query.limit <= 0 or \
@@ -544,9 +580,18 @@ class SearchPipeline:
         if any(ti.estimated_size == 0 for ti in terms):
             return 0, np.empty(0, dtype=np.int32), terms
         grams = sorted({g for ti in terms for g in ti.grams})
-        total, ids = self.sn.index.search_and(
-            grams, limit=query.offset + query.limit,
-            descending=(ob.order == SortOrder.DESC))
+        try:
+            total, ids = self.sn.index.search_and(
+                grams, limit=query.offset + query.limit,
+                descending=(ob.order == SortOrder.DESC),
+                extra_words=extra or None,
+                delta_filter=self._delta_filterer(query))
+        except PipelineError:
+            raise
+        except Exception:
+            if extra:
+                return None  # raced a segment swap; exact path re-runs
+            raise
         page = ids[query.offset:]
         return total, page.astype(np.int32), terms
 
@@ -657,7 +702,11 @@ class SearchPipeline:
         def all_docs() -> np.ndarray:
             return np.sort(self.sn.doc_store.all_doc_ids()).astype(np.int32)
 
-        ids = ast.evaluate(search_term, all_docs).astype(np.int32)
+        ids = self._ast_device_ids(ast)
+        if ids is not None:
+            dbg.optimization_used = "device_ast"
+        else:
+            ids = ast.evaluate(search_term, all_docs).astype(np.int32)
         dbg.total_candidates = int(ids.size)
 
         # AND clause terms still apply on top of the expression
@@ -678,21 +727,103 @@ class SearchPipeline:
         # exact text post-filter removes n-gram false positives per the
         # boolean structure (PostFilterByBooleanText)
         if self.sn.doc_store.stores_texts and ids.size:
-            texts = self.sn.doc_store.texts_batch(ids.tolist())
-            keep = []
-            for i, tx in enumerate(texts):
-                if tx is None:
-                    keep.append(i)
-                    continue
-                if ast.matches_text(
-                        lambda term, _tx=tx: self.ctx.normalize(term) in _tx):
-                    keep.append(i)
-            ids = ids[np.asarray(keep, dtype=np.int64)] if keep else \
-                np.empty(0, dtype=np.int32)
+            ids = self._ast_text_filter(ast, ids)
 
         terms = [self.term_info(t)
                  for t in ast.collect_scoring_terms() + query.and_terms]
         return ids, terms
+
+    def _ast_device_ids(self, ast: QueryNode) -> Optional[np.ndarray]:
+        """Evaluate the boolean AST as device bitmap algebra — ONE
+        compiled program per tree shape; only W result words cross to the
+        host (the host path materializes every clause's full id set).
+        None => host fallback (delta present, short terms, oversized
+        sparse grams)."""
+        index = self.sn.index
+        if len(index.delta) or index.frozen_delta is not None:
+            return None
+        device = index.device
+        leaf_idx: Dict[str, int] = {}
+        leaf_tids: List[Optional[List[int]]] = []
+        has_not = False
+
+        def sig_of(node: QueryNode):
+            nonlocal has_not
+            if node.type.value == "TERM":
+                ti = self.term_info(node.term)
+                if ti.needs_substring_fallback:
+                    raise PipelineError("_host")  # short term: host scan
+                key = ti.normalized
+                if key not in leaf_idx:
+                    leaf_idx[key] = len(leaf_tids)
+                    leaf_tids.append(index.query_tids(ti.grams)
+                                     if ti.grams else None)
+                return ("t", leaf_idx[key])
+            if node.type.value == "NOT":
+                has_not = True
+                return ("!", sig_of(node.children[0]))
+            tag = "&" if node.type.value == "AND" else "|"
+            return (tag,) + tuple(sig_of(c) for c in node.children)
+
+        try:
+            sig = sig_of(ast)
+        except PipelineError:
+            return None
+        universe = device._ones_words
+        if has_not:
+            universe = self._universe_words(index, device)
+        words = device.ast_words(sig, leaf_tids, universe)
+        if words is None:
+            return None
+        from ..index.device_index import DeviceIndex
+        return DeviceIndex._bitmap_to_ids(words)
+
+    def _universe_words(self, index, device):
+        """All-live-docs device bitmap for NOT complements, cached per
+        (segment generation, mutation version) on the table context."""
+        key = (index.built_generation, index.version,
+               self.sn.doc_store.count)
+        cached = getattr(self.ctx, "_ast_universe", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        uni = device.universe_words(self.sn.doc_store.all_doc_ids())
+        self.ctx._ast_universe = (key, uni)
+        return uni
+
+    def _ast_text_filter(self, ast: QueryNode,
+                         ids: np.ndarray) -> np.ndarray:
+        """Exact-text post-filter for the boolean path. Large candidate
+        sets go through the device per-needle contains kernel + numpy
+        AST algebra (one dispatch per 16k-candidate chunk); small sets /
+        no device pack keep the per-doc host evaluation."""
+        norm_terms: List[str] = []
+        for t in ast.collect_terms():
+            n = self.ctx.normalize(t)
+            if n not in norm_terms:
+                norm_terms.append(n)
+        dev_text = self.ctx.fresh_device_text()
+        from ..ops.verify_ops import NEEDLE_CAP
+        if dev_text is not None and ids.size >= 256 and norm_terms and \
+                all(0 < len(n) <= NEEDLE_CAP for n in norm_terms):
+            dirty = self.sn.index.dirty_doc_ids()
+            masks = dev_text.contains_masks(
+                ids, norm_terms, self.sn.doc_store.texts_batch,
+                dirty=dirty)
+            col = {n: masks[:, j] for j, n in enumerate(norm_terms)}
+            keep = ast.evaluate_masks(
+                lambda term: col[self.ctx.normalize(term)])
+            return ids[keep].astype(np.int32)
+        texts = self.sn.doc_store.texts_batch(ids.tolist())
+        keep_idx = []
+        for i, tx in enumerate(texts):
+            if tx is None:
+                keep_idx.append(i)
+                continue
+            if ast.matches_text(
+                    lambda term, _tx=tx: self.ctx.normalize(term) in _tx):
+                keep_idx.append(i)
+        return ids[np.asarray(keep_idx, dtype=np.int64)] if keep_idx else \
+            np.empty(0, dtype=np.int32)
 
     def _intersect_with_term(self, ids: np.ndarray, ti: TermInfo) -> np.ndarray:
         _, other = self.sn.index.search_and(ti.grams, limit=0)

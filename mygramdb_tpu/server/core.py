@@ -267,14 +267,22 @@ class ServerCore:
 
     def _handle_get(self, q: Query) -> str:
         ctx = self._resolve_table(q.table)
-        doc = ctx.doc_store.get_document(q.primary_key)
+        # seqlock snapshot: a SYNC/DUMP-LOAD swap renumbers doc ids, so
+        # resolving through the live ctx mid-swap could pair the old PK map
+        # with the new filter store (reference holds the component
+        # shared_mutex across the read, document_store.h:108)
+        from ..query.pipeline import _CtxSnapshot
+        sn = _CtxSnapshot(ctx)
+        doc = sn.doc_store.get_document(q.primary_key)
         if doc is None:
             return fmt.format_error("Document not found")
         return fmt.format_doc(doc.primary_key, doc.filters)
 
     def _handle_facet(self, q: Query, conn: ConnState) -> str:
         ctx = self._resolve_table(q.table)
-        if not ctx.filter_index.has_column(q.facet_column):
+        from ..query.pipeline import _CtxSnapshot
+        sn = _CtxSnapshot(ctx)
+        if not sn.filter_index.has_column(q.facet_column):
             return fmt.format_error(
                 f"unknown facet column: {q.facet_column}")
         if q.search_text or q.and_terms or q.not_terms or q.filters:
@@ -284,10 +292,12 @@ class ServerCore:
                 return fmt.format_error(out.error)
             ids = out.results.astype(np.int64)
             fi = out.sn.filter_index if out.sn is not None \
-                else ctx.filter_index
+                else sn.filter_index
             counts = fi.value_counts(q.facet_column, ids)
         else:
-            counts = ctx.filter_index.value_counts(q.facet_column, None)
+            # unrestricted FACET counts against the snapshot too — racing
+            # a staging swap must yield old-or-new state, never mixed
+            counts = sn.filter_index.value_counts(q.facet_column, None)
         counts.sort(key=lambda kv: (-kv[1], kv[0]))
         if q.limit:
             counts = counts[:q.limit]

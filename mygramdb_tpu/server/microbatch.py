@@ -45,6 +45,10 @@ class _Request:
     error: Optional[BaseException] = None
     # sparse payload (None for dense requests)
     sparse: Optional[dict] = None
+    scores: Optional[np.ndarray] = None
+    # fused-verify: the match set exceeded the verify compaction width, so
+    # this request's result is invalid — caller re-runs on the exact path
+    clipped: bool = False
 
 
 class MicroBatcher:
@@ -92,63 +96,88 @@ class MicroBatcher:
             raise TimeoutError("micro-batch execution timed out")
 
     def submit(self, dense_rows: List[int], limit_b: int,
-               descending: bool) -> Tuple[int, np.ndarray]:
-        """Blocking submit; returns (total, top ids desc/asc, -1 padded)."""
+               descending: bool, extra=()) -> Tuple[int, np.ndarray]:
+        """Blocking submit; returns (total, top ids desc/asc, -1 padded).
+        extra: tuple of device word rows AND'ed into the result — queries
+        batch with peers sharing the SAME filter rows (grouped by array
+        identity, e.g. every concurrent 'FILTER status = 1')."""
         if len(dense_rows) > MAX_K:
             # dropping rows would drop AND constraints (false positives);
             # callers must route >MAX_K queries to the unbatched path
             raise ValueError(
                 f"micro-batch supports at most {MAX_K} dense rows, "
                 f"got {len(dense_rows)}")
-        req = _Request(rows=list(dense_rows))
-        self._enqueue(("dense", limit_b, descending), req)
+        req = _Request(rows=list(dense_rows), sparse={"extra": extra})
+        self._enqueue(("dense", limit_b, descending,
+                       tuple(id(x) for x in extra)), req)
         return req.total, req.ids
 
     def submit_fused_verify(self, dense_rows: List[int], needles,
                             needle_lens, text_store, C: int, limit_b: int,
-                            descending: bool) -> Tuple[int, np.ndarray]:
-        """Blocking submit of a fused verified search (PK order). needles:
-        (Nn, CAP) uint32 already padded to the Nn bucket."""
+                            descending: bool, score_mode: bool = False,
+                            idf=None, k1: float = 1.2, b: float = 0.75,
+                            avgdl: float = 1.0, nonoverlap: bool = False):
+        """Blocking submit of a fused verified search (PK order or BM25
+        score order). needles: (Nn, CAP) uint32 already padded to the Nn
+        bucket. Returns (total, ids, scores) or None when the match set
+        exceeded the extraction width (caller re-runs exact)."""
         if len(dense_rows) > MAX_K:
             raise ValueError(
                 f"micro-batch supports at most {MAX_K} dense rows")
         req = _Request(rows=list(dense_rows), sparse={
-            "needles": needles, "nlens": needle_lens, "store": text_store})
+            "needles": needles, "nlens": needle_lens, "store": text_store,
+            "idf": idf})
         key = ("fusedv", id(text_store), C, needles.shape[0],
-               limit_b, descending)
+               limit_b, descending, score_mode, nonoverlap,
+               round(k1, 6), round(b, 6), round(avgdl, 3))
         self._enqueue(key, req)
-        return req.total, req.ids
+        if req.clipped:
+            return None
+        return req.total, req.ids, req.scores
 
     def submit_fused_sparse_verify(self, d_off: int, d_len: int,
                                    sp_off, sp_len, sp_inv, dn_rows, dn_inv,
                                    needles, needle_lens, text_store,
                                    C: int, Cmax: int, limit_b: int,
-                                   descending: bool) -> Tuple[int, np.ndarray]:
-        """Blocking submit of a sparse-driver fused verified search."""
+                                   descending: bool, Kv: int = 0,
+                                   maxT: int = 0, score_mode: bool = False,
+                                   idf=None, k1: float = 1.2,
+                                   b: float = 0.75, avgdl: float = 1.0,
+                                   nonoverlap: bool = False):
+        """Blocking submit of a sparse-driver fused verified search.
+        Returns (total, ids, scores) or None when the match set exceeded
+        the verify compaction width Kv (caller re-runs exact)."""
         req = _Request(rows=[], sparse={
             "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
             "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
             "dn_inv": dn_inv, "needles": needles, "nlens": needle_lens,
-            "store": text_store})
+            "store": text_store, "idf": idf})
+        Kv = Kv or min(C, 4096)
+        maxT = maxT or text_store.maxT
         key = ("fusedsv", id(text_store), C, Cmax, len(sp_off),
-               len(dn_rows), needles.shape[0], limit_b, descending)
+               len(dn_rows), needles.shape[0], limit_b, descending,
+               Kv, maxT, score_mode, nonoverlap,
+               round(k1, 6), round(b, 6), round(avgdl, 3))
         self._enqueue(key, req)
-        return req.total, req.ids
+        if req.clipped:
+            return None
+        return req.total, req.ids, req.scores
 
     def submit_sparse(self, d_off: int, d_len: int,
                       sp_off: List[int], sp_len: List[int],
                       sp_inv: List[bool],
                       dn_rows: List[int], dn_inv: List[bool],
                       C: int, Cmax: int, limit_b: int,
-                      descending: bool) -> Tuple[int, np.ndarray]:
+                      descending: bool, extra=()) -> Tuple[int, np.ndarray]:
         """Blocking submit of a sparse candidate-probe query. Probe arrays
-        must already be padded to their Ks/Kd buckets by the caller."""
+        must already be padded to their Ks/Kd buckets by the caller.
+        extra: shared AND-filter rows (grouped by identity, see submit)."""
         req = _Request(rows=[], sparse={
             "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
             "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
-            "dn_inv": dn_inv})
+            "dn_inv": dn_inv, "extra": extra})
         key = ("sparse", C, Cmax, len(sp_off), len(dn_rows),
-               limit_b, descending)
+               limit_b, descending, tuple(id(x) for x in extra))
         self._enqueue(key, req)
         return req.total, req.ids
 
@@ -200,11 +229,15 @@ class MicroBatcher:
         for i, r in enumerate(q):
             rows[i, :len(r.rows)] = r.rows
         nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
-        extra = idx._pack_extra([])
+        # extra filter rows are identical across the batch (grouped by
+        # identity in the queue key)
+        extra_rows = list((q[0].sparse or {}).get("extra", ()))
+        extra = idx._pack_extra(extra_rows)
         # fused search + top-n: one program, one dispatch per batch
         count, ids = bitmap_ops.dense_search_topn(
             idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
-            idx.deleted, extra, False, False, limit_b, descending)
+            idx.deleted, extra, False, bool(extra_rows), limit_b,
+            descending)
         count_np = np.asarray(count)
         ids_np = np.asarray(ids)
         self.batches_executed += 1
@@ -219,7 +252,8 @@ class MicroBatcher:
         from ..ops import fused as fused_ops
         from ..ops.verify_ops import NEEDLE_CAP
         idx = self.idx
-        _, _sid, C, Nn, limit_b, descending = key
+        (_, _sid, C, Nn, limit_b, descending, score_mode, nonoverlap,
+         k1, b_, avgdl) = key
         store = q[0].sparse["store"]
         # the text-window workspace is B*C*maxT*4 bytes; chunk the flush so
         # one dispatch never exceeds ~512MB of HBM scratch
@@ -235,21 +269,29 @@ class MicroBatcher:
             rows = np.full((B_pad, K), idx.ones_row, dtype=np.int32)
             ndl = np.zeros((B_pad, Nn, NEEDLE_CAP), dtype=np.uint32)
             nlens = np.zeros((B_pad, Nn), dtype=np.int32)
+            idf = np.zeros((B_pad, Nn), dtype=np.float32)
             for i, r in enumerate(chunk):
                 rows[i, :len(r.rows)] = r.rows
                 ndl[i] = r.sparse["needles"]
                 nlens[i] = r.sparse["nlens"]
+                if r.sparse.get("idf") is not None:
+                    idf[i] = r.sparse["idf"]
             nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
             extra = idx._pack_extra([])
-            count, ids = fused_ops.search_verify_topn_batch(
+            out = fused_ops.search_verify_topn_batch(
                 idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
                 idx.deleted, extra, store, C, limit_b, ndl, nlens,
-                descending=descending)
+                descending=descending, idf=idf, k1=k1, b=b_, avgdl=avgdl,
+                score_mode=score_mode, nonoverlap=nonoverlap)
+            pre, count, ids = out[0], out[1], out[2]
+            scores = out[3] if score_mode else None
             self.batches_executed += 1
             self.queries_batched += B
             for i, r in enumerate(chunk):
+                r.clipped = int(pre[i]) > C
                 r.total = int(count[i])
                 r.ids = ids[i]
+                r.scores = scores[i] if scores is not None else None
                 r.event.set()
 
     def _execute_fused_sparse_verify(self, q: List[_Request],
@@ -257,9 +299,12 @@ class MicroBatcher:
         from ..ops import fused as fused_ops
         from ..ops.verify_ops import NEEDLE_CAP
         idx = self.idx
-        _, _sid, C, Cmax, Ks, Kd, Nn, limit_b, descending = key
+        (_, _sid, C, Cmax, Ks, Kd, Nn, limit_b, descending, Kv, maxT,
+         score_mode, nonoverlap, k1, b_, avgdl) = key
         store = q[0].sparse["store"]
-        b_cap = max(1, (512 << 20) // max(C * store.maxT * 4, 1))
+        # compaction (Kv) bounds the text workspace; the candidate probe
+        # matrix (C x Cmax compares) bounds the rest
+        b_cap = max(1, (512 << 20) // max(Kv * maxT * 4, 1))
         pos = 0
         while pos < len(q):
             chunk = q[pos:pos + b_cap]
@@ -274,6 +319,7 @@ class MicroBatcher:
             dn_inv = np.zeros((B, Kd), dtype=bool)
             ndl = np.zeros((B, Nn, NEEDLE_CAP), dtype=np.uint32)
             nlens = np.zeros((B, Nn), dtype=np.int32)
+            idf = np.zeros((B, Nn), dtype=np.float32)
             for i, r in enumerate(chunk):
                 s = r.sparse
                 d_off[i] = s["d_off"]
@@ -285,23 +331,31 @@ class MicroBatcher:
                 dn_inv[i] = s["dn_inv"]
                 ndl[i] = s["needles"]
                 nlens[i] = s["nlens"]
-            count, ids = fused_ops.sparse_search_verify_topn_batch(
+                if s.get("idf") is not None:
+                    idf[i] = s["idf"]
+            out = fused_ops.sparse_search_verify_topn_batch(
                 idx.postings, idx.bitmaps, idx.deleted,
                 d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
                 store, C, Cmax, limit_b, ndl, nlens, idx.n_words,
-                descending)
+                descending, Kv=Kv, maxT=maxT, idf=idf, k1=k1, b=b_,
+                avgdl=avgdl, score_mode=score_mode, nonoverlap=nonoverlap,
+                use_dense_probes=False)  # needles cover every gram
+            pre, count, ids = out[0], out[1], out[2]
+            scores = out[3] if score_mode else None
             self.batches_executed += 1
             self.queries_batched += B
             for i, r in enumerate(chunk):
+                r.clipped = int(pre[i]) > Kv
                 r.total = int(count[i])
                 r.ids = ids[i]
+                r.scores = scores[i] if scores is not None else None
                 r.event.set()
 
     def _execute_sparse(self, q: List[_Request], key: tuple) -> None:
         import jax.numpy as jnp
         from ..index.device_index import _sparse_query_batch
         idx = self.idx
-        _, C, Cmax, Ks, Kd, limit_b, descending = key
+        _, C, Cmax, Ks, Kd, limit_b, descending, _eids = key
         B = len(q)
         B_pad = self._pad_b(B)
         d_off = np.zeros(B_pad, dtype=np.int32)
@@ -322,13 +376,15 @@ class MicroBatcher:
             dn_inv[i] = s["dn_inv"]
         from ..ops import runtime as _rt
         _rt.dispatches.bump()
+        extra_rows = list((q[0].sparse or {}).get("extra", ()))
+        extra = idx._pack_extra(extra_rows)
         count, ids = _sparse_query_batch(
             idx.postings, idx.bitmaps, idx.deleted,
             jnp.asarray(d_off), jnp.asarray(d_len),
             jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
-            jnp.asarray(dn_rows), jnp.asarray(dn_inv),
+            jnp.asarray(dn_rows), jnp.asarray(dn_inv), extra,
             C=C, Cmax=Cmax, limit_b=limit_b, descending=descending,
-            n_words=idx.n_words)
+            n_words=idx.n_words, has_extra=bool(extra_rows))
         count_np = np.asarray(count)
         ids_np = np.asarray(ids)
         self.batches_executed += 1

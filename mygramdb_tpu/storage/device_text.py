@@ -50,32 +50,82 @@ class DeviceTextStore:
     def __init__(self, texts_by_doc: Dict[int, str], capacity: int,
                  device=None):
         """texts_by_doc: doc id -> normalized text (snapshot at build)."""
+        ids_arr = np.asarray(list(texts_by_doc.keys()), dtype=np.int64)
+        lens_arr = np.asarray([len(t) for t in texts_by_doc.values()],
+                              dtype=np.int64)
+        # one encode over the whole corpus (per-doc encode at 1M+ docs is
+        # a multi-minute Python loop)
+        flat = np.frombuffer(
+            "".join(texts_by_doc.values()).encode("utf-32-le"),
+            dtype=np.uint32).copy()
+        self._build(ids_arr, lens_arr, flat, capacity, device)
+
+    @classmethod
+    def from_doc_store(cls, doc_store, capacity: int, device=None
+                       ) -> "DeviceTextStore":
+        """Build from a hybrid DocumentStore. The frozen columnar base
+        streams straight from its utf-8 blob — no per-doc Python strings
+        for the bulk of the corpus (at 1M+ docs the dict snapshot path
+        costs minutes and gigabytes); post-freeze overlay texts append
+        after, shadowing their frozen rows."""
+        frozen = getattr(doc_store, "frozen", None)
+        if frozen is None or frozen.txt_blob is None:
+            return cls(doc_store.texts_snapshot(), capacity, device)
+        overlay = doc_store.text_overlay()
+        ov_ids = np.asarray(list(overlay.keys()), dtype=np.int64)
+        id_parts: List[np.ndarray] = []
+        len_parts: List[np.ndarray] = []
+        flat_parts: List[np.ndarray] = []
+        for first, flat, lens in frozen.iter_text_codepoints():
+            ids = np.arange(first, first + lens.size, dtype=np.int64)
+            if ov_ids.size:
+                keep = ~np.isin(ids, ov_ids)
+                if not keep.all():
+                    flat = flat[np.repeat(keep, lens)]
+                    ids = ids[keep]
+                    lens = lens[keep]
+            id_parts.append(ids)
+            len_parts.append(lens)
+            flat_parts.append(flat)
+        if overlay:
+            texts = list(overlay.values())
+            id_parts.append(ov_ids)
+            len_parts.append(np.asarray([len(t) for t in texts],
+                                        dtype=np.int64))
+            flat_parts.append(np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32))
+        obj = cls.__new__(cls)
+        obj._build(
+            np.concatenate(id_parts) if id_parts else
+            np.zeros(0, dtype=np.int64),
+            np.concatenate(len_parts) if len_parts else
+            np.zeros(0, dtype=np.int64),
+            np.concatenate(flat_parts) if flat_parts else
+            np.zeros(0, dtype=np.uint32),
+            capacity, device)
+        return obj
+
+    def _build(self, ids_arr: np.ndarray, lens_arr: np.ndarray,
+               flat: np.ndarray, capacity: int, device) -> None:
+        """Core pack from parallel (ids, lengths, flat codepoints)."""
         self.capacity = capacity
+        n_total = ids_arr.size
         lengths = np.zeros(capacity, dtype=np.int32)
         offsets = np.zeros(capacity, dtype=np.int32)
         # choose maxT covering ~p99 of lengths (cap 4096)
-        if texts_by_doc:
-            lens = np.asarray([len(t) for t in texts_by_doc.values()])
-            p99 = int(np.percentile(lens, 99)) if lens.size else 0
+        if lens_arr.size:
+            p99 = int(np.percentile(lens_arr, 99))
             self.maxT = next((m for m in _MAXT_CHOICES if m >= p99),
                              _MAXT_CHOICES[-1])
         else:
             self.maxT = _MAXT_CHOICES[0]
-        self._overflow: set = set()
-        kept_ids: List[int] = []
-        kept_texts: List[str] = []
-        for doc_id, text in texts_by_doc.items():
-            if doc_id >= capacity or len(text) > self.maxT:
-                self._overflow.add(doc_id)
-                continue
-            kept_ids.append(doc_id)
-            kept_texts.append(text)
-        # one encode over the whole corpus (per-doc encode at 1M+ docs is
-        # a multi-minute Python loop)
-        flat = np.frombuffer("".join(kept_texts).encode("utf-32-le"),
-                             dtype=np.uint32).copy()
-        ids_arr = np.asarray(kept_ids, dtype=np.int64)
-        lens_arr = np.asarray([len(t) for t in kept_texts], dtype=np.int64)
+        self._overflow = set()
+        drop = (ids_arr >= capacity) | (lens_arr > self.maxT) | (ids_arr < 1)
+        if drop.any():
+            self._overflow.update(int(d) for d in ids_arr[drop].tolist())
+            flat = flat[np.repeat(~drop, lens_arr)]
+            ids_arr = ids_arr[~drop]
+            lens_arr = lens_arr[~drop]
         starts = np.zeros(lens_arr.size, dtype=np.int64)
         if lens_arr.size:
             np.cumsum(lens_arr[:-1], out=starts[1:])
@@ -113,6 +163,8 @@ class DeviceTextStore:
         # element gathers — order-of-magnitude faster at large C. Large
         # corpora keep the compact flat pack.
         itemsize = np.dtype(self.dtype).itemsize
+        self.lengths_host = lengths  # numpy copy: planners bound candidate
+        # text lengths host-side (maxT column-slice buckets) with no pull
         self.offsets = jax.device_put(offsets, device)
         self.lengths = jax.device_put(lengths, device)
         if capacity * self.maxT * itemsize <= _PADDED_BUDGET_BYTES:
@@ -129,7 +181,30 @@ class DeviceTextStore:
         else:
             self.codepoints = jax.device_put(flat, device)
         del flat
-        self.n_packed = len(texts_by_doc) - len(self._overflow)
+        self.n_packed = int(n_total) - len(self._overflow)
+
+    # coarse on purpose: each bucket is a separate XLA program and cold
+    # compiles on tunneled TPU backends cost minutes
+    _MAXT_SLICE_BUCKETS = (128, 512, 2048)
+
+    def maxT_bucket(self, bound: int) -> int:
+        """Smallest column-slice bucket covering ``bound`` (a known upper
+        bound on candidate text lengths). The window kernels pay
+        O(C * maxT), so verifying short-doc candidate sets at the global
+        p99 tile width wastes most of the pass."""
+        for m in self._MAXT_SLICE_BUCKETS:
+            if m >= bound and m <= self.maxT:
+                return m
+        return self.maxT
+
+    def _chunk_maxT(self, chunk: np.ndarray) -> int:
+        # column-sliced row gathers are ~10x slower than full rows on TPU
+        # (measured): the bucket only pays on the flat-pack layout
+        if self.codepoints.ndim == 2:
+            return self.maxT
+        ok = (chunk >= 0) & (chunk < self.lengths_host.shape[0])
+        bound = int(self.lengths_host[chunk[ok]].max()) if ok.any() else 1
+        return self.maxT_bucket(max(bound, 1))
 
     # ------------------------------------------------------------------
     def verify(self, cand_ids: np.ndarray, needles: Sequence[str],
@@ -182,10 +257,58 @@ class DeviceTextStore:
             m = substring_verify_device(
                 self.codepoints, self.offsets, self.lengths,
                 jnp.asarray(padded), jnp.asarray(ndl), jnp.asarray(nlens),
-                C=C, maxT=self.maxT, Nn=Nn,
+                C=C, maxT=self._chunk_maxT(chunk), Nn=Nn,
                 cap=needle_cap_bucket(int(nlens.max())))
             out[pos:pos + chunk.size] = np.asarray(m)[:chunk.size]
             pos += chunk.size
+        return out
+
+    # ------------------------------------------------------------------
+    def contains_masks(self, cand_ids: np.ndarray, needles: Sequence[str],
+                       texts_fallback, dirty=frozenset()) -> np.ndarray:
+        """-> (C, Nn) bool per-needle contains matrix (boolean-AST text
+        post-filter). Host fallback per needle for overflow/dirty docs and
+        over-cap needles."""
+        from ..ops.verify_ops import substring_masks_device
+        n = cand_ids.size
+        Nn = len(needles)
+        out = np.zeros((n, Nn), dtype=bool)
+        if n == 0 or Nn == 0:
+            return out
+        if any(len(nd) > NEEDLE_CAP or not nd for nd in needles):
+            texts = texts_fallback(cand_ids.tolist())
+            for j, nd in enumerate(needles):
+                out[:, j] = native.substring_verify(texts, [nd]) if nd \
+                    else True
+            return out
+        device_ok = np.asarray(
+            [0 < d < self.capacity and d not in self._overflow
+             and d not in dirty for d in cand_ids.tolist()])
+        host_ids = cand_ids[~device_ok]
+        if host_ids.size:
+            texts = texts_fallback(host_ids.tolist())
+            for j, nd in enumerate(needles):
+                out[~device_ok, j] = native.substring_verify(texts, [nd])
+        dev_ids = cand_ids[device_ok]
+        if dev_ids.size:
+            ndl, nlens = self._pack_needles(needles)
+            dev_out = np.zeros((dev_ids.size, Nn), dtype=bool)
+            pos = 0
+            while pos < dev_ids.size:
+                chunk = dev_ids[pos:pos + _C_BUCKETS[-1]]
+                C = _bucket(chunk.size, _C_BUCKETS)
+                padded = np.full(C, -1, dtype=np.int32)
+                padded[:chunk.size] = chunk
+                runtime.dispatches.bump()
+                m = substring_masks_device(
+                    self.codepoints, self.offsets, self.lengths,
+                    jnp.asarray(padded), jnp.asarray(ndl),
+                    jnp.asarray(nlens), C=C, maxT=self._chunk_maxT(chunk),
+                    Nn=Nn, cap=needle_cap_bucket(int(nlens.max())))
+                dev_out[pos:pos + chunk.size] = \
+                    np.asarray(m)[:chunk.size]
+                pos += chunk.size
+            out[device_ok] = dev_out
         return out
 
     # ------------------------------------------------------------------
@@ -198,10 +321,12 @@ class DeviceTextStore:
         dl = np.zeros(n, dtype=np.int32)
         if n == 0 or not terms:
             return tf, dl
-        if any(len(t) > NEEDLE_CAP or len(t) == 0 or has_self_overlap(t)
-               for t in terms):
+        if any(len(t) > NEEDLE_CAP or len(t) == 0 for t in terms):
             return native.count_occurrences(
                 texts_fallback(cand_ids.tolist()), list(terms))
+        # self-overlapping terms route to the exact leftmost-greedy device
+        # scan (reference CountTermOccurrences non-overlap semantics)
+        nonoverlap = any(has_self_overlap(t) for t in terms)
         device_ok = np.asarray(
             [0 < d < self.capacity and d not in self._overflow
              and d not in dirty for d in cand_ids.tolist()])
@@ -232,8 +357,9 @@ class DeviceTextStore:
                 t_m, l_m = count_occurrences_device(
                     self.codepoints, self.offsets, self.lengths,
                     jnp.asarray(padded), jnp.asarray(ndl),
-                    jnp.asarray(nlens), C=C, maxT=self.maxT, Nn=Nn,
-                    cap=needle_cap_bucket(int(nlens.max())))
+                    jnp.asarray(nlens), C=C, maxT=self._chunk_maxT(chunk),
+                    Nn=Nn, cap=needle_cap_bucket(int(nlens.max())),
+                    nonoverlap=nonoverlap)
                 d_tf[pos:pos + chunk.size] = np.asarray(t_m)[:chunk.size]
                 d_dl[pos:pos + chunk.size] = np.asarray(l_m)[:chunk.size]
                 pos += chunk.size
@@ -265,9 +391,9 @@ class DeviceTextStore:
         """
         if cand_ids.size == 0 or not terms:
             return None
-        if any(len(t) > NEEDLE_CAP or len(t) == 0 or has_self_overlap(t)
-               for t in terms):
+        if any(len(t) > NEEDLE_CAP or len(t) == 0 for t in terms):
             return None
+        nonoverlap = any(has_self_overlap(t) for t in terms)
         device_ok = np.asarray(
             [0 < d < self.capacity and d not in self._overflow
              and d not in dirty for d in cand_ids.tolist()])
@@ -300,8 +426,9 @@ class DeviceTextStore:
                     jnp.asarray(nlens),
                     jnp.asarray(idf, dtype=jnp.float32),
                     jnp.float32(k1), jnp.float32(b), jnp.float32(avgdl),
-                    C=C, maxT=self.maxT, Nn=Nn, n=min(n, C),
-                    cap=needle_cap_bucket(int(nlens.max())))
+                    C=C, maxT=self._chunk_maxT(chunk), Nn=Nn, n=min(n, C),
+                    cap=needle_cap_bucket(int(nlens.max())),
+                    nonoverlap=nonoverlap)
                 t_ids = np.asarray(t_ids)
                 t_sc = np.asarray(t_sc)
                 keep = t_ids >= 0

@@ -1,9 +1,17 @@
 """Document store: DocId <-> primary key, filter values, normalized text.
 
 Reference storage/document_store.h:108 keeps four hash maps under one
-shared_mutex. Here the host store is columnar where it matters (filter
-columns as typed numpy arrays for vectorized range filters; texts in a plain
-list) because the query plane consumes batches, not single rows.
+shared_mutex. Python dicts cost ~5 GB per million docs at bulk scale, so
+this store is HYBRID (mirroring the index's segment + delta design):
+
+- ``FrozenDocs`` (storage/frozen_docs.py): immutable columnar base built
+  by bulk loads — int64 PK column (or utf-8 blob) + utf-8 text blob.
+- dict overlays for everything mutated after the freeze (binlog rates):
+  ``_doc_to_pk``/``_pk_to_doc``/``_texts``/``_filters`` hold ONLY
+  post-freeze rows and overridden frozen rows; ``_frozen_dead`` doc ids /
+  ``_frozen_pk_dead`` PKs shadow removed or remapped frozen rows.
+- filter values for frozen docs read through ``filters_source`` (the
+  table's FilterIndex — already columnar) instead of a duplicate dict.
 
 DocIds are monotonically allocated from 1 (document_store.h:436) in insert
 order, so a PK-ordered initial load yields doc-id order == PK order — the
@@ -15,9 +23,12 @@ from __future__ import annotations
 
 import threading
 from dataclasses import dataclass, field
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, \
+    Tuple, Union
 
 import numpy as np
+
+from .frozen_docs import FrozenDocBuilder, FrozenDocs
 
 # FilterValue: python analog of the reference's 13-alternative variant
 # (document_store.h:72-85). Times are epoch ints (TimeValue).
@@ -51,6 +62,29 @@ class DocumentStore:
         self._store_texts = store_texts
         self._pk_order_valid = True
         self._last_pk_key = None
+        # frozen columnar base (bulk loads); overlays shadow it
+        self._frozen: Optional[FrozenDocs] = None
+        self._frozen_dead: set = set()
+        self._frozen_pk_dead: set = set()
+        self._frozen_live = 0
+        # read-through for frozen docs' filter values (the FilterIndex is
+        # already columnar — no duplicate per-doc dict); set by the catalog
+        self.filters_source: Optional[Callable[[int],
+                                               Dict[str, FilterValue]]] = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_frozen(cls, builder: FrozenDocBuilder, store_texts: bool,
+                    pk_order_valid: bool,
+                    last_pk: Optional[str]) -> "DocumentStore":
+        ds = cls(store_texts=store_texts)
+        ds._frozen = builder.build()
+        ds._frozen_live = ds._frozen.n
+        ds._next_doc_id = ds._frozen.n + 1
+        ds._pk_order_valid = pk_order_valid
+        ds._last_pk_key = _pk_sort_key(last_pk) if last_pk is not None \
+            else None
+        return ds
 
     # ------------------------------------------------------------------
     def set_store_texts(self, enabled: bool) -> None:
@@ -59,10 +93,28 @@ class DocumentStore:
             self._store_texts = enabled
             if not enabled:
                 self._texts.clear()
+                if self._frozen is not None:
+                    self._frozen.txt_blob = None
+                    self._frozen.txt_off = None
+                    self._frozen.cp_lens = None
 
     @property
     def stores_texts(self) -> bool:
         return self._store_texts
+
+    # ------------------------------------------------------------------
+    def _frozen_doc_of(self, pk: str) -> Optional[int]:
+        if self._frozen is None or pk in self._frozen_pk_dead:
+            return None
+        d = self._frozen.doc_of(pk)
+        if d is None or d in self._frozen_dead:
+            return None
+        return d
+
+    def _frozen_alive(self, doc_id: int) -> bool:
+        return (self._frozen is not None
+                and 1 <= doc_id <= self._frozen.n
+                and doc_id not in self._frozen_dead)
 
     # ------------------------------------------------------------------
     def add_document(self, primary_key: str,
@@ -72,6 +124,8 @@ class DocumentStore:
         pk = str(primary_key)
         with self._lock:
             existing = self._pk_to_doc.get(pk)
+            if existing is None:
+                existing = self._frozen_doc_of(pk)
             if existing is not None:
                 return existing, False
             doc_id = self._next_doc_id
@@ -100,7 +154,8 @@ class DocumentStore:
                         filters: Optional[Dict[str, FilterValue]] = None,
                         text: Optional[str] = None) -> bool:
         with self._lock:
-            if doc_id not in self._doc_to_pk:
+            known = doc_id in self._doc_to_pk or self._frozen_alive(doc_id)
+            if not known:
                 return False
             if filters is not None:
                 self._filters[doc_id] = dict(filters)
@@ -111,16 +166,26 @@ class DocumentStore:
     def remove_document(self, doc_id: int) -> bool:
         with self._lock:
             pk = self._doc_to_pk.pop(doc_id, None)
-            if pk is None:
-                return False
-            self._pk_to_doc.pop(pk, None)
-            self._filters.pop(doc_id, None)
-            self._texts.pop(doc_id, None)
-            return True
+            if pk is not None:
+                self._pk_to_doc.pop(pk, None)
+                self._filters.pop(doc_id, None)
+                self._texts.pop(doc_id, None)
+                return True
+            if self._frozen_alive(doc_id):
+                self._frozen_dead.add(doc_id)
+                self._frozen_pk_dead.add(self._frozen.pk(doc_id))
+                self._frozen_live -= 1
+                self._filters.pop(doc_id, None)
+                self._texts.pop(doc_id, None)
+                return True
+            return False
 
     def remove_by_pk(self, primary_key: str) -> Optional[int]:
         with self._lock:
-            doc_id = self._pk_to_doc.get(str(primary_key))
+            pk = str(primary_key)
+            doc_id = self._pk_to_doc.get(pk)
+            if doc_id is None:
+                doc_id = self._frozen_doc_of(pk)
             if doc_id is None:
                 return None
             self.remove_document(doc_id)
@@ -132,7 +197,12 @@ class DocumentStore:
         with self._lock:
             doc_id = self._pk_to_doc.pop(str(old_pk), None)
             if doc_id is None:
-                return None
+                doc_id = self._frozen_doc_of(str(old_pk))
+                if doc_id is None:
+                    return None
+                # frozen row remaps: shadow the old frozen PK, overlay the
+                # new mapping (text/filters stay readable through the row)
+                self._frozen_pk_dead.add(str(old_pk))
             self._pk_to_doc[str(new_pk)] = doc_id
             self._doc_to_pk[doc_id] = str(new_pk)
             self._pk_order_valid = False
@@ -147,54 +217,73 @@ class DocumentStore:
             self._next_doc_id = 1
             self._pk_order_valid = True
             self._last_pk_key = None
+            self._frozen = None
+            self._frozen_dead = set()
+            self._frozen_pk_dead = set()
+            self._frozen_live = 0
 
     # ------------------------------------------------------------------
     def doc_id(self, primary_key: str) -> Optional[int]:
-        return self._pk_to_doc.get(str(primary_key))
+        pk = str(primary_key)
+        d = self._pk_to_doc.get(pk)
+        if d is not None:
+            return d
+        return self._frozen_doc_of(pk)
 
     def primary_key(self, doc_id: int) -> Optional[str]:
-        return self._doc_to_pk.get(doc_id)
+        pk = self._doc_to_pk.get(doc_id)
+        if pk is not None:
+            return pk
+        if self._frozen_alive(doc_id):
+            return self._frozen.pk(doc_id)
+        return None
 
     def primary_keys_batch(self, doc_ids: Sequence[int]) -> List[Optional[str]]:
         with self._lock:
-            return [self._doc_to_pk.get(d) for d in doc_ids]
+            return [self.primary_key(d) for d in doc_ids]
 
     def get_document(self, primary_key: str) -> Optional[Document]:
         with self._lock:
-            doc_id = self._pk_to_doc.get(str(primary_key))
+            doc_id = self.doc_id(str(primary_key))
             if doc_id is None:
                 return None
             return Document(primary_key=str(primary_key),
-                            filters=dict(self._filters.get(doc_id, {})),
-                            text=self._texts.get(doc_id))
+                            filters=self.filters_of(doc_id),
+                            text=self.text(doc_id))
 
     def text(self, doc_id: int) -> Optional[str]:
-        return self._texts.get(doc_id)
+        t = self._texts.get(doc_id)
+        if t is not None:
+            return t
+        if self._frozen_alive(doc_id):
+            return self._frozen.text(doc_id)
+        return None
 
     def texts_batch(self, doc_ids: Sequence[int]) -> List[Optional[str]]:
         with self._lock:
-            return [self._texts.get(d) for d in doc_ids]
+            return [self.text(d) for d in doc_ids]
 
     def filter_value(self, doc_id: int, column: str) -> FilterValue:
-        f = self._filters.get(doc_id)
+        f = self.filters_of(doc_id)
         return f.get(column) if f else None
 
     def filter_values_batch(self, doc_ids: Sequence[int],
                             column: str) -> List[FilterValue]:
         with self._lock:
-            out = []
-            for d in doc_ids:
-                f = self._filters.get(d)
-                out.append(f.get(column) if f else None)
-            return out
+            return [self.filter_value(d, column) for d in doc_ids]
 
     def filters_of(self, doc_id: int) -> Dict[str, FilterValue]:
-        return dict(self._filters.get(doc_id, {}))
+        f = self._filters.get(doc_id)
+        if f is not None:
+            return dict(f)
+        if self._frozen_alive(doc_id) and self.filters_source is not None:
+            return self.filters_source(doc_id)
+        return {}
 
     # ------------------------------------------------------------------
     @property
     def count(self) -> int:
-        return len(self._doc_to_pk)
+        return len(self._doc_to_pk) + self._frozen_live
 
     @property
     def next_doc_id(self) -> int:
@@ -206,15 +295,41 @@ class DocumentStore:
         enabling the device top-N shortcut."""
         return self._pk_order_valid
 
-    def texts_snapshot(self) -> Dict[int, str]:
-        """Copy of doc_id -> normalized text (device text-store build)."""
+    @property
+    def frozen(self) -> Optional[FrozenDocs]:
+        return self._frozen
+
+    def text_overlay(self) -> Dict[int, str]:
+        """Post-freeze text mutations (device text pack overlays these on
+        the frozen blob)."""
         with self._lock:
             return dict(self._texts)
 
+    def texts_snapshot(self) -> Dict[int, str]:
+        """Copy of doc_id -> normalized text. NOTE: materializes per-doc
+        strings — at bulk scale prefer ``frozen`` + ``text_overlay`` (the
+        DeviceTextStore pack path does)."""
+        with self._lock:
+            out = {}
+            if self._frozen is not None and self._frozen.txt_blob is not None:
+                for d in range(1, self._frozen.n + 1):
+                    if d not in self._frozen_dead:
+                        out[d] = self._frozen.text(d)
+            out.update(self._texts)
+            return out
+
     def all_doc_ids(self) -> np.ndarray:
         with self._lock:
-            return np.fromiter(self._doc_to_pk.keys(), dtype=np.int64,
-                               count=len(self._doc_to_pk))
+            overlay = np.fromiter(self._doc_to_pk.keys(), dtype=np.int64,
+                                  count=len(self._doc_to_pk))
+            if self._frozen is None:
+                return overlay
+            base = np.arange(1, self._frozen.n + 1, dtype=np.int64)
+            if self._frozen_dead:
+                dead = np.fromiter(self._frozen_dead, dtype=np.int64,
+                                   count=len(self._frozen_dead))
+                base = base[~np.isin(base, dead)]
+            return np.concatenate([base, overlay])
 
     def memory_usage(self) -> int:
         # rough estimate (reference reports approximate sizes too)
@@ -223,18 +338,42 @@ class DocumentStore:
         avg_pk = (pk_bytes / min(n, 1000)) if n else 0
         text_bytes = sum(len(t) for t in list(self._texts.values())[:1000])
         avg_text = (text_bytes / min(len(self._texts), 1000)) if self._texts else 0
-        return int(n * (avg_pk * 2 + 64) + len(self._texts) * (avg_text + 48)
-                   + len(self._filters) * 96)
+        total = int(n * (avg_pk * 2 + 64) + len(self._texts) * (avg_text + 48)
+                    + len(self._filters) * 96)
+        if self._frozen is not None:
+            total += self._frozen.memory_usage()
+        return total
 
     # ------------------------------------------------------------------
     # dump/load state
     # ------------------------------------------------------------------
     def state(self) -> Dict[str, Any]:
         with self._lock:
+            doc_to_pk = {}
+            filters = {}
+            texts = {}
+            if self._frozen is not None:
+                for d in range(1, self._frozen.n + 1):
+                    if d in self._frozen_dead:
+                        continue
+                    doc_to_pk[d] = self.primary_key(d)
+                    f = self.filters_of(d)
+                    if f:
+                        filters[d] = f
+                    t = self.text(d)
+                    if t is not None:
+                        texts[d] = t
+            doc_to_pk.update(self._doc_to_pk)
+            for d, f in self._filters.items():
+                if d in doc_to_pk:
+                    filters[d] = dict(f)
+            for d, t in self._texts.items():
+                if d in doc_to_pk:
+                    texts[d] = t
             return {
-                "doc_to_pk": dict(self._doc_to_pk),
-                "filters": {d: dict(f) for d, f in self._filters.items()},
-                "texts": dict(self._texts),
+                "doc_to_pk": doc_to_pk,
+                "filters": filters,
+                "texts": texts,
                 "next_doc_id": self._next_doc_id,
                 "store_texts": self._store_texts,
                 "pk_order_valid": self._pk_order_valid,

@@ -360,6 +360,57 @@ class FilterIndex:
             out[:n] = bm[:n]
         return out
 
+    def eq_bitmap_device(self, column: str, value: Any, n_words: int,
+                         device=None):
+        """Device mirror of the (column == value) bitmap, lazily uploaded
+        and cached per (value, width); mutations to the host bitmap evict
+        the mirror (col.set/unset pop ``_dev_bitmaps``), so a fetched
+        mirror is fresh-at-fetch. This is the FILTER col = v fast path:
+        the row rides the device query as an extra AND operand instead of
+        a host-side post-mask over materialized ids (reference
+        ApplyFiltersWithBitmap, search_pipeline.cpp:785-793).
+
+        Returns None when the column isn't bitmap-indexed. A value with no
+        bitmap yet (no matching docs) returns an all-zeros row — correct
+        AND semantics (empty result)."""
+        col = self._columns.get(column)
+        if col is None or not col.bitmap_index:
+            return None
+        key = col._bm_key(col._apply_bucket(value))
+        with self._lock:
+            # nested by width so col.set/unset's pop(key) evicts every
+            # mirror of the mutated value at once
+            widths = col._dev_bitmaps.get(key)
+            if widths is not None and n_words in widths:
+                return widths[n_words]
+            host = self.eq_bitmap(column, value, n_words)
+            import jax
+            dev = jax.device_put(host, device)
+            col._dev_bitmaps.setdefault(key, {})[n_words] = dev
+            return dev
+
+    _INT_TYPES = ("int", "uint", "bigint", "bool", "datetime", "date",
+                  "time", "timestamp", "tinyint", "smallint")
+
+    def values_of(self, doc_id: int) -> Dict[str, Any]:
+        """All present filter values for one doc, typed back from the
+        columnar storage (int-typed columns return ints, not the float64
+        the column array holds). This is the frozen DocumentStore's
+        filters read-through — bulk loads keep NO per-doc filter dicts."""
+        out: Dict[str, Any] = {}
+        with self._lock:
+            for name, col in self._columns.items():
+                v = col.get(doc_id)
+                if v is None:
+                    continue
+                if col.numeric and col.ftype in self._INT_TYPES:
+                    if col.ftype == "bool":
+                        v = bool(v)
+                    elif float(v) == int(v):
+                        v = int(v)
+                out[name] = v
+        return out
+
     def match_mask(self, column: str, doc_ids: np.ndarray, op: str,
                    value: Any = None) -> np.ndarray:
         col = self._columns.get(column)

@@ -16,6 +16,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -416,6 +417,62 @@ void mg_h2t_insert(void* h, const uint64_t* hashes, const int64_t* tids,
                    int64_t n) {
   MgH2T* t = static_cast<MgH2T*>(h);
   for (int64_t i = 0; i < n; ++i) t->insert(hashes[i], tids[i]);
+}
+
+// ---------------------------------------------------------------------------
+// Parallel stable counting sort of (tid, doc) pairs by tid — the index
+// builder's finalize step (replaces np.argsort over 100M+ pairs: the
+// reference's InitialLoader batch path builds hash-map postings per batch,
+// index.cpp:79-115; our sorted-segment design needs one grouping pass).
+// Stability preserves per-term doc arrival order, so a doc-sorted stream
+// yields sorted postings with no comparison sort anywhere.
+// ---------------------------------------------------------------------------
+void mg_radix_finalize(const int32_t* tids, const int32_t* docs, int64_t E,
+                       int32_t V, int32_t n_threads, int32_t* out_postings,
+                       int32_t* out_lengths) {
+  int T = n_threads > 0 ? (n_threads < 8 ? n_threads : 8) : 1;
+  if (E < (1 << 20)) T = 1;
+  int64_t chunk = (E + T - 1) / T;
+  // pass 1: per-thread histograms
+  std::vector<std::vector<int64_t>> starts(T, std::vector<int64_t>(V, 0));
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) {
+      th.emplace_back([&, t] {
+        int64_t s = t * chunk;
+        int64_t e = s + chunk < E ? s + chunk : E;
+        auto& c = starts[t];
+        for (int64_t i = s; i < e; ++i) c[tids[i]]++;
+      });
+    }
+    for (auto& x : th) x.join();
+  }
+  // exclusive prefix over (tid, thread): starts[t][v] becomes the scatter
+  // base for thread t's occurrences of tid v
+  int64_t run = 0;
+  for (int32_t v = 0; v < V; ++v) {
+    int64_t tot = 0;
+    for (int t = 0; t < T; ++t) {
+      int64_t c = starts[t][v];
+      starts[t][v] = run + tot;
+      tot += c;
+    }
+    out_lengths[v] = static_cast<int32_t>(tot);
+    run += tot;
+  }
+  // pass 2: stable scatter
+  {
+    std::vector<std::thread> th;
+    for (int t = 0; t < T; ++t) {
+      th.emplace_back([&, t] {
+        int64_t s = t * chunk;
+        int64_t e = s + chunk < E ? s + chunk : E;
+        auto& cur = starts[t];
+        for (int64_t i = s; i < e; ++i) out_postings[cur[tids[i]]++] = docs[i];
+      });
+    }
+    for (auto& x : th) x.join();
+  }
 }
 
 }  // extern "C"

@@ -176,12 +176,29 @@ class TestScoreTopk:
         assert got_scores[-1] == 0.0    # dirty doc rescored host-side to 0
         assert got_ids.tolist()[0] == 1
 
-    def test_self_overlap_needle_returns_none(self):
-        st = make_store({1: "aaaa"}, capacity=8)
-        ids = np.asarray([1], dtype=np.int32)
+    def test_self_overlap_needle_scores_nonoverlap(self):
+        # "aa" in "aaaa" = 2 non-overlapping occurrences (reference
+        # CountTermOccurrences); the device leftmost-greedy scan must
+        # match the host's non-overlap TF, not the all-positions count (3)
+        texts = {1: "aaaa", 2: "aa", 3: "bbbb"}
+        st = make_store(texts, capacity=8)
+        ids = np.asarray([1, 2, 3], dtype=np.int32)
         out = st.score_topk(ids, ["aa"], np.asarray([1.0]), 4.0, 1.2, 0.75,
-                            5, lambda i: ["aaaa"])
-        assert out is None  # caller falls back to exact host path
+                            3, lambda i: [texts.get(x) for x in i])
+        assert out is not None
+        got_ids, got_scores = out
+        from mygramdb_tpu import native
+        tf_h, dl_h = native.count_occurrences(
+            [texts[d] for d in (1, 2, 3)], ["aa"])
+        assert tf_h[0, 0] == 2
+        # host-reference scores in the same formula
+        import numpy as np_
+        tff = tf_h.astype(np_.float64)
+        norm = 1.2 * (1 - 0.75 + 0.75 * dl_h[:, None] / 4.0)
+        sc = (1.0 * tff * 2.2 / np_.maximum(tff + norm, 1e-9)).sum(axis=1)
+        order = sorted(zip(sc.tolist(), [1, 2, 3]),
+                       key=lambda p: (-p[0], -p[1]))
+        assert got_ids.tolist() == [d for _, d in order]
 
 
 class TestU16Packing:

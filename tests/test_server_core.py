@@ -393,6 +393,18 @@ class TestSwapConsistency:
                 if not (g.startswith("OK DOC 5") or "not found" in g):
                     errors.append(g)
                     return
+                # unrestricted FACET: all-A or all-B counts, never a mix
+                f = core.handle_line("FACET articles status")
+                if f not in ("OK FACET 1\r\n1\t7\r\n",
+                             "OK FACET 1\r\n2\t12\r\n"):
+                    errors.append(f)
+                    return
+                # restricted FACET: the filter index resolving the result
+                # ids must belong to the same state that produced them
+                fr = core.handle_line("FACET articles status alpha")
+                if fr not in ("OK FACET 1\r\n1\t7\r\n", "OK FACET 0\r\n"):
+                    errors.append(fr)
+                    return
 
         threads = [threading.Thread(target=hammer) for _ in range(3)]
         for t in threads:
