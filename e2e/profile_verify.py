@@ -88,16 +88,33 @@ def main():
     nlen = np.zeros((Bv, Nn), dtype=np.int32)
     nlen[:, 0] = 2
 
-    for Kv, maxT in ((4096, 1024), (2048, 1024), (1024, 1024)):
+    # sweep: (probe mode, C, Kv, maxT, score_mode). probeless+C<=Kv is the
+    # serving shape (search_and_verified passes use_dense_probes=False).
+    cases = [
+        ("probed ", True, 4096, 4096, 1024, False),
+        ("probeless", False, 4096, 4096, 1024, False),
+        ("probeless", False, 2048, 4096, 1024, False),
+        ("probeless", False, 4096, 4096, 512, False),
+        ("probeless", False, 4096, 4096, 256, False),
+        ("probeless", False, 4096, 4096, 1024, True),
+    ]
+    for label, probes, Cc, Kv, maxT, score in cases:
+        dl = np.minimum(d_len, Cc)
+        idf = np.zeros((Bv, Nn), dtype=np.float32)
+        idf[:, 0] = 1.5
+
         def step():
             return fused_ops.sparse_search_verify_topn_batch(
-                postings, bitmaps, deleted, d_off, d_len, sp_off, sp_len,
-                sp_inv, dn_rows, dn_inv, ts, C, Cmax, 128, ndl, nlen, W,
-                Kv=Kv, maxT=maxT)
+                postings, bitmaps, deleted, d_off, dl, sp_off, sp_len,
+                sp_inv, dn_rows, dn_inv, ts, Cc, Cmax, 128, ndl, nlen, W,
+                Kv=Kv, maxT=maxT, use_dense_probes=probes,
+                check_tombstones=probes, score_mode=score, idf=idf)
         t, out = bench(step)
         pre = out[0]
-        print(f"fused sparse verify v2 B={Bv} C={C} Kv={Kv} maxT={maxT}: "
-              f"{t:8.2f} ms  (pre p50={int(np.median(pre))})", flush=True)
+        print(f"fused {label} B={Bv} C={Cc} Kv={Kv} maxT={maxT} "
+              f"score={int(score)}: {t:8.2f} ms "
+              f"({t / Bv * 1000:6.0f} us/q, pre p50={int(np.median(pre))})",
+              flush=True)
     return 0
 
 
