@@ -27,19 +27,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, warm=2, iters=6):
+    # block_until_ready UNDER-REPORTS on the tunneled backend — force a
+    # host materialization of every output (CLAUDE.md hard-won rule)
     import jax
+
+    def force(r):
+        for leaf in jax.tree_util.tree_leaves(r):
+            np.asarray(leaf)
     for _ in range(warm):
-        r = fn(*args)
-    for leaf in jax.tree_util.tree_leaves(r):
-        if hasattr(leaf, "block_until_ready"):
-            leaf.block_until_ready()
+        force(fn(*args))
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        r = fn(*args)
-        for leaf in jax.tree_util.tree_leaves(r):
-            if hasattr(leaf, "block_until_ready"):
-                leaf.block_until_ready()
+        force(fn(*args))
         lat.append(time.perf_counter() - t0)
     lat.sort()
     return lat[len(lat) // 2] * 1000

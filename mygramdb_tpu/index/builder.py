@@ -115,7 +115,9 @@ class IndexBuilder:
         source of truth). Python-dict fallback when native is unavailable."""
         from .. import native
         if self._h2t is None:
-            self._h2t = native.HashToTid.create() or False
+            created = native.HashToTid.create()
+            # explicit None check: a fresh (empty) table is len()==0
+            self._h2t = created if created is not None else False
         if self._h2t is not False:
             tids, misses = self._h2t.lookup(hashes)
             if misses:

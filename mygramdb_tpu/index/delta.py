@@ -427,6 +427,31 @@ class MutableIndex:
                 device_doc_max = self._device_doc_max
 
             # --- build (NO lock held; queries keep flowing) ---
+            try:
+                self._optimize_build_and_swap(
+                    built, V, frozen, tombs_at_snap, n_docs_snap,
+                    device_doc_max)
+            except BaseException:
+                # device build/upload failed: merge the frozen delta back
+                # into the live one so its docs aren't lost when a later
+                # optimize() re-snapshots (reference one-shot failure
+                # semantics, posting_list.h:205-219 — a failed op must
+                # leave the index serving and complete). Newer writes and
+                # deletes since the snapshot win.
+                with self._lock:
+                    live = self.delta
+                    for d, ts in frozen.doc_terms.items():
+                        if d in live.doc_terms or \
+                                d in self.frozen_overrides or \
+                                d in self.tombstones:
+                            continue
+                        live.add(d, ts)
+                    self.frozen_delta = None
+                    self.frozen_overrides = set()
+                raise
+
+    def _optimize_build_and_swap(self, built, V, frozen, tombs_at_snap,
+                                 n_docs_snap, device_doc_max) -> None:
             tids_rep = np.repeat(
                 np.arange(built.lengths.shape[0], dtype=np.int64),
                 built.lengths)

@@ -699,21 +699,30 @@ class DeviceIndex:
                             limit_b: int, descending: bool,
                             score_mode: bool = False, idf=None,
                             k1: float = 1.2, b: float = 0.75,
-                            avgdl: float = 1.0, nonoverlap: bool = False):
+                            avgdl: float = 1.0, nonoverlap: bool = False,
+                            require_match: bool = True,
+                            force_probes: bool = False):
         """One-dispatch verified AND over a DeviceTextStore:
-        (total, ids, scores) with total = VERIFIED match count, or None
-        when no fused shape applies OR the match set exceeded the verify
-        compaction width (pre > Kv) — the caller falls back to the exact
-        multi-dispatch path. Routes dense-only queries through the bitmap
-        extractor and sparse-driver queries through the CSR candidate
-        probe — the latter is the Wikipedia-scale CJK+verify shape
-        (rarest gram sparse)."""
+        (total, ids, scores, pre) with total = VERIFIED match count and
+        pre = the pre-verify gram-AND match count (the reference's
+        SearchAnd().size(), used as the BM25 term df for single-term
+        score queries), or None when no fused shape applies OR the match
+        set exceeded the verify compaction width (pre > Kv) — the caller
+        falls back to the exact multi-dispatch path. Routes dense-only
+        queries through the bitmap extractor and sparse-driver queries
+        through the CSR candidate probe — the latter is the
+        Wikipedia-scale CJK+verify shape (rarest gram sparse).
+
+        require_match=False keeps unverified candidates in score mode
+        (non-verify_text scoring). force_probes=True disables the
+        probeless shortcut so pre is the exact AND count (score mode
+        needs it for IDF; plain verify mode doesn't)."""
         from ..ops import fused as fused_ops
         dense_rows, sparse_tids = self.classify(list(tids))
         idf_row = (np.zeros(needles.shape[0], dtype=np.float32)
                    if idf is None else np.asarray(idf, dtype=np.float32))
         empty = (0, np.empty(0, dtype=np.int32),
-                 np.empty(0, dtype=np.float32))
+                 np.empty(0, dtype=np.float32), 0)
         if sparse_tids:
             if self.postings_sh is not None:
                 return None  # mesh: sharded CSR -> unfused sharded path
@@ -756,7 +765,8 @@ class DeviceIndex:
                     sp_inv, dn_rows, dn_inv, needles, needle_lens,
                     text_store, C, Cmax, lb, descending,
                     Kv=Kv, maxT=maxT, score_mode=score_mode, idf=idf_row,
-                    k1=k1, b=b, avgdl=avgdl, nonoverlap=nonoverlap)
+                    k1=k1, b=b, avgdl=avgdl, nonoverlap=nonoverlap,
+                    require_match=require_match, force_probes=force_probes)
             out = fused_ops.sparse_search_verify_topn_batch(
                 self.postings, self.bitmaps, self.deleted,
                 np.asarray([self.offsets32[driver]], dtype=np.int32),
@@ -770,13 +780,14 @@ class DeviceIndex:
                 self.n_words, descending, Kv=Kv, maxT=maxT,
                 idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
                 score_mode=score_mode, nonoverlap=nonoverlap,
-                use_dense_probes=False)
+                use_dense_probes=force_probes,
+                require_match=require_match)
             pre, count, ids = out[0], out[1], out[2]
             if int(pre[0]) > Kv:
                 return None  # compaction clipped: exact path re-runs
             scores = (out[3][0] if score_mode
                       else np.zeros(ids.shape[1], dtype=np.float32))
-            return int(count[0]), ids[0], scores
+            return int(count[0]), ids[0], scores, int(pre[0])
         # dense-only: candidate bound = min dense df
         if not dense_rows:
             return empty
@@ -796,20 +807,22 @@ class DeviceIndex:
             return self.batcher.submit_fused_verify(
                 rows, needles, needle_lens, text_store, C, lb, descending,
                 score_mode=score_mode, idf=idf_row, k1=k1, b=b,
-                avgdl=avgdl, nonoverlap=nonoverlap)
+                avgdl=avgdl, nonoverlap=nonoverlap,
+                require_match=require_match)
         out = fused_ops.search_verify_topn_batch(
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([[self.zeros_row]], dtype=jnp.int32),
             self.deleted, self._pack_extra([]), text_store, C, lb,
             needles[None], needle_lens[None], descending, maxT=maxT,
             idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
-            score_mode=score_mode, nonoverlap=nonoverlap)
+            score_mode=score_mode, nonoverlap=nonoverlap,
+            require_match=require_match)
         pre, count, ids = out[0], out[1], out[2]
         if int(pre[0]) > C:
             return None  # extraction clipped: exact path re-runs
         scores = (out[3][0] if score_mode
                   else np.zeros(ids.shape[1], dtype=np.float32))
-        return int(count[0]), ids[0], scores
+        return int(count[0]), ids[0], scores, int(pre[0])
 
     # ------------------------------------------------------------------
     # Boolean-AST device evaluation

@@ -54,20 +54,32 @@ def compact_first_k(cands: jax.Array, mask: jax.Array, Kv: int):
 
 def _verify_topn(sel, codepoints, offsets, lengths, needles, needle_lens,
                  idf, k1, b, avgdl, *, Kv, n, Nn, maxT, cap, descending,
-                 score_mode, nonoverlap):
+                 score_mode, nonoverlap, require_match=True,
+                 use_range=True):
     """Shared tail: window-verify a compacted candidate vector and reduce
-    to (verified count, top-n ids [, scores])."""
+    to (verified count, top-n ids [, scores]).
+
+    require_match=False (score_mode only): keep ALL candidates — scoring
+    a non-verify_text query must not drop gram matches whose text lacks
+    the literal term (their TF is 0, score ~0; the reference scores the
+    raw SearchAnd result set, search_handler.cpp:431).
+    use_range=False skips the doc_len recovery + in-range mask when no
+    needle cell can alias the padding sentinel (see verify_ops)."""
     from .posting_ops import mask_to_topn
     alive = sel != SENTINEL
     safe = jnp.where(alive, sel, 0)
-    text, doc_len = gather_text(codepoints, offsets, lengths, safe, maxT,
-                                cap)
+    need_len = score_mode or use_range
+    text, doc_len, win = gather_text(codepoints, offsets, lengths, safe,
+                                     maxT, cap, need_len=need_len)
     if score_mode:
         fn = tf_matrix_nonoverlap if nonoverlap else tf_matrix
-        tf = fn(text, doc_len, needles, needle_lens, maxT, Nn, cap)
-        present = needle_lens > 0
-        ok = jnp.logical_or(tf > 0, jnp.logical_not(present)[None, :])
-        vmask = jnp.logical_and(jnp.all(ok, axis=1), alive)
+        tf = fn(text, doc_len, needles, needle_lens, win, Nn, cap)
+        if require_match:
+            present = needle_lens > 0
+            ok = jnp.logical_or(tf > 0, jnp.logical_not(present)[None, :])
+            vmask = jnp.logical_and(jnp.all(ok, axis=1), alive)
+        else:
+            vmask = alive
         count = jnp.sum(vmask.astype(jnp.int32))
         score = bm25_scores(tf, doc_len, idf, k1, b, avgdl)
         score = jnp.where(vmask, score, -jnp.inf)
@@ -77,27 +89,51 @@ def _verify_topn(sel, codepoints, offsets, lengths, needles, needle_lens,
         ids_out = jnp.where(jnp.isfinite(score_sorted[:n]),
                             ids_sorted[:n], -1)
         return count, ids_out, score_sorted[:n]
-    vmask = contains_all(text, doc_len, needles, needle_lens, maxT, Nn, cap)
+    vmask = contains_all(text, doc_len, needles, needle_lens, win, Nn, cap,
+                         use_range)
     vmask = jnp.logical_and(vmask, alive)
-    count = jnp.sum(vmask.astype(jnp.int32))
-    _, ids_out = mask_to_topn(sel, vmask, n, descending)
+    count, ids_out = mask_to_topn(sel, vmask, n, descending)
     return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
+
+
+def _pack_out(pre, count, ids, scores, score_mode: bool):
+    """Fuse the four result tensors into ONE int32 array
+    [pre | count | ids | scores-bitcast]: every jax->numpy leaf pull is a
+    separate device->host round trip on tunneled backends (~20 ms each,
+    measured) — one packed array costs one."""
+    cols = [pre[:, None], count[:, None], ids]
+    if score_mode:
+        cols.append(jax.lax.bitcast_convert_type(scores, jnp.int32))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _unpack_out(arr, n: int, score_mode: bool):
+    import numpy as np
+    pre = arr[:, 0]
+    count = arr[:, 1]
+    ids = arr[:, 2:2 + n]
+    if score_mode:
+        scores = arr[:, 2 + n:2 + 2 * n].copy().view(np.float32)
+        return pre, count, ids, scores
+    return pre, count, ids, None
 
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "Kv", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
-    "cap", "nonoverlap"))
+    "cap", "nonoverlap", "require_match", "use_range"))
 def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
                               needles, needle_lens, idf, k1, b, avgdl,
                               *, C: int, Kv: int, n: int, Nn: int,
                               maxT: int, descending: bool, score_mode: bool,
                               use_pallas: bool, cap: int = NEEDLE_CAP,
-                              nonoverlap: bool = False):
+                              nonoverlap: bool = False,
+                              require_match: bool = True,
+                              use_range: bool = True):
     """Batched dense-driver fused verified search: B queries, each with its
     OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
     needle_lens: (B, Nn); idf: (B, Nn) f32.
-    -> (pre (B,), counts (B,), ids (B, n), scores (B, n)).
+    -> packed (B, 2+n[+n]) int32 (see _pack_out).
 
     The dense AND result words are compacted to the first C matching ids
     (ascending); pre > C means the extraction clipped and the caller must
@@ -116,16 +152,17 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
             sel, codepoints, offsets, lengths, ndl_set, nlen_set,
             idf_row, k1, b, avgdl, Kv=min(Kv, C), n=n, Nn=Nn, maxT=maxT,
             cap=cap, descending=descending, score_mode=score_mode,
-            nonoverlap=nonoverlap)
+            nonoverlap=nonoverlap, require_match=require_match,
+            use_range=use_range)
 
     count, ids, scores = jax.vmap(one)(cand, needles, needle_lens, idf)
-    return pre, count, ids, scores
+    return _pack_out(pre, count, ids, scores, score_mode)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
     "n_words", "cap", "nonoverlap", "use_dense_probes",
-    "check_tombstones"))
+    "check_tombstones", "require_match"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
                                      dn_rows, dn_inv,
@@ -137,7 +174,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      score_mode: bool, n_words: int,
                                      cap: int, nonoverlap: bool = False,
                                      use_dense_probes: bool = True,
-                                     check_tombstones: bool = True):
+                                     check_tombstones: bool = True,
+                                     require_match: bool = True):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -210,11 +248,13 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             sel, codepoints, offsets, lengths, ndl_set, nlen_set,
             idf_row, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
             descending=descending, score_mode=score_mode,
-            nonoverlap=nonoverlap)
+            nonoverlap=nonoverlap, require_match=require_match)
         return pre, count, ids_out, scores
 
-    return jax.vmap(one)(cands_all, sp_all, sp_inv,
-                         dn_rows, dn_inv, needles, needle_lens, idf)
+    pre, count, ids_out, scores = jax.vmap(one)(
+        cands_all, sp_all, sp_inv, dn_rows, dn_inv, needles,
+        needle_lens, idf)
+    return _pack_out(pre, count, ids_out, scores, score_mode)
 
 
 def _zero_idf(B, Nn):
@@ -234,7 +274,8 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                     score_mode: bool = False,
                                     nonoverlap: bool = False,
                                     use_dense_probes: bool = True,
-                                    check_tombstones: bool = True):
+                                    check_tombstones: bool = True,
+                                    require_match: bool = True):
     """numpy wrapper; see _sparse_search_verify_topn_batch.
 
     -> (pre, count, ids[, scores if score_mode]). Entries with
@@ -248,7 +289,7 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
     if idf is None:
         idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
-    pre, count, ids, scores = _sparse_search_verify_topn_batch(
+    packed = _sparse_search_verify_topn_batch(
         postings, bitmaps, deleted,
         jnp.asarray(d_off), jnp.asarray(d_len),
         jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
@@ -261,11 +302,11 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         descending=descending, score_mode=score_mode, n_words=n_words,
         cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
         nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
-        check_tombstones=check_tombstones)
+        check_tombstones=check_tombstones, require_match=require_match)
+    pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
-        return (np.asarray(pre), np.asarray(count), np.asarray(ids),
-                np.asarray(scores))
-    return np.asarray(pre), np.asarray(count), np.asarray(ids)
+        return pre, count, ids, scores
+    return pre, count, ids
 
 
 def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
@@ -274,7 +315,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                              maxT: int = 0, idf=None, k1: float = 1.2,
                              b: float = 0.75, avgdl: float = 1.0,
                              score_mode: bool = False,
-                             nonoverlap: bool = False):
+                             nonoverlap: bool = False,
+                             require_match: bool = True):
     """One-dispatch batched dense-driver verified search.
     Returns numpy (pre, counts, ids[, scores]); pre > cand_bucket means
     the extraction clipped (caller falls back for that query)."""
@@ -287,7 +329,7 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     if idf is None:
         idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
-    pre, count, ids, scores = _search_verify_topn_batch(
+    packed = _search_verify_topn_batch(
         bitmaps, rows, nrows, deleted, extra,
         text_store.codepoints, text_store.offsets, text_store.lengths,
         jnp.asarray(needles), jnp.asarray(needle_lens),
@@ -297,8 +339,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         descending=descending, score_mode=score_mode, use_pallas=use_pallas,
         cap=needle_cap_bucket(int(np.max(needle_lens))
                               if np.max(needle_lens) > 0 else 1),
-        nonoverlap=nonoverlap)
+        nonoverlap=nonoverlap, require_match=require_match)
+    pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
-        return (np.asarray(pre), np.asarray(count), np.asarray(ids),
-                np.asarray(scores))
-    return np.asarray(pre), np.asarray(count), np.asarray(ids)
+        return pre, count, ids, scores
+    return pre, count, ids

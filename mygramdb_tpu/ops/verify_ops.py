@@ -66,9 +66,11 @@ def _cast_needles(needles: jax.Array, dtype):
 
 
 def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
-                      cap=NEEDLE_CAP):
+                      cap=NEEDLE_CAP, need_len=True):
     """(C, maxT+cap) text window via element gather from the flat pack,
-    in the pack's native dtype (uint16 for BMP-only corpora)."""
+    in the pack's native dtype (uint16 for BMP-only corpora).
+    -> (text, doc_len, maxT) — the window width the compare loop should
+    sweep (= maxT here; the padded layout returns its physical width)."""
     ids = jnp.maximum(cand_ids, 0)
     off = offsets[ids]
     doc_len = lengths[ids]
@@ -80,35 +82,44 @@ def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
     idx = jnp.minimum(idx, codepoints.shape[0] - 1)
     text = codepoints[idx]
     text = jnp.where(valid, text, jnp.asarray(sent, dtype=codepoints.dtype))
-    return text, doc_len
+    return text, doc_len, maxT
 
 
-def _gather_text_padded(padded, lengths, cand_ids, maxT, cap=NEEDLE_CAP):
-    """(C, maxT+cap) text window via ROW gather from a (N, rowT) padded
-    matrix — contiguous DMA rows instead of C*maxT random element gathers.
-    maxT may be < rowT: the gather slices columns (callers guarantee every
-    candidate's length <= maxT). Native dtype (see _gather_text_flat).
+def _gather_text_padded(padded, lengths, cand_ids, maxT, cap=NEEDLE_CAP,
+                        need_len=True):
+    """Text rows via FULL-WIDTH row gather from the (N, rowT) padded
+    matrix — contiguous DMA rows; column-sliced gathers measured ~10x
+    slower on TPU, so the physical row always transfers whole. The pad
+    builder bakes NEEDLE_CAP sentinel columns into rowT, so no concat
+    pass is needed: the compare window sweep is rowT - cap.
 
-    doc_len is recovered from the row's sentinel fill (the pad builder
-    writes sentinel at every pos >= length, and the sentinel code point
-    can never appear in packed text) — a (C,) element gather of lengths
-    costs ~10 ms per 256k candidates on TPU; the row scan is VPU-free."""
+    doc_len (score-path norm / in-range checks) is recovered from the
+    sentinel fill only when needed — it costs one extra full pass over
+    the gathered tile."""
     ids = jnp.maximum(cand_ids, 0)
+    rows = padded[ids]
+    rowT = padded.shape[1]
+    doc_len = None
+    if need_len:
+        sent = jnp.asarray(_sentinel_of(padded.dtype), dtype=padded.dtype)
+        doc_len = jnp.sum((rows != sent).astype(jnp.int32), axis=1)
+    if rowT >= maxT + cap:
+        return rows, doc_len, rowT - cap
+    # legacy layout without baked pad columns: append them
     sent = jnp.asarray(_sentinel_of(padded.dtype), dtype=padded.dtype)
-    rows = padded[ids, :maxT] if maxT < padded.shape[1] else padded[ids]
-    doc_len = jnp.sum((rows != sent).astype(jnp.int32), axis=1)
     pad = jnp.full((rows.shape[0], cap), sent, dtype=padded.dtype)
-    return jnp.concatenate([rows, pad], axis=1), doc_len
+    return jnp.concatenate([rows, pad], axis=1), doc_len, rowT
 
 
 def gather_text(codepoints, offsets, lengths, cand_ids, maxT,
-                cap=NEEDLE_CAP):
+                cap=NEEDLE_CAP, need_len=True):
     """Dispatch on pack layout: (N, rowT) padded matrix -> row gather;
-    (P,) flat pack -> element gather."""
+    (P,) flat pack -> element gather. -> (text, doc_len|None, window)."""
     if codepoints.ndim == 2:
-        return _gather_text_padded(codepoints, lengths, cand_ids, maxT, cap)
+        return _gather_text_padded(codepoints, lengths, cand_ids, maxT,
+                                   cap, need_len)
     return _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
-                             cap)
+                             cap, need_len)
 
 
 def _match_at(text, ndl, nlen, maxT: int, cap: int):
@@ -123,41 +134,50 @@ def _match_at(text, ndl, nlen, maxT: int, cap: int):
 
 
 def contains_all(text, doc_len, needles, needle_lens, maxT: int, Nn: int,
-                 cap: int):
+                 cap: int, use_range: bool = True):
     """(C,) bool: text contains EVERY (non-empty) needle. needles (Nn, CAP)
-    uint32 (cast to the text dtype internally); needle_lens (Nn,) int32."""
+    uint32 (cast to the text dtype internally); needle_lens (Nn,) int32.
+
+    use_range=False skips the start+len <= doc_len mask (and doc_len may
+    be None): when every needle cell compares BELOW the padding sentinel,
+    a window overlapping the sentinel fill can never match, so the range
+    check is redundant — one less (C, maxT) mask pass. Callers MUST keep
+    use_range=True when a needle cell can equal the sentinel (non-BMP
+    needles against a uint16 pack)."""
     ndl = _cast_needles(needles, text.dtype)
     starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
     acc = None
     for j in range(Nn):
         nlen = needle_lens[j]
         m = _match_at(text, ndl[j], nlen, maxT, cap)
-        in_range = starts + nlen <= doc_len[:, None]
-        contains = jnp.any(jnp.logical_and(m, in_range), axis=1)
+        if use_range:
+            m = jnp.logical_and(m, starts + nlen <= doc_len[:, None])
+        contains = jnp.any(m, axis=1)
         contains = jnp.logical_or(contains, nlen == 0)
         acc = contains if acc is None else jnp.logical_and(acc, contains)
     return acc
 
 
 def tf_matrix(text, doc_len, needles, needle_lens, maxT: int, Nn: int,
-              cap: int):
+              cap: int, use_range: bool = True):
     """(C, Nn) int32 all-positions match counts (== the reference's
-    non-overlapping count for needles with no proper border)."""
+    non-overlapping count for needles with no proper border).
+    use_range semantics: see contains_all."""
     ndl = _cast_needles(needles, text.dtype)
     starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
     cols = []
     for j in range(Nn):
         nlen = needle_lens[j]
         m = _match_at(text, ndl[j], nlen, maxT, cap)
-        in_range = starts + nlen <= doc_len[:, None]
-        count = jnp.sum(jnp.logical_and(m, in_range).astype(jnp.int32),
-                        axis=1)
+        if use_range:
+            m = jnp.logical_and(m, starts + nlen <= doc_len[:, None])
+        count = jnp.sum(m.astype(jnp.int32), axis=1)
         cols.append(jnp.where(nlen == 0, 0, count))
     return jnp.stack(cols, axis=1)
 
 
 def tf_matrix_nonoverlap(text, doc_len, needles, needle_lens, maxT: int,
-                         Nn: int, cap: int):
+                         Nn: int, cap: int, use_range: bool = True):
     """(C, Nn) int32 NON-OVERLAPPING (leftmost-greedy) match counts — the
     reference's CountTermOccurrences semantics (bm25_scorer.h:36-40) for
     needles with a proper border (e.g. "aa" in "aaaa" -> 2, not 3).
@@ -172,8 +192,9 @@ def tf_matrix_nonoverlap(text, doc_len, needles, needle_lens, maxT: int,
     for j in range(Nn):
         nlen = needle_lens[j]
         m = _match_at(text, ndl[j], nlen, maxT, cap)
-        in_range = starts + nlen <= doc_len[:, None]
-        hits = jnp.logical_and(m, in_range)  # (C, maxT)
+        if use_range:
+            m = jnp.logical_and(m, starts + nlen <= doc_len[:, None])
+        hits = m  # (C, maxT)
 
         def step(carry, inp):
             nextf, cnt = carry
@@ -191,45 +212,53 @@ def tf_matrix_nonoverlap(text, doc_len, needles, needle_lens, maxT: int,
     return jnp.stack(cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap",
+                                             "use_range"))
 def substring_verify_device(codepoints: jax.Array, offsets: jax.Array,
                             lengths: jax.Array, cand_ids: jax.Array,
                             needles: jax.Array, needle_lens: jax.Array,
                             *, C: int, maxT: int, Nn: int,
-                            cap: int = NEEDLE_CAP) -> jax.Array:
+                            cap: int = NEEDLE_CAP,
+                            use_range: bool = True) -> jax.Array:
     """-> (C,) bool: candidate text contains ALL needles.
 
     codepoints: (P,) packed corpus OR (N, rowT) padded text matrix
     (row-gather fast path), uint16 or uint32; offsets/lengths: (N,) int32
     indexed by doc id; cand_ids: (C,) int32 (pad with -1); needles:
     (Nn, NEEDLE_CAP) uint32 (0 padded); needle_lens: (Nn,) int32
-    (0 len = vacuously true row).
+    (0 len = vacuously true row). use_range: see contains_all.
     """
-    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
-                                maxT, cap)
-    mask = contains_all(text, doc_len, needles, needle_lens, maxT, Nn, cap)
+    text, doc_len, win = gather_text(codepoints, offsets, lengths,
+                                     cand_ids, maxT, cap,
+                                     need_len=use_range)
+    mask = contains_all(text, doc_len, needles, needle_lens, win, Nn, cap,
+                        use_range)
     return jnp.logical_and(mask, cand_ids >= 0)
 
 
-@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap"))
+@functools.partial(jax.jit, static_argnames=("C", "maxT", "Nn", "cap",
+                                             "use_range"))
 def substring_masks_device(codepoints: jax.Array, offsets: jax.Array,
                            lengths: jax.Array, cand_ids: jax.Array,
                            needles: jax.Array, needle_lens: jax.Array,
                            *, C: int, maxT: int, Nn: int,
-                           cap: int = NEEDLE_CAP) -> jax.Array:
+                           cap: int = NEEDLE_CAP,
+                           use_range: bool = True) -> jax.Array:
     """-> (C, Nn) bool: per-needle contains columns (the boolean-AST
     exact-text post-filter evaluates the tree over these with numpy
     algebra instead of a per-doc Python loop)."""
-    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
-                                maxT, cap)
+    text, doc_len, win = gather_text(codepoints, offsets, lengths,
+                                     cand_ids, maxT, cap,
+                                     need_len=use_range)
     ndl = _cast_needles(needles, text.dtype)
-    starts = jnp.arange(maxT, dtype=jnp.int32)[None, :]
+    starts = jnp.arange(win, dtype=jnp.int32)[None, :]
     cols = []
     for j in range(Nn):
         nlen = needle_lens[j]
-        m = _match_at(text, ndl[j], nlen, maxT, cap)
-        in_range = starts + nlen <= doc_len[:, None]
-        contains = jnp.any(jnp.logical_and(m, in_range), axis=1)
+        m = _match_at(text, ndl[j], nlen, win, cap)
+        if use_range:
+            m = jnp.logical_and(m, starts + nlen <= doc_len[:, None])
+        contains = jnp.any(m, axis=1)
         cols.append(jnp.logical_or(contains, nlen == 0))
     masks = jnp.stack(cols, axis=1)
     return jnp.logical_and(masks, (cand_ids >= 0)[:, None])
@@ -248,11 +277,13 @@ def count_occurrences_device(codepoints: jax.Array, offsets: jax.Array,
     nonoverlap=False counts ALL match positions (== the reference's
     non-overlapping count for borderless needles); nonoverlap=True runs
     the exact leftmost-greedy scan (self-overlapping query terms).
+    doc_len is always materialized (the BM25 norm needs it), so the
+    range mask is kept too (it is nearly free once doc_len exists).
     """
-    text, doc_len = gather_text(codepoints, offsets, lengths, cand_ids,
-                                maxT, cap)
+    text, doc_len, win = gather_text(codepoints, offsets, lengths,
+                                     cand_ids, maxT, cap, need_len=True)
     fn = tf_matrix_nonoverlap if nonoverlap else tf_matrix
-    tf = fn(text, doc_len, needles, needle_lens, maxT, Nn, cap)
+    tf = fn(text, doc_len, needles, needle_lens, win, Nn, cap)
     alive = (cand_ids >= 0)[:, None]
     return jnp.where(alive, tf, 0), jnp.where(cand_ids >= 0, doc_len, 0)
 

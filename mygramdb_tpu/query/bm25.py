@@ -21,36 +21,61 @@ import numpy as np
 
 
 class BM25Stats:
-    """Per-table corpus statistics, updated by load/replication."""
+    """Per-table corpus statistics, updated by load/replication.
+
+    Doc lengths live in a flat int32 array indexed by doc id (-1 = absent)
+    — doc ids are dense uint32 assigned in insertion order (design
+    invariant), so the array form costs 4 bytes/doc where the previous
+    Python dict cost ~100 (at 4M docs: 16 MB vs ~400 MB host RSS, and the
+    dump section is one raw buffer instead of a 4M-entry msgpack map)."""
+
+    _INIT_CAP = 1024
 
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self._doc_count = 0
         self._total_length = 0
-        self._doc_lengths: Dict[int, int] = {}
+        self._arr = np.full(self._INIT_CAP, -1, dtype=np.int32)
+        self._hi = 0  # 1 + highest doc id ever set (bounds state())
+
+    def _grow(self, doc_id: int) -> None:
+        cap = self._arr.shape[0]
+        if doc_id < cap:
+            return
+        new_cap = max(cap * 2, doc_id + 1, self._INIT_CAP)
+        arr = np.full(new_cap, -1, dtype=np.int32)
+        arr[:cap] = self._arr
+        self._arr = arr
 
     def add_document(self, doc_id: int, length_cp: int) -> None:
+        if doc_id < 0:
+            return
         with self._lock:
-            old = self._doc_lengths.get(doc_id)
-            if old is not None:
+            self._grow(doc_id)
+            old = int(self._arr[doc_id])
+            if old >= 0:
                 self._total_length -= old
                 self._doc_count -= 1
-            self._doc_lengths[doc_id] = length_cp
+            self._arr[doc_id] = length_cp
+            self._hi = max(self._hi, doc_id + 1)
             self._doc_count += 1
             self._total_length += length_cp
 
     def remove_document(self, doc_id: int) -> None:
         with self._lock:
-            old = self._doc_lengths.pop(doc_id, None)
-            if old is not None:
-                self._doc_count -= 1
-                self._total_length -= old
+            if 0 <= doc_id < self._arr.shape[0]:
+                old = int(self._arr[doc_id])
+                if old >= 0:
+                    self._arr[doc_id] = -1
+                    self._doc_count -= 1
+                    self._total_length -= old
 
     def clear(self) -> None:
         with self._lock:
             self._doc_count = 0
             self._total_length = 0
-            self._doc_lengths.clear()
+            self._arr = np.full(self._INIT_CAP, -1, dtype=np.int32)
+            self._hi = 0
 
     @property
     def doc_count(self) -> int:
@@ -65,15 +90,29 @@ class BM25Stats:
         return self._total_length / self._doc_count if self._doc_count else 0.0
 
     def doc_length(self, doc_id: int) -> int:
-        return self._doc_lengths.get(doc_id, 0)
+        if 0 <= doc_id < self._arr.shape[0]:
+            v = int(self._arr[doc_id])
+            return v if v >= 0 else 0
+        return 0
 
     def state(self) -> Dict:
         with self._lock:
-            return {"doc_lengths": dict(self._doc_lengths)}
+            return {"doc_len_arr": self._arr[:self._hi].tobytes()}
 
     @classmethod
     def from_state(cls, state: Dict) -> "BM25Stats":
         s = cls()
+        raw = state.get("doc_len_arr")
+        if raw is not None:
+            arr = np.frombuffer(raw, dtype=np.int32).copy()
+            s._arr = arr if arr.size else np.full(cls._INIT_CAP, -1,
+                                                  dtype=np.int32)
+            s._hi = arr.size
+            live = arr >= 0
+            s._doc_count = int(np.sum(live))
+            s._total_length = int(arr[live].astype(np.int64).sum())
+            return s
+        # legacy dict form (pre-array dumps)
         for d, l in state.get("doc_lengths", {}).items():
             s.add_document(int(d), int(l))
         return s

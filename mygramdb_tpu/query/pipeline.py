@@ -477,15 +477,6 @@ class SearchPipeline:
         terms = [self.term_info(t) for t in query.all_terms]
         if not terms or any(ti.needs_substring_fallback for ti in terms):
             return None
-        if not (self._verify_applies(terms) or
-                self._coverage_requires_text_check(terms)):
-            return None  # plain topn/count paths are cheaper
-        from ..ops.verify_ops import NEEDLE_CAP
-        needles = [ti.normalized for ti in terms]
-        if any(not nd or len(nd) > NEEDLE_CAP for nd in needles):
-            return None
-        if any(ti.estimated_size == 0 for ti in terms):
-            return 0, np.empty(0, dtype=np.int32), None, terms
         ob = self._canon_order(query) or OrderByClause()
         score_mode = False
         if query.type == QueryType.SEARCH:
@@ -496,6 +487,20 @@ class SearchPipeline:
                       query.offset <= MAX_OFFSET_FOR_TOPN and
                       self.sn.doc_store.pk_doc_id_order_valid):
                 return None
+        # require_match: verify_text semantics filter the result set to
+        # literal-substring matches; score-only queries keep every gram
+        # match (the reference scores the raw SearchAnd set) but still
+        # ride the fused kernel for its TF pass
+        require_match = (self._verify_applies(terms) or
+                         self._coverage_requires_text_check(terms))
+        if not require_match and not score_mode:
+            return None  # plain topn/count paths are cheaper
+        from ..ops.verify_ops import NEEDLE_CAP
+        needles = [ti.normalized for ti in terms]
+        if any(not nd or len(nd) > NEEDLE_CAP for nd in needles):
+            return None
+        if any(ti.estimated_size == 0 for ti in terms):
+            return 0, np.empty(0, dtype=np.int32), None, terms
         # candidate bound: intersection size <= rarest gram's df
         grams = sorted({g for ti in terms for g in ti.grams})
         tids = index.query_tids(grams)
@@ -519,26 +524,42 @@ class SearchPipeline:
         nlens_p = np.zeros(Nn_b, dtype=np.int32)
         nlens_p[:nlens.shape[0]] = nlens
         idf = None
+        force_probes = False
+        idf_scale_from_pre = False
         if score_mode:
-            dfs = []
-            for ti in terms:
-                total_df, _ = index.search_and(ti.grams, limit=1)
-                dfs.append(total_df)
-            idf_t = np.asarray(
-                [BM25Scorer.compute_idf(self.sn.bm25.doc_count, df)
-                 for df in dfs], dtype=np.float32)
-            idf = np.zeros(Nn_b, dtype=np.float32)
-            idf[:idf_t.shape[0]] = idf_t
+            if len(terms) == 1:
+                # single term: its df IS the query's pre-verify AND count
+                # (the reference's SearchAnd(ngrams).size(),
+                # search_pipeline.cpp:453-455), which the fused kernel
+                # already computes as `pre` — score in-kernel with idf=1
+                # and scale by the real IDF afterwards (order-preserving:
+                # one positive scalar). force_probes keeps pre exact on
+                # the sparse-driver path (probeless pre = driver df).
+                idf = np.zeros(Nn_b, dtype=np.float32)
+                idf[0] = 1.0
+                force_probes = True
+                idf_scale_from_pre = True
+            else:
+                dfs = []
+                for ti in terms:
+                    total_df, _ = index.search_and(ti.grams, limit=1)
+                    dfs.append(total_df)
+                idf_t = np.asarray(
+                    [BM25Scorer.compute_idf(self.sn.bm25.doc_count, df)
+                     for df in dfs], dtype=np.float32)
+                idf = np.zeros(Nn_b, dtype=np.float32)
+                idf[:idf_t.shape[0]] = idf_t
         # dense or sparse driver: one dispatch, batched when possible;
         # None => no fused shape / match set exceeded the verify width
         out_sv = device.search_and_verified(
             tids, dev_text, ndl_p, nlens_p, n_b, desc,
             score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
             b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
-            nonoverlap=nonoverlap)
+            nonoverlap=nonoverlap, require_match=require_match,
+            force_probes=force_probes)
         if out_sv is None:
             return None
-        total, ids, scores = out_sv
+        total, ids, scores, pre = out_sv
         if query.type == QueryType.COUNT:
             return total, np.empty(0, dtype=np.int32), None, terms
         keep = ids >= 0
@@ -548,6 +569,9 @@ class SearchPipeline:
         if score_mode:
             page_scores = scores[keep][
                 query.offset:query.offset + query.limit].astype(np.float64)
+            if idf_scale_from_pre:
+                page_scores = page_scores * BM25Scorer.compute_idf(
+                    self.sn.bm25.doc_count, pre)
         return total, page.astype(np.int32), page_scores, terms
 
     # ------------------------------------------------------------------

@@ -49,6 +49,8 @@ class _Request:
     # fused-verify: the match set exceeded the verify compaction width, so
     # this request's result is invalid — caller re-runs on the exact path
     clipped: bool = False
+    # fused-verify: pre-verify gram-AND match count (BM25 term df source)
+    pre: int = 0
 
 
 class MicroBatcher:
@@ -116,11 +118,12 @@ class MicroBatcher:
                             needle_lens, text_store, C: int, limit_b: int,
                             descending: bool, score_mode: bool = False,
                             idf=None, k1: float = 1.2, b: float = 0.75,
-                            avgdl: float = 1.0, nonoverlap: bool = False):
+                            avgdl: float = 1.0, nonoverlap: bool = False,
+                            require_match: bool = True):
         """Blocking submit of a fused verified search (PK order or BM25
         score order). needles: (Nn, CAP) uint32 already padded to the Nn
-        bucket. Returns (total, ids, scores) or None when the match set
-        exceeded the extraction width (caller re-runs exact)."""
+        bucket. Returns (total, ids, scores, pre) or None when the match
+        set exceeded the extraction width (caller re-runs exact)."""
         if len(dense_rows) > MAX_K:
             raise ValueError(
                 f"micro-batch supports at most {MAX_K} dense rows")
@@ -129,11 +132,11 @@ class MicroBatcher:
             "idf": idf})
         key = ("fusedv", id(text_store), C, needles.shape[0],
                limit_b, descending, score_mode, nonoverlap,
-               round(k1, 6), round(b, 6), round(avgdl, 3))
+               round(k1, 6), round(b, 6), round(avgdl, 3), require_match)
         self._enqueue(key, req)
         if req.clipped:
             return None
-        return req.total, req.ids, req.scores
+        return req.total, req.ids, req.scores, req.pre
 
     def submit_fused_sparse_verify(self, d_off: int, d_len: int,
                                    sp_off, sp_len, sp_inv, dn_rows, dn_inv,
@@ -143,10 +146,12 @@ class MicroBatcher:
                                    maxT: int = 0, score_mode: bool = False,
                                    idf=None, k1: float = 1.2,
                                    b: float = 0.75, avgdl: float = 1.0,
-                                   nonoverlap: bool = False):
+                                   nonoverlap: bool = False,
+                                   require_match: bool = True,
+                                   force_probes: bool = False):
         """Blocking submit of a sparse-driver fused verified search.
-        Returns (total, ids, scores) or None when the match set exceeded
-        the verify compaction width Kv (caller re-runs exact)."""
+        Returns (total, ids, scores, pre) or None when the match set
+        exceeded the verify compaction width Kv (caller re-runs exact)."""
         req = _Request(rows=[], sparse={
             "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
             "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
@@ -157,11 +162,12 @@ class MicroBatcher:
         key = ("fusedsv", id(text_store), C, Cmax, len(sp_off),
                len(dn_rows), needles.shape[0], limit_b, descending,
                Kv, maxT, score_mode, nonoverlap,
-               round(k1, 6), round(b, 6), round(avgdl, 3))
+               round(k1, 6), round(b, 6), round(avgdl, 3),
+               require_match, force_probes)
         self._enqueue(key, req)
         if req.clipped:
             return None
-        return req.total, req.ids, req.scores
+        return req.total, req.ids, req.scores, req.pre
 
     def submit_sparse(self, d_off: int, d_len: int,
                       sp_off: List[int], sp_len: List[int],
@@ -253,7 +259,7 @@ class MicroBatcher:
         from ..ops.verify_ops import NEEDLE_CAP
         idx = self.idx
         (_, _sid, C, Nn, limit_b, descending, score_mode, nonoverlap,
-         k1, b_, avgdl) = key
+         k1, b_, avgdl, require_match) = key
         store = q[0].sparse["store"]
         # the text-window workspace is B*C*maxT*4 bytes; chunk the flush so
         # one dispatch never exceeds ~512MB of HBM scratch
@@ -282,13 +288,15 @@ class MicroBatcher:
                 idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
                 idx.deleted, extra, store, C, limit_b, ndl, nlens,
                 descending=descending, idf=idf, k1=k1, b=b_, avgdl=avgdl,
-                score_mode=score_mode, nonoverlap=nonoverlap)
+                score_mode=score_mode, nonoverlap=nonoverlap,
+                require_match=require_match)
             pre, count, ids = out[0], out[1], out[2]
             scores = out[3] if score_mode else None
             self.batches_executed += 1
             self.queries_batched += B
             for i, r in enumerate(chunk):
                 r.clipped = int(pre[i]) > C
+                r.pre = int(pre[i])
                 r.total = int(count[i])
                 r.ids = ids[i]
                 r.scores = scores[i] if scores is not None else None
@@ -300,7 +308,8 @@ class MicroBatcher:
         from ..ops.verify_ops import NEEDLE_CAP
         idx = self.idx
         (_, _sid, C, Cmax, Ks, Kd, Nn, limit_b, descending, Kv, maxT,
-         score_mode, nonoverlap, k1, b_, avgdl) = key
+         score_mode, nonoverlap, k1, b_, avgdl, require_match,
+         force_probes) = key
         store = q[0].sparse["store"]
         # compaction (Kv) bounds the text workspace; the candidate probe
         # matrix (C x Cmax compares) bounds the rest
@@ -339,13 +348,17 @@ class MicroBatcher:
                 store, C, Cmax, limit_b, ndl, nlens, idx.n_words,
                 descending, Kv=Kv, maxT=maxT, idf=idf, k1=k1, b=b_,
                 avgdl=avgdl, score_mode=score_mode, nonoverlap=nonoverlap,
-                use_dense_probes=False)  # needles cover every gram
+                # needles cover every gram, so the verify subsumes probes —
+                # unless the caller needs pre = exact AND count (score df)
+                use_dense_probes=force_probes,
+                require_match=require_match)
             pre, count, ids = out[0], out[1], out[2]
             scores = out[3] if score_mode else None
             self.batches_executed += 1
             self.queries_batched += B
             for i, r in enumerate(chunk):
                 r.clipped = int(pre[i]) > Kv
+                r.pre = int(pre[i])
                 r.total = int(count[i])
                 r.ids = ids[i]
                 r.scores = scores[i] if scores is not None else None

@@ -452,6 +452,59 @@ class TestFusedSparseVerified:
         assert out.results.tolist() == out2.results.tolist()
 
 
+class TestFusedScorePath:
+    """SORT _score single-term queries must complete in ONE dispatch with
+    IDF derived from the kernel's pre-verify AND count (== the reference's
+    SearchAnd(ngrams).size() term df, search_pipeline.cpp:453-455)."""
+
+    def test_single_term_score_one_dispatch(self, fused_env):
+        pipe, ctx = fused_env
+        from mygramdb_tpu.ops import runtime
+        run(pipe, 'SEARCH articles fox SORT _score DESC LIMIT 15')  # warm
+        before = runtime.dispatches.count
+        out = run(pipe, 'SEARCH articles fox SORT _score DESC LIMIT 15',
+                  debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        assert runtime.dispatches.count - before == 1
+        # parity vs the general (multi-dispatch) path, same df source
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles fox SORT _score DESC LIMIT 15')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        np.testing.assert_allclose(out.scores, out2.scores, rtol=2e-4)
+
+    def test_score_without_verify_keeps_gram_matches(self):
+        # verify_text=ascii + a CJK query term: verification does NOT
+        # apply, so scoring must keep every gram match (require_match
+        # False) exactly like the general path does
+        cfg2 = dict(CFG)
+        cfg2["memory"] = {"verify_text": "ascii"}
+        ctx, cfg = make_ctx(cfg2, 1, docs=[])
+        rng = np.random.default_rng(9)
+        vocab = ["東京都", "京都府", "大阪市", "東大阪", "横浜"]
+        for i in range(1, 401):
+            n = int(rng.integers(2, 6))
+            ctx.add_row(str(i), "".join(rng.choice(vocab, size=n)),
+                        {"status": 1, "score": 1.0, "category": "c"})
+        ctx.optimize()
+        pipe = SearchPipeline(ctx, cfg)
+        out = run(pipe, 'SEARCH articles 東京都 SORT _score DESC LIMIT 30',
+                  debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, 'SEARCH articles 東京都 SORT _score DESC LIMIT 30')
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        np.testing.assert_allclose(out.scores, out2.scores, rtol=2e-4)
+        # plain SEARCH (no score) must agree on the unverified total:
+        # 東大阪+京都府 contains 東大 and 大阪... the gram AND set is the
+        # semantic result set when verification doesn't apply
+        o3 = run(pipe, 'SEARCH articles 東京都 LIMIT 0')
+        assert o3.total == out.total
+
+
 class TestDeviceTextFreshness:
     """A packed DeviceTextStore that predates the current device segment
     must never be consulted (regression: dump-triggered compaction moved a
