@@ -162,7 +162,7 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
 @functools.partial(jax.jit, static_argnames=(
     "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
     "n_words", "cap", "nonoverlap", "use_dense_probes",
-    "check_tombstones", "require_match"))
+    "check_tombstones", "require_match", "use_range"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
                                      dn_rows, dn_inv,
@@ -175,7 +175,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      cap: int, nonoverlap: bool = False,
                                      use_dense_probes: bool = True,
                                      check_tombstones: bool = True,
-                                     require_match: bool = True):
+                                     require_match: bool = True,
+                                     use_range: bool = True):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -248,7 +249,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             sel, codepoints, offsets, lengths, ndl_set, nlen_set,
             idf_row, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
             descending=descending, score_mode=score_mode,
-            nonoverlap=nonoverlap, require_match=require_match)
+            nonoverlap=nonoverlap, require_match=require_match,
+            use_range=use_range)
         return pre, count, ids_out, scores
 
     pre, count, ids_out, scores = jax.vmap(one)(
@@ -260,6 +262,20 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
 def _zero_idf(B, Nn):
     import numpy as np
     return np.zeros((B, Nn), dtype=np.float32)
+
+
+def _needles_need_range(text_store, needles) -> bool:
+    """True when the in-range window mask is REQUIRED for correctness:
+    only when the pack is uint16 and a needle code point clamps to the
+    0xFFFF padding sentinel (the clamped cell would otherwise match the
+    sentinel fill past doc end). uint32 packs use a non-codepoint
+    sentinel, so the mask is always redundant there — skipping it saves
+    a doc_len recovery pass plus a (C, maxT) mask per needle."""
+    import numpy as np
+    if getattr(text_store, "dtype", None) != np.uint16:
+        return False
+    mx = int(np.max(needles)) if np.size(needles) else 0
+    return mx >= 0xFFFF
 
 
 def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
@@ -302,7 +318,8 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         descending=descending, score_mode=score_mode, n_words=n_words,
         cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
         nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
-        check_tombstones=check_tombstones, require_match=require_match)
+        check_tombstones=check_tombstones, require_match=require_match,
+        use_range=_needles_need_range(text_store, needles))
     pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
         return pre, count, ids, scores
@@ -339,7 +356,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         descending=descending, score_mode=score_mode, use_pallas=use_pallas,
         cap=needle_cap_bucket(int(np.max(needle_lens))
                               if np.max(needle_lens) > 0 else 1),
-        nonoverlap=nonoverlap, require_match=require_match)
+        nonoverlap=nonoverlap, require_match=require_match,
+        use_range=_needles_need_range(text_store, needles))
     pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
         return pre, count, ids, scores

@@ -167,14 +167,18 @@ class DeviceTextStore:
         # text lengths host-side (maxT column-slice buckets) with no pull
         self.offsets = jax.device_put(offsets, device)
         self.lengths = jax.device_put(lengths, device)
-        if capacity * self.maxT * itemsize <= _PADDED_BUDGET_BYTES:
-            # build the (capacity, maxT) padded layout ON DEVICE from the
-            # flat pack: host->HBM transfer is the flat bytes only (~3x
-            # less than shipping the padded matrix — at 1.1M docs that is
-            # the dominant text-store build cost on tunneled backends)
+        rowT = self.maxT + NEEDLE_CAP
+        if capacity * rowT * itemsize <= _PADDED_BUDGET_BYTES:
+            # build the (capacity, maxT + NEEDLE_CAP) padded layout ON
+            # DEVICE from the flat pack: host->HBM transfer is the flat
+            # bytes only (~3x less than shipping the padded matrix — at
+            # 1.1M docs that is the dominant text-store build cost on
+            # tunneled backends). The NEEDLE_CAP sentinel columns are
+            # baked in so the window kernels row-gather a ready tile
+            # (no per-dispatch concat pass; see _gather_text_padded)
             flat_dev = jax.device_put(flat, device)
             self.codepoints = _pad_on_device(
-                flat_dev, self.offsets, self.lengths, self.maxT,
+                flat_dev, self.offsets, self.lengths, rowT,
                 np.asarray(sentinel, dtype=self.dtype))
             self.codepoints.block_until_ready()
             del flat_dev
@@ -237,6 +241,13 @@ class DeviceTextStore:
             mask[device_ok] = self._verify_device(dev_ids, needles)
         return mask
 
+    def _needles_need_range(self, ndl: np.ndarray) -> bool:
+        """In-range window mask needed only when a needle code point
+        clamps to the uint16 padding sentinel (see fused._needles_need_
+        range); skipping it drops a doc_len pass + per-needle mask."""
+        return (self.dtype == np.uint16 and ndl.size > 0
+                and int(ndl.max()) >= 0xFFFF)
+
     def _verify_device(self, ids: np.ndarray,
                        needles: List[str]) -> np.ndarray:
         Nn = len(needles)
@@ -258,7 +269,8 @@ class DeviceTextStore:
                 self.codepoints, self.offsets, self.lengths,
                 jnp.asarray(padded), jnp.asarray(ndl), jnp.asarray(nlens),
                 C=C, maxT=self._chunk_maxT(chunk), Nn=Nn,
-                cap=needle_cap_bucket(int(nlens.max())))
+                cap=needle_cap_bucket(int(nlens.max())),
+                use_range=self._needles_need_range(ndl))
             out[pos:pos + chunk.size] = np.asarray(m)[:chunk.size]
             pos += chunk.size
         return out
@@ -304,7 +316,8 @@ class DeviceTextStore:
                     self.codepoints, self.offsets, self.lengths,
                     jnp.asarray(padded), jnp.asarray(ndl),
                     jnp.asarray(nlens), C=C, maxT=self._chunk_maxT(chunk),
-                    Nn=Nn, cap=needle_cap_bucket(int(nlens.max())))
+                    Nn=Nn, cap=needle_cap_bucket(int(nlens.max())),
+                    use_range=self._needles_need_range(ndl))
                 dev_out[pos:pos + chunk.size] = \
                     np.asarray(m)[:chunk.size]
                 pos += chunk.size
