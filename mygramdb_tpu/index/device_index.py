@@ -701,7 +701,8 @@ class DeviceIndex:
                             k1: float = 1.2, b: float = 0.75,
                             avgdl: float = 1.0, nonoverlap: bool = False,
                             require_match: bool = True,
-                            force_probes: bool = False):
+                            force_probes: bool = False,
+                            extra_words=()):
         """One-dispatch verified AND over a DeviceTextStore:
         (total, ids, scores, pre) with total = VERIFIED match count and
         pre = the pre-verify gram-AND match count (the reference's
@@ -716,7 +717,10 @@ class DeviceIndex:
         require_match=False keeps unverified candidates in score mode
         (non-verify_text scoring). force_probes=True disables the
         probeless shortcut so pre is the exact AND count (score mode
-        needs it for IDF; plain verify mode doesn't)."""
+        needs it for IDF; plain verify mode doesn't). extra_words:
+        EQ-filter bitmap word rows AND'ed into the candidate mask
+        (reference ApplyFiltersWithBitmap) — filters ride the same
+        dispatch; they are never subsumed by the window verify."""
         from ..ops import fused as fused_ops
         dense_rows, sparse_tids = self.classify(list(tids))
         idf_row = (np.zeros(needles.shape[0], dtype=np.float32)
@@ -766,7 +770,8 @@ class DeviceIndex:
                     text_store, C, Cmax, lb, descending,
                     Kv=Kv, maxT=maxT, score_mode=score_mode, idf=idf_row,
                     k1=k1, b=b, avgdl=avgdl, nonoverlap=nonoverlap,
-                    require_match=require_match, force_probes=force_probes)
+                    require_match=require_match, force_probes=force_probes,
+                    extra=tuple(extra_words))
             out = fused_ops.sparse_search_verify_topn_batch(
                 self.postings, self.bitmaps, self.deleted,
                 np.asarray([self.offsets32[driver]], dtype=np.int32),
@@ -781,7 +786,9 @@ class DeviceIndex:
                 idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
                 score_mode=score_mode, nonoverlap=nonoverlap,
                 use_dense_probes=force_probes,
-                require_match=require_match)
+                require_match=require_match,
+                extra=(self._pack_extra(list(extra_words))
+                       if extra_words else None))
             pre, count, ids = out[0], out[1], out[2]
             if int(pre[0]) > Kv:
                 return None  # compaction clipped: exact path re-runs
@@ -808,15 +815,16 @@ class DeviceIndex:
                 rows, needles, needle_lens, text_store, C, lb, descending,
                 score_mode=score_mode, idf=idf_row, k1=k1, b=b,
                 avgdl=avgdl, nonoverlap=nonoverlap,
-                require_match=require_match)
+                require_match=require_match, extra=tuple(extra_words))
         out = fused_ops.search_verify_topn_batch(
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([[self.zeros_row]], dtype=jnp.int32),
-            self.deleted, self._pack_extra([]), text_store, C, lb,
+            self.deleted, self._pack_extra(list(extra_words)),
+            text_store, C, lb,
             needles[None], needle_lens[None], descending, maxT=maxT,
             idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
             score_mode=score_mode, nonoverlap=nonoverlap,
-            require_match=require_match)
+            require_match=require_match, has_extra=bool(extra_words))
         pre, count, ids = out[0], out[1], out[2]
         if int(pre[0]) > C:
             return None  # extraction clipped: exact path re-runs

@@ -120,7 +120,7 @@ def _unpack_out(arr, n: int, score_mode: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "Kv", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
-    "cap", "nonoverlap", "require_match", "use_range"))
+    "cap", "nonoverlap", "require_match", "use_range", "has_extra"))
 def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
                               needles, needle_lens, idf, k1, b, avgdl,
@@ -129,7 +129,8 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               use_pallas: bool, cap: int = NEEDLE_CAP,
                               nonoverlap: bool = False,
                               require_match: bool = True,
-                              use_range: bool = True):
+                              use_range: bool = True,
+                              has_extra: bool = False):
     """Batched dense-driver fused verified search: B queries, each with its
     OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
     needle_lens: (B, Nn); idf: (B, Nn) f32.
@@ -138,11 +139,11 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     The dense AND result words are compacted to the first C matching ids
     (ascending); pre > C means the extraction clipped and the caller must
     fall back (its verified count would be under-reported)."""
-    if use_pallas:
+    if use_pallas and not has_extra:
         _, res = dense_query_pallas(bitmaps, rows, deleted)
     else:
         _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
-                             has_not=False, has_extra=False)
+                             has_not=False, has_extra=has_extra)
     cand, pre = _topn_hierarchical(res, C, False)  # (B, C) asc, -1 pad
 
     def one(cand_row, ndl_set, nlen_set, idf_row):
@@ -162,10 +163,10 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
 @functools.partial(jax.jit, static_argnames=(
     "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
     "n_words", "cap", "nonoverlap", "use_dense_probes",
-    "check_tombstones", "require_match", "use_range"))
+    "check_tombstones", "require_match", "use_range", "has_extra"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
-                                     dn_rows, dn_inv,
+                                     dn_rows, dn_inv, extra,
                                      codepoints, offsets, lengths,
                                      needles, needle_lens,
                                      idf, k1, b, avgdl,
@@ -176,7 +177,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      use_dense_probes: bool = True,
                                      check_tombstones: bool = True,
                                      require_match: bool = True,
-                                     use_range: bool = True):
+                                     use_range: bool = True,
+                                     has_extra: bool = False):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -224,6 +226,13 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         mask = cmask
         if check_tomb:
             mask = mask & jnp.logical_not(bit_member(deleted, clip))
+        if has_extra:
+            # EQ-filter bitmap rows (shared across the batch: the
+            # micro-batcher groups by filter identity) AND into the
+            # candidate mask — filters are NOT subsumed by the window
+            # verify, so they apply even in probeless mode
+            for f in range(extra.shape[0]):
+                mask = mask & bit_member(extra[f], clip)
         if not probeless:
             if compare_all:
                 # probe by fused broadcast equality (vectorizes on the
@@ -291,9 +300,12 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                     nonoverlap: bool = False,
                                     use_dense_probes: bool = True,
                                     check_tombstones: bool = True,
-                                    require_match: bool = True):
+                                    require_match: bool = True,
+                                    extra=None):
     """numpy wrapper; see _sparse_search_verify_topn_batch.
 
+    extra: optional (F, W) EQ-filter word rows AND'ed into every lane's
+    candidate mask (shared across the batch).
     -> (pre, count, ids[, scores if score_mode]). Entries with
     pre > Kv clipped compaction: their count/ids are invalid and the
     caller must re-run those queries on the exact path."""
@@ -304,12 +316,15 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
     B = d_off.shape[0] if hasattr(d_off, "shape") else len(d_off)
     if idf is None:
         idf = _zero_idf(B, needles.shape[1])
+    has_extra = extra is not None
+    if extra is None:
+        extra = jnp.zeros((1, 1), dtype=jnp.uint32)
     runtime.dispatches.bump()
     packed = _sparse_search_verify_topn_batch(
         postings, bitmaps, deleted,
         jnp.asarray(d_off), jnp.asarray(d_len),
         jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
-        jnp.asarray(dn_rows), jnp.asarray(dn_inv),
+        jnp.asarray(dn_rows), jnp.asarray(dn_inv), extra,
         text_store.codepoints, text_store.offsets, text_store.lengths,
         jnp.asarray(needles), jnp.asarray(needle_lens),
         jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
@@ -319,7 +334,8 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
         nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
         check_tombstones=check_tombstones, require_match=require_match,
-        use_range=_needles_need_range(text_store, needles))
+        use_range=_needles_need_range(text_store, needles),
+        has_extra=has_extra)
     pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
         return pre, count, ids, scores
@@ -333,7 +349,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                              b: float = 0.75, avgdl: float = 1.0,
                              score_mode: bool = False,
                              nonoverlap: bool = False,
-                             require_match: bool = True):
+                             require_match: bool = True,
+                             has_extra: bool = False):
     """One-dispatch batched dense-driver verified search.
     Returns numpy (pre, counts, ids[, scores]); pre > cand_bucket means
     the extraction clipped (caller falls back for that query)."""
@@ -357,7 +374,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         cap=needle_cap_bucket(int(np.max(needle_lens))
                               if np.max(needle_lens) > 0 else 1),
         nonoverlap=nonoverlap, require_match=require_match,
-        use_range=_needles_need_range(text_store, needles))
+        use_range=_needles_need_range(text_store, needles),
+        has_extra=has_extra)
     pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
     if score_mode:
         return pre, count, ids, scores

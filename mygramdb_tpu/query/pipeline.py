@@ -462,11 +462,16 @@ class SearchPipeline:
     def _try_fused_verified(self, query: Query, dbg: DebugInfo):
         if query.type not in (QueryType.SEARCH, QueryType.COUNT):
             return None
-        if query.fuzzy_max_distance is not None or query.not_terms or \
-                query.filters:
+        if query.fuzzy_max_distance is not None or query.not_terms:
             return None
         if contains_boolean_syntax(query.search_text) or \
                 self._synonyms_apply(query):
+            return None
+        # bitmap-EQ filters ride the fused dispatch as extra AND rows
+        # (reference ApplyFiltersWithBitmap); any other filter shape
+        # needs the host path
+        extra = self._device_eq_filters(query)
+        if extra is None:
             return None
         dev_text = self.ctx.fresh_device_text()
         if dev_text is None or dev_text._overflow:
@@ -527,7 +532,9 @@ class SearchPipeline:
         force_probes = False
         idf_scale_from_pre = False
         if score_mode:
-            if len(terms) == 1:
+            if len(terms) == 1 and not extra:
+                # (with filters, pre includes the filter mask — not the
+                # term's corpus df — so the idf-from-pre shortcut is off)
                 # single term: its df IS the query's pre-verify AND count
                 # (the reference's SearchAnd(ngrams).size(),
                 # search_pipeline.cpp:453-455), which the fused kernel
@@ -551,12 +558,17 @@ class SearchPipeline:
                 idf[:idf_t.shape[0]] = idf_t
         # dense or sparse driver: one dispatch, batched when possible;
         # None => no fused shape / match set exceeded the verify width
-        out_sv = device.search_and_verified(
-            tids, dev_text, ndl_p, nlens_p, n_b, desc,
-            score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
-            b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
-            nonoverlap=nonoverlap, require_match=require_match,
-            force_probes=force_probes)
+        try:
+            out_sv = device.search_and_verified(
+                tids, dev_text, ndl_p, nlens_p, n_b, desc,
+                score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
+                b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
+                nonoverlap=nonoverlap, require_match=require_match,
+                force_probes=force_probes, extra_words=extra)
+        except Exception:
+            if extra:
+                return None  # raced a segment swap; exact path re-runs
+            raise
         if out_sv is None:
             return None
         total, ids, scores, pre = out_sv

@@ -119,20 +119,23 @@ class MicroBatcher:
                             descending: bool, score_mode: bool = False,
                             idf=None, k1: float = 1.2, b: float = 0.75,
                             avgdl: float = 1.0, nonoverlap: bool = False,
-                            require_match: bool = True):
+                            require_match: bool = True, extra=()):
         """Blocking submit of a fused verified search (PK order or BM25
         score order). needles: (Nn, CAP) uint32 already padded to the Nn
-        bucket. Returns (total, ids, scores, pre) or None when the match
-        set exceeded the extraction width (caller re-runs exact)."""
+        bucket. extra: shared EQ-filter word rows (grouped by identity —
+        queries with the same filter value batch together). Returns
+        (total, ids, scores, pre) or None when the match set exceeded the
+        extraction width (caller re-runs exact)."""
         if len(dense_rows) > MAX_K:
             raise ValueError(
                 f"micro-batch supports at most {MAX_K} dense rows")
         req = _Request(rows=list(dense_rows), sparse={
             "needles": needles, "nlens": needle_lens, "store": text_store,
-            "idf": idf})
+            "idf": idf, "extra": extra})
         key = ("fusedv", id(text_store), C, needles.shape[0],
                limit_b, descending, score_mode, nonoverlap,
-               round(k1, 6), round(b, 6), round(avgdl, 3), require_match)
+               round(k1, 6), round(b, 6), round(avgdl, 3), require_match,
+               tuple(id(x) for x in extra))
         self._enqueue(key, req)
         if req.clipped:
             return None
@@ -148,22 +151,25 @@ class MicroBatcher:
                                    b: float = 0.75, avgdl: float = 1.0,
                                    nonoverlap: bool = False,
                                    require_match: bool = True,
-                                   force_probes: bool = False):
+                                   force_probes: bool = False,
+                                   extra=()):
         """Blocking submit of a sparse-driver fused verified search.
-        Returns (total, ids, scores, pre) or None when the match set
-        exceeded the verify compaction width Kv (caller re-runs exact)."""
+        extra: shared EQ-filter word rows (grouped by identity). Returns
+        (total, ids, scores, pre) or None when the match set exceeded
+        the verify compaction width Kv (caller re-runs exact)."""
         req = _Request(rows=[], sparse={
             "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
             "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
             "dn_inv": dn_inv, "needles": needles, "nlens": needle_lens,
-            "store": text_store, "idf": idf})
+            "store": text_store, "idf": idf, "extra": extra})
         Kv = Kv or min(C, 4096)
         maxT = maxT or text_store.maxT
         key = ("fusedsv", id(text_store), C, Cmax, len(sp_off),
                len(dn_rows), needles.shape[0], limit_b, descending,
                Kv, maxT, score_mode, nonoverlap,
                round(k1, 6), round(b, 6), round(avgdl, 3),
-               require_match, force_probes)
+               require_match, force_probes,
+               tuple(id(x) for x in extra))
         self._enqueue(key, req)
         if req.clipped:
             return None
@@ -259,7 +265,7 @@ class MicroBatcher:
         from ..ops.verify_ops import NEEDLE_CAP
         idx = self.idx
         (_, _sid, C, Nn, limit_b, descending, score_mode, nonoverlap,
-         k1, b_, avgdl, require_match) = key
+         k1, b_, avgdl, require_match, _extra_ids) = key
         store = q[0].sparse["store"]
         # the text-window workspace is B*C*maxT*4 bytes; chunk the flush so
         # one dispatch never exceeds ~512MB of HBM scratch
@@ -283,13 +289,15 @@ class MicroBatcher:
                 if r.sparse.get("idf") is not None:
                     idf[i] = r.sparse["idf"]
             nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
-            extra = idx._pack_extra([])
+            # filter rows are identical across the batch (grouped by key)
+            extra_rows = list((q[0].sparse or {}).get("extra", ()))
+            extra = idx._pack_extra(extra_rows)
             out = fused_ops.search_verify_topn_batch(
                 idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
                 idx.deleted, extra, store, C, limit_b, ndl, nlens,
                 descending=descending, idf=idf, k1=k1, b=b_, avgdl=avgdl,
                 score_mode=score_mode, nonoverlap=nonoverlap,
-                require_match=require_match)
+                require_match=require_match, has_extra=bool(extra_rows))
             pre, count, ids = out[0], out[1], out[2]
             scores = out[3] if score_mode else None
             self.batches_executed += 1
@@ -309,7 +317,7 @@ class MicroBatcher:
         idx = self.idx
         (_, _sid, C, Cmax, Ks, Kd, Nn, limit_b, descending, Kv, maxT,
          score_mode, nonoverlap, k1, b_, avgdl, require_match,
-         force_probes) = key
+         force_probes, _extra_ids) = key
         store = q[0].sparse["store"]
         # compaction (Kv) bounds the text workspace; the candidate probe
         # matrix (C x Cmax compares) bounds the rest
@@ -342,6 +350,7 @@ class MicroBatcher:
                 nlens[i] = s["nlens"]
                 if s.get("idf") is not None:
                     idf[i] = s["idf"]
+            extra_rows = list((q[0].sparse or {}).get("extra", ()))
             out = fused_ops.sparse_search_verify_topn_batch(
                 idx.postings, idx.bitmaps, idx.deleted,
                 d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
@@ -351,7 +360,9 @@ class MicroBatcher:
                 # needles cover every gram, so the verify subsumes probes —
                 # unless the caller needs pre = exact AND count (score df)
                 use_dense_probes=force_probes,
-                require_match=require_match)
+                require_match=require_match,
+                extra=(idx._pack_extra(extra_rows) if extra_rows
+                       else None))
             pre, count, ids = out[0], out[1], out[2]
             scores = out[3] if score_mode else None
             self.batches_executed += 1

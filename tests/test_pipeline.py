@@ -505,6 +505,62 @@ class TestFusedScorePath:
         assert o3.total == out.total
 
 
+class TestFusedFilteredVerified:
+    """FILTER col = v on a bitmap column must ride the fused verified
+    dispatch as an extra AND row (reference ApplyFiltersWithBitmap,
+    search_pipeline.cpp:785-793) — one dispatch, same results as the
+    host post-mask path."""
+
+    def test_filter_eq_one_dispatch_parity(self, fused_env):
+        pipe, ctx = fused_env
+        from mygramdb_tpu.ops import runtime
+        q = 'SEARCH articles "quick brown" FILTER status = 1 LIMIT 50'
+        run(pipe, q)  # warm
+        before = runtime.dispatches.count
+        out = run(pipe, q, debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        assert runtime.dispatches.count - before == 1
+        # parity: general path (forced by a delta doc)
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, q)
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+
+    def test_filter_eq_score_parity(self, fused_env):
+        pipe, ctx = fused_env
+        q = 'SEARCH articles quick FILTER status = 2 ' \
+            'SORT _score DESC LIMIT 25'
+        out = run(pipe, q, debug=True)
+        assert out.debug.optimization_used == "device_fused_verify"
+        ctx.index.add_document(10**6, "decoy zzz")
+        out2 = run(pipe, q)
+        ctx.index.remove_document(10**6)
+        assert out.total == out2.total
+        assert out.results.tolist() == out2.results.tolist()
+        np.testing.assert_allclose(out.scores, out2.scores, rtol=2e-4)
+
+    def test_filter_eq_no_match_value(self, fused_env):
+        pipe, _ = fused_env
+        out = run(pipe, 'SEARCH articles quick FILTER status = 77 LIMIT 5',
+                  debug=True)
+        assert out.total == 0 and out.results.size == 0
+
+    def test_non_eq_filter_falls_back(self, fused_env):
+        pipe, _ = fused_env
+        out = run(pipe,
+                  'SEARCH articles "quick brown" FILTER status > 0 LIMIT 50',
+                  debug=True)
+        assert out.debug.optimization_used == ""
+        out2 = run(pipe,
+                   'SEARCH articles "quick brown" FILTER status = 1 '
+                   'LIMIT 50')
+        out3 = run(pipe,
+                   'SEARCH articles "quick brown" FILTER status = 2 '
+                   'LIMIT 50')
+        assert out.total == out2.total + out3.total
+
+
 class TestDeviceTextFreshness:
     """A packed DeviceTextStore that predates the current device segment
     must never be consulted (regression: dump-triggered compaction moved a
