@@ -221,9 +221,9 @@ def main() -> int:
         pack_secs = time.time() - t0
         B = min(args.batch, 64)
         ja_q = gen.sample_ja_terms(B * 60)
-        C = 4096       # candidate bucket (driver df bound)
+        C_LIMIT = 4096     # largest fused candidate bucket
         Ks, Kd = 8, 8
-        payload = []   # per-query sparse-driver arrays
+        payload = []   # per-query sparse-driver arrays (+ natural C bucket)
         q_terms = []
         for term in ja_q:
             g = sorted(set(grams_of(term)))
@@ -235,7 +235,7 @@ def main() -> int:
                 continue  # dense-only CJK terms keep the dense fused path
             sparse = sorted(sparse, key=lambda t: int(idx.lengths[t]))
             dlen = int(idx.lengths[sparse[0]])
-            if dlen == 0 or idx._cand_bucket(dlen) > C:
+            if dlen == 0 or idx.verify_cand_bucket(dlen) > C_LIMIT:
                 continue
             cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
             if cp.size > NEEDLE_CAP:
@@ -255,76 +255,105 @@ def main() -> int:
             nlen[0] = cp.size
             payload.append((int(idx.offsets32[sparse[0]]), dlen, sp_off,
                             sp_len, sp_inv, dn, dn_inv, ndl, nlen,
-                            sparse[0]))
+                            sparse[0], idx.verify_cand_bucket(dlen)))
             q_terms.append(term)
-            if len(payload) == B:
+            if len(payload) == B * 8:
                 break
-        while len(payload) < B:
-            payload.append(payload[len(payload) % max(len(payload), 1)])
-        d_off = np.asarray([p[0] for p in payload], dtype=np.int32)
-        d_len = np.asarray([p[1] for p in payload], dtype=np.int32)
-        sp_off = np.asarray([p[2] for p in payload], dtype=np.int32)
-        sp_len = np.asarray([p[3] for p in payload], dtype=np.int32)
-        sp_inv = np.asarray([p[4] for p in payload], dtype=bool)
-        dn_rows = np.asarray([p[5] for p in payload], dtype=np.int32)
-        dn_inv = np.asarray([p[6] for p in payload], dtype=bool)
-        ndl_j = np.stack([p[7] for p in payload])
-        nlen_j = np.stack([p[8] for p in payload])
-        Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
-        # per-batch maxT bucket from driver-term doc-length bounds (the
-        # planner computes this per query; one batch shares the max)
-        Kv = min(C, idx._KV_BUCKET)
-        maxT = 1
-        for p in payload:
-            drv = p[9]
-            maxT = max(maxT, idx.verify_maxT(dev_text, drv))
+        # group by natural candidate bucket — EXACTLY what the serving
+        # micro-batcher does (its shape key includes C), so per-bucket
+        # batches mirror production dispatch shapes; a flat C=4096 for
+        # every query would overstate the kernel work of the short-df
+        # majority by up to 8x
+        groups = {}
+        for p, term in zip(payload, q_terms):
+            groups.setdefault(p[10], []).append((p, term))
+        bucket_hist = {str(k): len(v) for k, v in sorted(groups.items())}
 
-        def vstep(_):
-            return fused_ops.sparse_search_verify_topn_batch(
-                idx.postings, idx.bitmaps, idx.deleted,
-                d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
-                dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words,
-                Kv=Kv, maxT=maxT, use_dense_probes=False)
+        def mk_vstep(items, C):
+            rep = [items[i % len(items)][0] for i in range(B)]
+            d_off = np.asarray([p[0] for p in rep], dtype=np.int32)
+            d_len = np.asarray([p[1] for p in rep], dtype=np.int32)
+            sp_off = np.asarray([p[2] for p in rep], dtype=np.int32)
+            sp_len = np.asarray([p[3] for p in rep], dtype=np.int32)
+            sp_inv = np.asarray([p[4] for p in rep], dtype=bool)
+            dn_rows = np.asarray([p[5] for p in rep], dtype=np.int32)
+            dn_inv = np.asarray([p[6] for p in rep], dtype=bool)
+            ndl_j = np.stack([p[7] for p in rep])
+            nlen_j = np.stack([p[8] for p in rep])
+            Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
+            Kv = min(C, idx._KV_BUCKET)
+            maxT = max(idx.verify_maxT(dev_text, p[9]) for p in rep)
 
-        pre, counts, topids = vstep(0)
-        n_clipped = int(np.sum(pre > Kv))
-        vstep(0)
-        lat = []
-        for _ in range(8):
-            t0 = time.perf_counter()
+            def vstep(_):
+                return fused_ops.sparse_search_verify_topn_batch(
+                    idx.postings, idx.bitmaps, idx.deleted,
+                    d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
+                    dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words,
+                    Kv=Kv, maxT=maxT, use_dense_probes=False)
+            return vstep, Kv, maxT
+
+        per_bucket = {}
+        steps = []        # (vstep, weight) mixed-workload closures
+        n_clipped = 0
+        parity_sets = []  # (terms, pre, counts, topids, Kv)
+        for Cb, items in sorted(groups.items()):
+            vstep, Kv, maxT = mk_vstep(items, Cb)
+            pre, counts, topids = vstep(0)
+            n_clipped += int(np.sum(pre > Kv))
+            parity_sets.append((
+                [items[i % len(items)][1] for i in range(B)],
+                pre, counts, topids, Kv))
             vstep(0)
-            lat.append(time.perf_counter() - t0)
-        lat.sort()
+            lat = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                vstep(0)
+                lat.append(time.perf_counter() - t0)
+            lat.sort()
+            per_bucket[str(Cb)] = {
+                "n_queries": len(items),
+                "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
+                "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
+            }
+            steps.extend([vstep] * max(1, len(items) * 16 // len(payload)))
+        # mixed-workload throughput: threads draw per-bucket batches in
+        # proportion to the bucket's share of the query stream
         ex = ThreadPoolExecutor(args.threads)
-        list(ex.map(vstep, range(args.threads)))
+        list(ex.map(lambda i: steps[i % len(steps)](i),
+                    range(args.threads)))
         nb = args.threads * 6
         t0 = time.perf_counter()
-        list(ex.map(vstep, range(nb)))
+        list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
         wall = time.perf_counter() - t0
         ex.shutdown(wait=False)
+        # stream-weighted single-flight p50 (what one query experiences)
+        wsum = sum(per_bucket[k]["n_queries"] * per_bucket[k][
+            "p50_per_query_us"] for k in per_bucket)
+        wtot = max(sum(per_bucket[k]["n_queries"] for k in per_bucket), 1)
         res_verified = {
             "qps": round(nb * B / wall, 1),
-            "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
-            "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
+            "p50_per_query_us": round(wsum / wtot, 1),
             "text_pack_secs": round(pack_secs, 1),
             "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
-            "maxT": maxT, "Kv": Kv, "clipped": n_clipped,
+            "buckets": per_bucket, "bucket_hist": bucket_hist,
+            "clipped": n_clipped,
         }
         # verified parity vs sampled texts: counts must equal substring
-        # ground truth on the sample intersection
-        sample_arr_v = np.asarray(sorted(sample_texts), dtype=np.int64)
-        for qi in range(min(60, len(q_terms))):
-            if int(pre[qi]) > Kv:
-                continue  # compaction clipped: serving re-runs exact path
-            term = q_terms[qi]
-            got_top = set(int(x) for x in topids[qi] if x >= 0)
-            expected = {d for d, tx in sample_texts.items() if term in tx}
-            got_in_sample = got_top & set(sample_arr_v.tolist())
-            # every sampled expected doc in the top-128 range must appear
-            for d in expected:
-                if int(counts[qi]) <= 128 and d not in got_top:
-                    verify_parity_fail += 1
-                    break
+        # ground truth on the sample intersection (checked per bucket)
+        for terms_b, pre, counts, topids, Kv in parity_sets:
+            for qi in range(min(30, len(terms_b))):
+                if int(pre[qi]) > Kv:
+                    continue  # compaction clipped: serving re-runs exact
+                term = terms_b[qi]
+                got_top = set(int(x) for x in topids[qi] if x >= 0)
+                expected = {d for d, tx in sample_texts.items()
+                            if term in tx}
+                # every sampled expected doc in the top-128 range must
+                # appear in the returned top ids
+                for d in expected:
+                    if int(counts[qi]) <= 128 and d not in got_top:
+                        verify_parity_fail += 1
+                        break
 
     # ---------------- sampled brute-force parity ----------------
     parity_fail = 0

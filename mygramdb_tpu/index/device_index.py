@@ -670,6 +670,15 @@ class DeviceIndex:
     # Fused verified search (one dispatch: match + verify + score + top-n)
     # ------------------------------------------------------------------
     _KV_BUCKET = 4096      # verify-compaction width cap (see ops/fused.py)
+    # candidate-width buckets for the fused verify path: finer at the
+    # short end than the general candidate_buckets (2048 min) because
+    # verify work is O(C * maxT * cap) per query — a df-300 CJK driver
+    # at C=2048 pays 4x the compares of C=512. Each bucket is one more
+    # lazily-compiled program (persistent cache makes it one-time).
+    _VERIFY_CAND_BUCKETS = (512, 2048, 4096, 8192, 32768, 65536)
+
+    def verify_cand_bucket(self, n: int) -> int:
+        return _bucket_of(max(n, 1), self._VERIFY_CAND_BUCKETS)
     _VERIFY_WORKSPACE = 512 << 20  # B*C*maxT*4 dense-extract scratch cap
 
     def verify_maxT(self, text_store, driver_tid: Optional[int]) -> int:
@@ -736,7 +745,7 @@ class DeviceIndex:
             dlen = int(self.lengths[driver])
             if dlen == 0:
                 return empty
-            C = self._cand_bucket(dlen)
+            C = self.verify_cand_bucket(dlen)
             if C > self.candidate_buckets[-1]:
                 return None
             Kv = min(C, self._KV_BUCKET)
