@@ -116,10 +116,10 @@ def main() -> int:
     ex = ThreadPoolExecutor(THREADS)
     list(ex.map(full_step, range(THREADS)))  # warm thread paths
     n_batches = THREADS * 8
-    # two measurement passes, best-of: tunnel throughput swings 20-30%
+    # best-of-N measurement passes: tunnel throughput swings 20-35%
     # between identical runs; steady-state capability is the max
     qps = 0.0
-    for _ in range(2):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "3"))):
         t0 = time.perf_counter()
         list(ex.map(full_step, range(n_batches)))
         wall = time.perf_counter() - t0
