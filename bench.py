@@ -83,22 +83,21 @@ def main() -> int:
     extra = idx._pack_extra([])
 
     def step(rows):
-        return bitmap_ops.dense_search_topn(
+        # delta-packed uint16 transport (the serving micro-batcher's
+        # dispatch): one ~(4+n)-u16-per-query pull instead of two int32
+        # pulls — batched throughput is result-pull-bound on tunneled
+        # backends, not device-bound
+        return bitmap_ops.dense_search_topn_packed(
             idx.bitmaps, rows, nrows, idx.deleted, extra,
             False, False, TOPN, True)
 
-    # warmup / compile
+    # warmup / compile (already materialized to host by the packed pull)
     count, ids = step(rows)
-    np.asarray(count), np.asarray(ids)
 
-    # Per-batch latency (materialized to host — block_until_ready alone
-    # under-reports on async tunnel backends)
     lat = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
         count, ids = step(rows)
-        _c = np.asarray(count)
-        _i = np.asarray(ids)
         lat.append(time.perf_counter() - t0)
     lat.sort()
     p50_batch = lat[len(lat) // 2]
@@ -110,8 +109,7 @@ def main() -> int:
     THREADS = int(os.environ.get("BENCH_THREADS", "48"))
 
     def full_step(_):
-        c, i = step(rows)
-        return np.asarray(c), np.asarray(i)
+        return step(rows)  # packed pull already materializes to host
 
     ex = ThreadPoolExecutor(THREADS)
     list(ex.map(full_step, range(THREADS)))  # warm thread paths

@@ -149,10 +149,10 @@ def main() -> int:
         extra = idx._pack_extra([])
 
         def step(_):
-            c, i = bitmap_ops.dense_search_topn(
+            # packed u16 transport — the serving micro-batcher's dispatch
+            return bitmap_ops.dense_search_topn_packed(
                 idx.bitmaps, rows, nrows, idx.deleted, extra,
                 False, False, 128, True)
-            return np.asarray(c), np.asarray(i)
 
         step(0); step(0)  # compile + warm
         lat = []

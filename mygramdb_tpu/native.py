@@ -34,6 +34,7 @@ _c_i64p = ctypes.POINTER(ctypes.c_int64)
 _c_i32p = ctypes.POINTER(ctypes.c_int32)
 _c_u8p = ctypes.POINTER(ctypes.c_uint8)
 _c_u64p = ctypes.POINTER(ctypes.c_uint64)
+_c_u16p = ctypes.POINTER(ctypes.c_uint16)
 
 
 def _candidate_paths() -> List[str]:
@@ -135,6 +136,13 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mg_h2t_insert.argtypes = [ctypes.c_void_p, _c_u64p, _c_i64p,
                                       ctypes.c_int64]
     except AttributeError:  # stale .so without the hash-table entry points
+        pass
+    try:
+        lib.mg_utf8_decode_u16.restype = ctypes.c_int64
+        lib.mg_utf8_decode_u16.argtypes = [_c_u8p, _c_i64p, _c_i64p,
+                                           ctypes.c_int64, _c_u16p,
+                                           ctypes.c_uint16, _c_u8p]
+    except AttributeError:  # stale .so without the decoder entry point
         pass
     _lib = lib
     return _lib
@@ -268,6 +276,31 @@ def radix_finalize(tids: np.ndarray, docs: np.ndarray, V: int,
                           tids.size, V, n_threads,
                           _ptr(postings, _c_i32p), _ptr(lengths, _c_i32p))
     return postings, lengths[:V]
+
+
+def utf8_decode_u16(blob: np.ndarray, byte_off: np.ndarray,
+                    cp_off: np.ndarray, out: np.ndarray,
+                    sentinel: int = 0xFFFF):
+    """One-pass UTF-8 -> UTF-16 corpus decode into a caller-allocated
+    uint16 buffer (see mg_utf8_decode_u16). Returns a per-doc bad-flag
+    uint8 array (non-BMP / malformed docs -> host verify path), or None
+    when the native library lacks the entry point (caller falls back to
+    the Python decode route)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_utf8_decode_u16"):
+        return None
+    n_docs = byte_off.size - 1
+    blob = np.ascontiguousarray(blob, dtype=np.uint8)
+    byte_off = np.ascontiguousarray(byte_off, dtype=np.int64)
+    cp_off = np.ascontiguousarray(cp_off, dtype=np.int64)
+    assert out.dtype == np.uint16 and out.flags.c_contiguous
+    assert out.size >= int(cp_off[-1])
+    bad = np.zeros(max(n_docs, 1), dtype=np.uint8)
+    lib.mg_utf8_decode_u16(_ptr(blob, _c_u8p), _ptr(byte_off, _c_i64p),
+                           _ptr(cp_off, _c_i64p), n_docs,
+                           _ptr(out, _c_u16p), sentinel,
+                           _ptr(bad, _c_u8p))
+    return bad[:n_docs]
 
 
 def intersect_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:

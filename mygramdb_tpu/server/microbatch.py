@@ -245,13 +245,14 @@ class MicroBatcher:
         # identity in the queue key)
         extra_rows = list((q[0].sparse or {}).get("extra", ()))
         extra = idx._pack_extra(extra_rows)
-        # fused search + top-n: one program, one dispatch per batch
-        count, ids = bitmap_ops.dense_search_topn(
+        # fused search + top-n: one program, one dispatch per batch;
+        # delta-packed uint16 transport (ONE ~(4+n)-u16-per-query pull —
+        # the result pull, not device compute, bounds batched throughput
+        # on tunneled backends)
+        count_np, ids_np = bitmap_ops.dense_search_topn_packed(
             idx.bitmaps, jnp.asarray(rows), jnp.asarray(nrows),
             idx.deleted, extra, False, bool(extra_rows), limit_b,
             descending)
-        count_np = np.asarray(count)
-        ids_np = np.asarray(ids)
         self.batches_executed += 1
         self.queries_batched += B
         for i, r in enumerate(q):

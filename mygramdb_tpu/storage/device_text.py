@@ -72,6 +72,9 @@ class DeviceTextStore:
         if frozen is None or frozen.txt_blob is None:
             return cls(doc_store.texts_snapshot(), capacity, device)
         overlay = doc_store.text_overlay()
+        fast = cls._from_frozen_native(frozen, overlay, capacity, device)
+        if fast is not None:
+            return fast
         ov_ids = np.asarray(list(overlay.keys()), dtype=np.int64)
         id_parts: List[np.ndarray] = []
         len_parts: List[np.ndarray] = []
@@ -103,6 +106,92 @@ class DeviceTextStore:
             np.concatenate(flat_parts) if flat_parts else
             np.zeros(0, dtype=np.uint32),
             capacity, device)
+        return obj
+
+    @classmethod
+    def _from_frozen_native(cls, frozen, overlay: Dict[int, str],
+                            capacity: int, device
+                            ) -> Optional["DeviceTextStore"]:
+        """One-pass native pack from the frozen store's UTF-8 blob.
+
+        The Python route (chunked str decode -> uint32 parts -> concat ->
+        astype(uint16)) allocates ~5x the corpus in intermediates; on
+        hosts where first-touch page faults dominate (measured 35 MB/s
+        faulting vs 4.8 GB/s warm) that IS the pack cost — 120 s of the
+        1.1M-doc build. mg_utf8_decode_u16 writes the final uint16 buffer
+        directly; non-BMP / malformed docs flag per-doc and route to the
+        host verify path (same semantics as _build's segmax check).
+        Overlay texts (post-freeze binlog writes) append after the frozen
+        cells and shadow their rows via offsets/lengths — the stale
+        frozen cells are simply never addressed."""
+        if frozen.cp_lens is None or not native.available():
+            return None
+        n = frozen.n
+        cp_lens = frozen.cp_lens
+        cp_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cp_lens, out=cp_off[1:])
+        total = int(cp_off[-1])
+
+        # overlay docs: few (binlog-rate writes since the freeze); encode
+        # in Python and append after the frozen cells
+        ov_ids: List[int] = []
+        ov_cps: List[np.ndarray] = []
+        bad_overlay: List[int] = []
+        for d, t in overlay.items():
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            if cp.size and int(cp.max()) >= _U16_MAX:
+                bad_overlay.append(int(d))
+                continue
+            ov_ids.append(int(d))
+            ov_cps.append(cp.astype(np.uint16))
+        ov_total = sum(c.size for c in ov_cps)
+
+        flat = np.empty(max(total + ov_total, 1), dtype=np.uint16)
+        bad = native.utf8_decode_u16(frozen.txt_blob, frozen.txt_off,
+                                     cp_off, flat, _U16_MAX)
+        if bad is None:  # stale .so without the entry point
+            return None
+
+        obj = cls.__new__(cls)
+        obj.capacity = capacity
+        if n:
+            p99 = int(np.percentile(cp_lens, 99))
+            obj.maxT = next((m for m in _MAXT_CHOICES if m >= p99),
+                            _MAXT_CHOICES[-1])
+        else:
+            obj.maxT = _MAXT_CHOICES[0]
+        obj.dtype = np.uint16
+        lengths = np.zeros(capacity, dtype=np.int32)
+        offsets = np.zeros(capacity, dtype=np.int32)
+        m = min(n, capacity - 1)  # frozen rows are doc ids 1..n
+        lengths[1:m + 1] = cp_lens[:m]
+        offsets[1:m + 1] = cp_off[:m].astype(np.int32)
+        obj._overflow = set()
+        kill = np.flatnonzero((bad[:m] != 0) | (cp_lens[:m] > obj.maxT)) + 1
+        obj._overflow.update(int(d) for d in kill.tolist())
+        obj._overflow.update(range(m + 1, n + 1))
+        lengths[kill] = 0
+        # overlay: append + shadow (or overflow when unpackable)
+        pos = total
+        for d, cp in zip(ov_ids, ov_cps):
+            if d < 1 or d >= capacity or cp.size > obj.maxT:
+                obj._overflow.add(d)
+                if 1 <= d < capacity:
+                    lengths[d] = 0
+                continue
+            flat[pos:pos + cp.size] = cp
+            offsets[d] = pos
+            lengths[d] = cp.size
+            obj._overflow.discard(d)
+            pos += cp.size
+        for d in bad_overlay:
+            obj._overflow.add(d)
+            if 1 <= d < capacity:
+                lengths[d] = 0
+        obj._upload(flat, offsets, lengths, capacity, device, _U16_MAX)
+        # overlay docs shadowing a frozen row replace it, not add to it
+        n_new = sum(1 for d in overlay if not (1 <= int(d) <= n))
+        obj.n_packed = n + n_new - len(obj._overflow)
         return obj
 
     def _build(self, ids_arr: np.ndarray, lens_arr: np.ndarray,
@@ -158,10 +247,16 @@ class DeviceTextStore:
             flat = np.zeros(1, dtype=self.dtype)
         offsets[ids_arr] = starts.astype(np.int32)
         lengths[ids_arr] = lens_arr.astype(np.int32)
-        # padded (N, maxT) layout when it fits the budget: the kernels then
-        # ROW-gather candidate texts (contiguous DMA) instead of C*maxT
-        # element gathers — order-of-magnitude faster at large C. Large
-        # corpora keep the compact flat pack.
+        self._upload(flat, offsets, lengths, capacity, device, sentinel)
+        self.n_packed = int(n_total) - len(self._overflow)
+
+    def _upload(self, flat: np.ndarray, offsets: np.ndarray,
+                lengths: np.ndarray, capacity: int, device,
+                sentinel: int) -> None:
+        """Ship the pack to HBM. Padded (N, maxT) layout when it fits the
+        budget: the kernels then ROW-gather candidate texts (contiguous
+        DMA) instead of C*maxT element gathers — order-of-magnitude
+        faster at large C. Large corpora keep the compact flat pack."""
         itemsize = np.dtype(self.dtype).itemsize
         self.lengths_host = lengths  # numpy copy: planners bound candidate
         # text lengths host-side (maxT column-slice buckets) with no pull
@@ -185,7 +280,6 @@ class DeviceTextStore:
         else:
             self.codepoints = jax.device_put(flat, device)
         del flat
-        self.n_packed = int(n_total) - len(self._overflow)
 
     # coarse on purpose: each bucket is a separate XLA program and cold
     # compiles on tunneled TPU backends cost minutes
