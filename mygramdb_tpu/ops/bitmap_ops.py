@@ -103,6 +103,7 @@ def dense_query(bitmaps: jax.Array, rows: jax.Array, nrows: jax.Array,
 
 PBLOCK = 1024  # minimum W granularity: (8, 128) uint32 base tile
 _MAX_ROW_TILE_WORDS = 131072  # cap VMEM per tile at 512KB; wider W splits
+_KOP_MAX = 16  # K-operand kernel bound: 2*(K+2) row tiles of VMEM
 
 
 def _dense_query_kernel(nsteps: int):
@@ -143,6 +144,23 @@ def _dense_query_kernel_blocked(nsteps: int):
     return kern
 
 
+def _dense_query_kernel_kop(K: int):
+    """All K row tiles fetched in ONE grid step (K concurrent DMAs) and
+    AND-reduced in VMEM. The per-(b, k) grid serializes one row DMA per
+    step — measured 8.3 us/step at W=34816 (~17 GB/s effective, DMA-
+    latency-bound); fetching the K rows per step overlaps their DMAs and
+    cuts grid steps K-fold."""
+    def kern(rows_ref, *refs):
+        bm_refs = refs[:K]
+        del_ref, out_ref = refs[K], refs[K + 1]
+        acc = jnp.bitwise_and(bm_refs[0][...], bm_refs[1][...]) \
+            if K > 1 else bm_refs[0][...]
+        for i in range(2, K):
+            acc = jnp.bitwise_and(acc, bm_refs[i][...])
+        out_ref[...] = jnp.bitwise_and(acc, jnp.bitwise_not(del_ref[...]))
+    return kern
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
                        deleted: jax.Array, interpret: bool = False):
@@ -151,7 +169,32 @@ def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
     B, K = rows.shape
     V, W = bitmaps.shape
     assert W % PBLOCK == 0, f"W={W} not a multiple of {PBLOCK}"
-    if W <= _MAX_ROW_TILE_WORDS:
+    if W <= _MAX_ROW_TILE_WORDS and K <= _KOP_MAX:
+        # one grid step per query: all K row tiles DMA concurrently
+        L = W // 8
+        bm3 = bitmaps.reshape(V, 8, L)
+        del3 = deleted.reshape(1, 8, L)
+
+        def _row_spec(i):
+            return pl.BlockSpec(
+                (1, 8, L), lambda b, rows_ref, i=i: (rows_ref[b, i], 0, 0))
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[_row_spec(i) for i in range(K)] + [
+                pl.BlockSpec((1, 8, L), lambda b, rows_ref: (0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 8, L),
+                                   lambda b, rows_ref: (b, 0, 0)),
+        )
+        res = pl.pallas_call(
+            _dense_query_kernel_kop(K),
+            out_shape=jax.ShapeDtypeStruct((B, 8, L), jnp.uint32),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(rows, *([bm3] * K), del3).reshape(B, W)
+    elif W <= _MAX_ROW_TILE_WORDS:
         # one full row per tile: (8, W/8) — W/8 is a multiple of 128
         L = W // 8
         bm3 = bitmaps.reshape(V, 8, L)
@@ -386,25 +429,70 @@ def _select_first_k(flags_dir: jax.Array, k: int):
     return jnp.where(valid, lo, 0).astype(jnp.int32), valid
 
 
+_SELECT_BLOCK_WORDS = 256  # blocked-select granularity (see below)
+
+
+def _select_first_k_blocked(occ_dir: jax.Array, k: int):
+    """Positions (direction order) of the first k set flags per row,
+    TWO-LEVEL: per-block set counts -> tiny cumsum over W/256 blocks ->
+    per-rank block lookup -> inner select within one gathered block.
+
+    The flat _select_first_k pays a full-width (B, W) int32 cumsum (a
+    log-depth scan: ~15 passes over 570 MB at W=35k, measured 56 ms of
+    the 64 ms dense batch); this reads the flags once for block counts,
+    gathers only the k addressed blocks, and keeps every intermediate
+    k-or-block sized. -> (pos (B, k) int32, valid (B, k) bool)."""
+    B, L = occ_dir.shape
+    Wb = _SELECT_BLOCK_WORDS
+    assert L % Wb == 0
+    nb = L // Wb
+    blocks = occ_dir.reshape(B, nb, Wb)
+    bc = jnp.sum(blocks, axis=-1, dtype=jnp.int32)     # (B, nb)
+    bcs = jnp.cumsum(bc, axis=-1)                      # (B, nb) tiny
+    targets = jnp.arange(1, k + 1, dtype=jnp.int32)    # ranks
+    # block holding rank j: searchsorted-left over the block cumsum
+    pos_b = jnp.sum((bcs[:, None, :] < targets[None, :, None])
+                    .astype(jnp.int32), axis=-1)       # (B, k) in [0, nb]
+    valid = pos_b < nb
+    pb = jnp.where(valid, pos_b, 0)
+    base = jnp.where(pb > 0,
+                     jnp.take_along_axis(bcs, jnp.maximum(pb - 1, 0),
+                                         axis=1), 0)
+    rj = targets[None, :] - base                       # rank within block
+    sel = jnp.take_along_axis(blocks, pb[:, :, None], axis=1)  # (B, k, Wb)
+    ics = jnp.cumsum(sel.astype(jnp.int32), axis=-1)
+    pos_in = jnp.sum((ics < rj[:, :, None]).astype(jnp.int32), axis=-1)
+    valid = jnp.logical_and(valid, pos_in < Wb)
+    pos = pb * Wb + pos_in
+    return jnp.where(valid, pos, 0).astype(jnp.int32), valid
+
+
 @functools.partial(jax.jit, static_argnames=("n", "descending"))
 def _topn_hierarchical(words: jax.Array, n: int,
                        descending: bool) -> jax.Array:
     """Two-stage sort-free top-n set-bit extraction for large corpora.
 
     Stage 1 selects the first <= n non-empty WORDS in direction order
-    (cumsum + binary search — no top_k: at Wikipedia scale W is ~35k words
-    and a top_k sort over it dominated the whole batch). Stage 2 expands
-    only those words' bits (n*32 candidates) and compacts the first n set
-    bits the same way. Everything is memory-bound cumsum/gather work.
+    via the blocked two-level select (no full-width cumsum, no top_k —
+    both dominated the whole dense batch at Wikipedia scale). Stage 2
+    expands only those words' bits (n*32 candidates) and compacts the
+    first n set bits. Everything is memory-bound block-reduce/gather
+    work; the only full-width passes are the popcount and block counts,
+    which XLA fuses into one read of the result words.
     """
     B, W = words.shape
-    pc = jnp.bitwise_count(words).astype(jnp.int32)  # (B, W), 0..32
-    count = jnp.sum(pc, axis=-1)
+    pc = jnp.bitwise_count(words).astype(jnp.uint8)  # (B, W), 0..32
+    count = jnp.sum(pc.astype(jnp.int32), axis=-1)
     m = min(n, W)
-    occ_dir = (pc > 0).astype(jnp.int32)
+    occ_dir = (pc > 0).astype(jnp.uint8)
     if descending:
         occ_dir = occ_dir[:, ::-1]
-    pos, valid = _select_first_k(occ_dir, m)       # direction-order pos
+    # small W: the flat one-shot broadcast select is cheaper than the
+    # block gather machinery (measured 5.3 vs 8.7 ms/batch at W=4096)
+    if W % _SELECT_BLOCK_WORDS == 0 and W >= _SELECT_BSEARCH_MIN_L:
+        pos, valid = _select_first_k_blocked(occ_dir, m)
+    else:
+        pos, valid = _select_first_k(occ_dir.astype(jnp.int32), m)
     wid = (W - 1 - pos) if descending else pos     # original word index
     sel_ids = jnp.where(valid, wid, 0)
     sel_words = jnp.take_along_axis(words, sel_ids, axis=1)
