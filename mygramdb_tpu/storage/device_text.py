@@ -23,7 +23,12 @@ from ..ops import runtime
 from .. import native
 
 _C_BUCKETS = (2048, 4096, 8192, 16384)
-_PADDED_BUDGET_BYTES = 3 << 30  # padded text layout cap (row-gather path)
+# Padded text layout cap (row-gather path). v5e HBM is 16 GB; the index
+# itself is ~0.5 GB/1M docs, so the padded matrix can take most of the
+# rest — at 4M docs it needs 8.4 GB and turns the verified path's text
+# access from C*maxT element gathers into contiguous row DMAs. Corpora
+# past ~5M docs fall back to the flat pack (+ maxT column buckets).
+_PADDED_BUDGET_BYTES = 11 << 30
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 _U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
 
