@@ -267,7 +267,11 @@ class DeviceTextStore:
         # text lengths host-side (maxT column-slice buckets) with no pull
         self.offsets = jax.device_put(offsets, device)
         self.lengths = jax.device_put(lengths, device)
-        rowT = self.maxT + NEEDLE_CAP
+        # round the physical row up to a 128-lane multiple: the fused
+        # Pallas row-TF kernel DMAs whole rows into VMEM tiles (and the
+        # XLA path is indifferent — extra columns are sentinel fill that
+        # can never match a sub-sentinel needle)
+        rowT = ((self.maxT + NEEDLE_CAP + 127) // 128) * 128
         if capacity * rowT * itemsize <= _PADDED_BUDGET_BYTES:
             # build the (capacity, maxT + NEEDLE_CAP) padded layout ON
             # DEVICE from the flat pack: host->HBM transfer is the flat
