@@ -35,8 +35,9 @@ from . import runtime
 from .bitmap_ops import (_topn_hierarchical, dense_query, dense_query_pallas,
                          PBLOCK, _single_device)
 from .posting_ops import SENTINEL
-from .verify_ops import (NEEDLE_CAP, bm25_scores, contains_all, gather_text,
-                         needle_cap_bucket, tf_matrix, tf_matrix_nonoverlap)
+from .verify_ops import (NEEDLE_CAP, _TF_ROWS, bm25_scores, cast_needles_i32,
+                         contains_all, gather_text, needle_cap_bucket,
+                         tf_matrix, tf_matrix_nonoverlap, tf_rows_pallas)
 
 
 def compact_first_k(cands: jax.Array, mask: jax.Array, Kv: int):
@@ -96,6 +97,75 @@ def _verify_topn(sel, codepoints, offsets, lengths, needles, needle_lens,
     return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
 
 
+def _reduce_from_tf(sel, tf, doc_len, needle_lens, idf_row, k1, b, avgdl,
+                    *, n, descending, score_mode, require_match):
+    """Per-query tail over a precomputed TF matrix (the Pallas fused
+    gather+TF kernel's output): verify mask = every present needle's count
+    > 0; then count + top-n (or BM25 score + top-n). Mirrors _verify_topn's
+    reductions exactly — only the text gather + compare pass moved into
+    the kernel."""
+    from .posting_ops import mask_to_topn
+    alive = sel != SENTINEL
+    present = needle_lens > 0
+    ok = jnp.logical_or(tf > 0, jnp.logical_not(present)[None, :])
+    matched = jnp.all(ok, axis=1)
+    if score_mode:
+        vmask = jnp.logical_and(matched, alive) if require_match else alive
+        count = jnp.sum(vmask.astype(jnp.int32))
+        score = bm25_scores(tf, doc_len, idf_row, k1, b, avgdl)
+        score = jnp.where(vmask, score, -jnp.inf)
+        ids_for_sort = jnp.where(alive, sel, -1)
+        _, _, ids_sorted, score_sorted = jax.lax.sort(
+            (-score, -ids_for_sort, ids_for_sort, score), num_keys=2)
+        ids_out = jnp.where(jnp.isfinite(score_sorted[:n]),
+                            ids_sorted[:n], -1)
+        return count, ids_out, score_sorted[:n]
+    vmask = jnp.logical_and(matched, alive)
+    count, ids_out = mask_to_topn(sel, vmask, n, descending)
+    return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
+
+
+def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
+                  needle_lens, idf, k1, b, avgdl, *, Kv, n, Nn, maxT, cap,
+                  descending, score_mode, nonoverlap, require_match,
+                  use_range, pallas_tf, ptf_interpret=False):
+    """Batched verify tail: sel_all (B, Kv) compacted candidates ->
+    (count (B,), ids (B, n), scores (B, n)).
+
+    pallas_tf=True routes the gather+TF through the fused Pallas kernel at
+    BATCH level (one kernel over all B*Kv rows — per-lane gathers under
+    vmap lower to serial element gathers), then vmaps only the cheap
+    reductions. pallas_tf=False is the XLA path (row gather + unrolled
+    window compares), also used as the runtime fallback."""
+    if pallas_tf:
+        safe = jnp.where(sel_all != SENTINEL, sel_all, 0).reshape(-1)
+        ndl = cast_needles_i32(needles, codepoints.dtype, cap)
+        nlen = needle_lens.astype(jnp.int32)
+        out = tf_rows_pallas(codepoints, safe, ndl, nlen, Kv=Kv, Nn=Nn,
+                             cap=cap,
+                             use_range=bool(score_mode or use_range),
+                             interpret=ptf_interpret)
+        B = sel_all.shape[0]
+        tf = out[:, :Nn].reshape(B, Kv, Nn)
+        dl = out[:, Nn].reshape(B, Kv)
+        red = functools.partial(
+            _reduce_from_tf, k1=k1, b=b, avgdl=avgdl, n=n,
+            descending=descending, score_mode=score_mode,
+            require_match=require_match)
+        return jax.vmap(lambda s, t, d, nl, i: red(s, t, d, nl, i))(
+            sel_all, tf, dl, needle_lens, idf)
+
+    def one(sel, ndl_set, nlen_set, idf_row):
+        return _verify_topn(
+            sel, codepoints, offsets, lengths, ndl_set, nlen_set,
+            idf_row, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT,
+            cap=cap, descending=descending, score_mode=score_mode,
+            nonoverlap=nonoverlap, require_match=require_match,
+            use_range=use_range)
+
+    return jax.vmap(one)(sel_all, needles, needle_lens, idf)
+
+
 def _pack_out(pre, count, ids, scores, score_mode: bool):
     """Fuse the four result tensors into ONE int32 array
     [pre | count | ids | scores-bitcast]: every jax->numpy leaf pull is a
@@ -120,7 +190,8 @@ def _unpack_out(arr, n: int, score_mode: bool):
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "Kv", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
-    "cap", "nonoverlap", "require_match", "use_range", "has_extra"))
+    "cap", "nonoverlap", "require_match", "use_range", "has_extra",
+    "pallas_tf", "ptf_interpret"))
 def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
                               needles, needle_lens, idf, k1, b, avgdl,
@@ -130,7 +201,9 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               nonoverlap: bool = False,
                               require_match: bool = True,
                               use_range: bool = True,
-                              has_extra: bool = False):
+                              has_extra: bool = False,
+                              pallas_tf: bool = False,
+                              ptf_interpret: bool = False):
     """Batched dense-driver fused verified search: B queries, each with its
     OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
     needle_lens: (B, Nn); idf: (B, Nn) f32.
@@ -145,25 +218,23 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         _, res = dense_query(bitmaps, rows, nrows, deleted, extra,
                              has_not=False, has_extra=has_extra)
     cand, pre = _topn_hierarchical(res, C, False)  # (B, C) asc, -1 pad
-
-    def one(cand_row, ndl_set, nlen_set, idf_row):
-        sel = jnp.where(cand_row >= 0, cand_row, SENTINEL)
-        sel = sel[:Kv] if Kv < C else sel
-        return _verify_topn(
-            sel, codepoints, offsets, lengths, ndl_set, nlen_set,
-            idf_row, k1, b, avgdl, Kv=min(Kv, C), n=n, Nn=Nn, maxT=maxT,
-            cap=cap, descending=descending, score_mode=score_mode,
-            nonoverlap=nonoverlap, require_match=require_match,
-            use_range=use_range)
-
-    count, ids, scores = jax.vmap(one)(cand, needles, needle_lens, idf)
+    sel_all = jnp.where(cand >= 0, cand, SENTINEL)
+    if Kv < C:
+        sel_all = sel_all[:, :Kv]
+    count, ids, scores = _verify_stage(
+        sel_all, codepoints, offsets, lengths, needles, needle_lens,
+        idf, k1, b, avgdl, Kv=min(Kv, C), n=n, Nn=Nn, maxT=maxT, cap=cap,
+        descending=descending, score_mode=score_mode, nonoverlap=nonoverlap,
+        require_match=require_match, use_range=use_range,
+        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret)
     return _pack_out(pre, count, ids, scores, score_mode)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
     "n_words", "cap", "nonoverlap", "use_dense_probes",
-    "check_tombstones", "require_match", "use_range", "has_extra"))
+    "check_tombstones", "require_match", "use_range", "has_extra",
+    "pallas_tf", "ptf_interpret"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
                                      dn_rows, dn_inv, extra,
@@ -178,7 +249,9 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      check_tombstones: bool = True,
                                      require_match: bool = True,
                                      use_range: bool = True,
-                                     has_extra: bool = False):
+                                     has_extra: bool = False,
+                                     pallas_tf: bool = False,
+                                     ptf_interpret: bool = False):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -220,7 +293,7 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
     # saving a (B, C) element gather into the deleted bitmap
     check_tomb = check_tombstones
 
-    def one(cands, sp, sinv, drows, dinv, ndl_set, nlen_set, idf_row):
+    def one_sel(cands, sp, sinv, drows, dinv):
         cmask = cands != SENTINEL
         clip = jnp.clip(cands, 0, n_words * 32 - 1)
         mask = cmask
@@ -254,17 +327,16 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             pre = jnp.sum(mask.astype(jnp.int32))
         else:
             sel, pre = compact_first_k(cands, mask, Kv)
-        count, ids_out, scores = _verify_topn(
-            sel, codepoints, offsets, lengths, ndl_set, nlen_set,
-            idf_row, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
-            descending=descending, score_mode=score_mode,
-            nonoverlap=nonoverlap, require_match=require_match,
-            use_range=use_range)
-        return pre, count, ids_out, scores
+        return sel, pre
 
-    pre, count, ids_out, scores = jax.vmap(one)(
-        cands_all, sp_all, sp_inv, dn_rows, dn_inv, needles,
-        needle_lens, idf)
+    sel_all, pre = jax.vmap(one_sel)(
+        cands_all, sp_all, sp_inv, dn_rows, dn_inv)
+    count, ids_out, scores = _verify_stage(
+        sel_all, codepoints, offsets, lengths, needles, needle_lens,
+        idf, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
+        descending=descending, score_mode=score_mode, nonoverlap=nonoverlap,
+        require_match=require_match, use_range=use_range,
+        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret)
     return _pack_out(pre, count, ids_out, scores, score_mode)
 
 
@@ -285,6 +357,66 @@ def _needles_need_range(text_store, needles) -> bool:
         return False
     mx = int(np.max(needles)) if np.size(needles) else 0
     return mx >= 0xFFFF
+
+
+class _PallasTFState:
+    """Process-wide kill switch for the fused Pallas gather+TF kernel: if
+    it ever fails to compile or execute on the running backend, wrappers
+    permanently fall back to the XLA verify path (results are identical;
+    only the gather strategy differs)."""
+    __slots__ = ("enabled",)
+
+    def __init__(self) -> None:
+        self.enabled = True
+
+
+_pallas_tf_state = _PallasTFState()
+
+
+def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
+    """The fused gather+TF kernel requires: TPU backend, single-device
+    padded text layout with the baked sentinel pad columns, a compaction
+    width divisible by the kernel's row block, and all-positions TF
+    semantics (the non-overlapping greedy scan stays on the XLA path)."""
+    import os
+    if not _pallas_tf_state.enabled:
+        return False
+    if os.environ.get("MYGRAM_DISABLE_PALLAS_VERIFY") == "1":
+        return False
+    if not runtime.use_pallas():
+        return False
+    cp = getattr(text_store, "codepoints", None)
+    if cp is None or getattr(cp, "ndim", 1) != 2:
+        return False
+    if not _single_device(cp):
+        return False
+    if nonoverlap or Kv % _TF_ROWS:
+        return False
+    return cp.shape[1] >= text_store.maxT + NEEDLE_CAP
+
+
+def _ptf_interpret() -> bool:
+    """Tests set MYGRAM_PALLAS_VERIFY_INTERPRET=1 to run the fused verify
+    kernel through the Pallas interpreter on CPU (full-path parity)."""
+    import os
+    return os.environ.get("MYGRAM_PALLAS_VERIFY_INTERPRET") == "1"
+
+
+def _run_with_tf_fallback(run, ptf: bool):
+    """np.asarray(run(ptf)) with a one-time permanent fallback to the XLA
+    verify path if the Pallas kernel path fails (materialization is where
+    compile/execute errors surface)."""
+    import logging
+    import numpy as np
+    if ptf:
+        try:
+            return np.asarray(run(True))
+        except Exception:
+            _pallas_tf_state.enabled = False
+            logging.getLogger(__name__).warning(
+                "Pallas fused verify kernel failed; falling back to the "
+                "XLA verify path for this process", exc_info=True)
+    return np.asarray(run(False))
 
 
 def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
@@ -320,23 +452,29 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
     if extra is None:
         extra = jnp.zeros((1, 1), dtype=jnp.uint32)
     runtime.dispatches.bump()
-    packed = _sparse_search_verify_topn_batch(
-        postings, bitmaps, deleted,
-        jnp.asarray(d_off), jnp.asarray(d_len),
-        jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
-        jnp.asarray(dn_rows), jnp.asarray(dn_inv), extra,
-        text_store.codepoints, text_store.offsets, text_store.lengths,
-        jnp.asarray(needles), jnp.asarray(needle_lens),
-        jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
-        jnp.float32(b), jnp.float32(avgdl),
-        C=C, Cmax=Cmax, Kv=Kv, n=n, Nn=needles.shape[1], maxT=maxT,
-        descending=descending, score_mode=score_mode, n_words=n_words,
-        cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
-        nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
-        check_tombstones=check_tombstones, require_match=require_match,
-        use_range=_needles_need_range(text_store, needles),
-        has_extra=has_extra)
-    pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
+
+    def run(ptf: bool):
+        return _sparse_search_verify_topn_batch(
+            postings, bitmaps, deleted,
+            jnp.asarray(d_off), jnp.asarray(d_len),
+            jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
+            jnp.asarray(dn_rows), jnp.asarray(dn_inv), extra,
+            text_store.codepoints, text_store.offsets, text_store.lengths,
+            jnp.asarray(needles), jnp.asarray(needle_lens),
+            jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
+            jnp.float32(b), jnp.float32(avgdl),
+            C=C, Cmax=Cmax, Kv=Kv, n=n, Nn=needles.shape[1], maxT=maxT,
+            descending=descending, score_mode=score_mode, n_words=n_words,
+            cap=needle_cap_bucket(max(int(np.max(needle_lens)), 1)),
+            nonoverlap=nonoverlap, use_dense_probes=use_dense_probes,
+            check_tombstones=check_tombstones, require_match=require_match,
+            use_range=_needles_need_range(text_store, needles),
+            has_extra=has_extra, pallas_tf=ptf,
+            ptf_interpret=ptf and _ptf_interpret())
+
+    arr = _run_with_tf_fallback(
+        run, _pallas_tf_eligible(text_store, Kv, nonoverlap))
+    pre, count, ids, scores = _unpack_out(arr, n, score_mode)
     if score_mode:
         return pre, count, ids, scores
     return pre, count, ids
@@ -363,20 +501,27 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     if idf is None:
         idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
-    packed = _search_verify_topn_batch(
-        bitmaps, rows, nrows, deleted, extra,
-        text_store.codepoints, text_store.offsets, text_store.lengths,
-        jnp.asarray(needles), jnp.asarray(needle_lens),
-        jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
-        jnp.float32(b), jnp.float32(avgdl),
-        C=cand_bucket, Kv=cand_bucket, n=n, Nn=needles.shape[1], maxT=maxT,
-        descending=descending, score_mode=score_mode, use_pallas=use_pallas,
-        cap=needle_cap_bucket(int(np.max(needle_lens))
-                              if np.max(needle_lens) > 0 else 1),
-        nonoverlap=nonoverlap, require_match=require_match,
-        use_range=_needles_need_range(text_store, needles),
-        has_extra=has_extra)
-    pre, count, ids, scores = _unpack_out(np.asarray(packed), n, score_mode)
+
+    def run(ptf: bool):
+        return _search_verify_topn_batch(
+            bitmaps, rows, nrows, deleted, extra,
+            text_store.codepoints, text_store.offsets, text_store.lengths,
+            jnp.asarray(needles), jnp.asarray(needle_lens),
+            jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
+            jnp.float32(b), jnp.float32(avgdl),
+            C=cand_bucket, Kv=cand_bucket, n=n, Nn=needles.shape[1],
+            maxT=maxT, descending=descending, score_mode=score_mode,
+            use_pallas=use_pallas,
+            cap=needle_cap_bucket(int(np.max(needle_lens))
+                                  if np.max(needle_lens) > 0 else 1),
+            nonoverlap=nonoverlap, require_match=require_match,
+            use_range=_needles_need_range(text_store, needles),
+            has_extra=has_extra, pallas_tf=ptf,
+            ptf_interpret=ptf and _ptf_interpret())
+
+    arr = _run_with_tf_fallback(
+        run, _pallas_tf_eligible(text_store, cand_bucket, nonoverlap))
+    pre, count, ids, scores = _unpack_out(arr, n, score_mode)
     if score_mode:
         return pre, count, ids, scores
     return pre, count, ids
