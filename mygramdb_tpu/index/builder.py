@@ -54,7 +54,12 @@ class IndexBuilder:
         self.cross_boundary = cross_boundary_ngrams
         self.term_dict = term_dict or TermDict()
         self._tid_chunks: List[np.ndarray] = []
-        self._doc_chunks: List[np.ndarray] = []
+        # doc ids repeat once per gram of the doc (~100x at CJK scale), so
+        # chunks keep them run-length encoded: (run_ids int32, run_counts
+        # int64) parallel to the tid chunk, sum(run_counts) == tids.size.
+        # Peak host RSS at 1M+ docs is the builder's pair stream — RLE
+        # halves it and the chunked finalize avoids the concat copy.
+        self._doc_chunks: List[Tuple[np.ndarray, np.ndarray]] = []
         self._cur_tids: List[int] = []
         self._cur_docs: List[int] = []
         self._max_doc_id = 0
@@ -188,12 +193,11 @@ class IndexBuilder:
     def _add_batch_native(self, items, out) -> None:
         flat, starts, lens, hashes, counts = out
         tids = self._resolve_tids(flat, starts, lens, hashes)
-        doc_ids = np.repeat(
-            np.asarray([d for d, _ in items], dtype=np.int32),
-            counts.astype(np.int64))
         self._flush()
         self._tid_chunks.append(tids.astype(np.int32, copy=False))
-        self._doc_chunks.append(doc_ids)
+        self._doc_chunks.append(
+            (np.asarray([d for d, _ in items], dtype=np.int32),
+             counts.astype(np.int64)))
         self._n_docs += len(items)
         if items:
             self._max_doc_id = max(self._max_doc_id,
@@ -202,9 +206,29 @@ class IndexBuilder:
     def _flush(self) -> None:
         if self._cur_tids:
             self._tid_chunks.append(np.asarray(self._cur_tids, dtype=np.int32))
-            self._doc_chunks.append(np.asarray(self._cur_docs, dtype=np.int32))
+            docs = np.asarray(self._cur_docs, dtype=np.int32)
+            # adjacent-run RLE (stream order preserved; per-doc appends are
+            # contiguous so runs == docs except merged equal neighbors)
+            starts = np.concatenate(
+                [[0], np.flatnonzero(np.diff(docs)) + 1])
+            run_ids = docs[starts]
+            run_counts = np.diff(
+                np.concatenate([starts, [docs.size]])).astype(np.int64)
+            self._doc_chunks.append((run_ids, run_counts))
             self._cur_tids = []
             self._cur_docs = []
+
+    def _chunks_doc_sorted(self) -> bool:
+        """True when the RLE doc-id stream is globally non-decreasing
+        (loaders feed ascending PK order) — checked without expansion."""
+        last = -1
+        for run_ids, _ in self._doc_chunks:
+            if run_ids.size == 0:
+                continue
+            if int(run_ids[0]) < last or np.any(np.diff(run_ids) < 0):
+                return False
+            last = int(run_ids[-1])
+        return True
 
     def finalize(self) -> BuiltIndex:
         self._flush()
@@ -215,16 +239,29 @@ class IndexBuilder:
                               np.zeros(V, dtype=np.int32),
                               np.zeros(0, dtype=np.int32),
                               self._max_doc_id, self._n_docs)
-        tids = np.concatenate(self._tid_chunks)
-        docs = np.concatenate(self._doc_chunks)
-        self._tid_chunks = []
-        self._doc_chunks = []
         # One sorted segment: order by (term, doc). Loaders feed doc ids
         # in ascending order, so the common case is a single STABLE
         # counting-sort grouping pass by term (docs stay sorted inside
-        # each term) — the C++ parallel scatter (native mg_radix_finalize)
-        # runs it in O(E) with no comparison sort and no argsort order
-        # array (the peak-RSS hog at 100M+ pairs).
+        # each term) — O(E), no comparison sort. The chunked native path
+        # (mg_tid_hist + mg_scatter_rle) streams the accumulation chunks
+        # straight into the postings array: no concatenated pair copy, no
+        # expanded doc array — peak host RSS drops from ~2x to ~1x the
+        # tid stream (the builder's dominant spike at 1M+ docs).
+        if self._chunks_doc_sorted():
+            from .. import native
+            out = native.radix_finalize_chunked(
+                [(t, ids, cnts) for t, (ids, cnts)
+                 in zip(self._tid_chunks, self._doc_chunks)], V)
+            if out is not None:
+                postings, lengths = out
+                self._tid_chunks = []
+                self._doc_chunks = []
+                return self._dedup_build(postings, lengths, V)
+        tids = np.concatenate(self._tid_chunks)
+        docs = np.concatenate([np.repeat(ids, cnts)
+                               for ids, cnts in self._doc_chunks])
+        self._tid_chunks = []
+        self._doc_chunks = []
         if bool(np.all(docs[1:] >= docs[:-1])):
             from .. import native
             out = native.radix_finalize(tids, docs, V)

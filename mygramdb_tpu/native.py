@@ -123,6 +123,14 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:  # stale .so without the finalize entry point
         pass
     try:
+        lib.mg_tid_hist.restype = None
+        lib.mg_tid_hist.argtypes = [_c_i32p, ctypes.c_int64, _c_i64p]
+        lib.mg_scatter_rle.restype = None
+        lib.mg_scatter_rle.argtypes = [_c_i32p, _c_i32p, _c_i64p,
+                                       ctypes.c_int64, _c_i64p, _c_i32p]
+    except AttributeError:  # stale .so without the chunked entry points
+        pass
+    try:
         lib.mg_h2t_create.restype = ctypes.c_void_p
         lib.mg_h2t_create.argtypes = []
         lib.mg_h2t_destroy.restype = None
@@ -276,6 +284,41 @@ def radix_finalize(tids: np.ndarray, docs: np.ndarray, V: int,
                           tids.size, V, n_threads,
                           _ptr(postings, _c_i32p), _ptr(lengths, _c_i32p))
     return postings, lengths[:V]
+
+
+def radix_finalize_chunked(chunks, V: int):
+    """Chunked + RLE-docs variant of radix_finalize: avoids materializing
+    the concatenated (tid, doc) pair stream (its peak cost is ~2 GB per 1M
+    docs at ~100 grams/doc — the builder's dominant host-RSS spike).
+
+    chunks: iterable of (tids int32 (E_c,), doc_ids int32 (D_c,),
+    doc_counts int64 (D_c,)) in stream order, where doc_ids[j] repeats
+    doc_counts[j] times (sum == E_c). Consumed chunks are NOT freed here —
+    the caller drops its references as it goes.
+    Returns (postings int32, lengths int32) or None when the native
+    library lacks the entry points (caller falls back to the pair path).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_tid_hist"):
+        return None
+    counts = np.zeros(max(V, 1), dtype=np.int64)
+    E = 0
+    for tids, _ids, _cnts in chunks:
+        tids = np.ascontiguousarray(tids, dtype=np.int32)
+        lib.mg_tid_hist(_ptr(tids, _c_i32p), tids.size,
+                        _ptr(counts, _c_i64p))
+        E += int(tids.size)
+    cursors = np.zeros(max(V, 1), dtype=np.int64)
+    np.cumsum(counts[:-1], out=cursors[1:])
+    postings = np.empty(E, dtype=np.int32)
+    for tids, doc_ids, doc_counts in chunks:
+        tids = np.ascontiguousarray(tids, dtype=np.int32)
+        doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)
+        doc_counts = np.ascontiguousarray(doc_counts, dtype=np.int64)
+        lib.mg_scatter_rle(_ptr(tids, _c_i32p), _ptr(doc_ids, _c_i32p),
+                           _ptr(doc_counts, _c_i64p), doc_ids.size,
+                           _ptr(cursors, _c_i64p), _ptr(postings, _c_i32p))
+    return postings, counts[:V].astype(np.int32)
 
 
 def utf8_decode_u16(blob: np.ndarray, byte_off: np.ndarray,

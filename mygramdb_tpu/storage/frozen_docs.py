@@ -74,9 +74,19 @@ class FrozenDocBuilder:
         if self.store_texts:
             txt_lens = (np.concatenate(self._txt_lens) if self._txt_lens
                         else np.zeros(0, dtype=np.int64))
-            txt_blob = np.frombuffer(
-                b"".join(self._txt_chunks), dtype=np.uint8).copy() \
-                if self._txt_chunks else np.zeros(0, dtype=np.uint8)
+            # preallocate the blob and consume chunks as they copy: the
+            # join+frombuffer+copy form held 3x the corpus bytes at peak
+            # (chunks + joined bytes + copy) — the text blob is the
+            # docstore's dominant allocation at 1M+ docs
+            total_b = int(txt_lens.sum())
+            txt_blob = np.empty(total_b, dtype=np.uint8)
+            pos = 0
+            while self._txt_chunks:
+                chunk = np.frombuffer(self._txt_chunks.pop(0),
+                                      dtype=np.uint8)
+                txt_blob[pos:pos + chunk.size] = chunk
+                pos += chunk.size
+                del chunk
             txt_off = np.zeros(txt_lens.size + 1, dtype=np.int64)
             np.cumsum(txt_lens, out=txt_off[1:])
             cp_lens = (np.concatenate(self._cp_lens) if self._cp_lens

@@ -476,6 +476,38 @@ void mg_radix_finalize(const int32_t* tids, const int32_t* docs, int64_t E,
 }
 
 // ---------------------------------------------------------------------------
+// Chunked/RLE variants of the finalize passes. The builder accumulates
+// (tid, doc) pairs in chunks; materializing them into the two flat arrays
+// mg_radix_finalize wants costs a full extra copy of the pair stream at
+// peak (the dominant host-RSS spike at 1M+ docs: ~2 GB/1M). These helpers
+// let the builder keep chunks as-is — doc ids run-length encoded (they
+// repeat once per gram of the doc) — and stream them through the same
+// histogram + stable-scatter algorithm with a shared cursor array, freeing
+// each chunk as it is consumed.
+// ---------------------------------------------------------------------------
+void mg_tid_hist(const int32_t* tids, int64_t E, int64_t* counts) {
+  for (int64_t i = 0; i < E; ++i) counts[tids[i]]++;
+}
+
+// Scatter one chunk's pairs into the postings array. tids: (E,) gram term
+// ids in stream order; docs are RLE: doc_ids[j] repeats doc_counts[j]
+// times, sum(doc_counts) == E. cursors: (V,) running per-term write
+// positions (caller initializes to the exclusive prefix sum of lengths and
+// passes the SAME array for every chunk, in stream order — that is what
+// keeps the counting sort stable).
+void mg_scatter_rle(const int32_t* tids, const int32_t* doc_ids,
+                    const int64_t* doc_counts, int64_t n_docs,
+                    int64_t* cursors, int32_t* out_postings) {
+  int64_t k = 0;
+  for (int64_t j = 0; j < n_docs; ++j) {
+    const int32_t d = doc_ids[j];
+    const int64_t c = doc_counts[j];
+    for (int64_t i = 0; i < c; ++i, ++k)
+      out_postings[cursors[tids[k]]++] = d;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // One-pass UTF-8 -> UTF-16 corpus decode (DeviceTextStore pack path).
 //
 // The frozen doc store keeps normalized texts as one UTF-8 blob; the device

@@ -49,6 +49,47 @@ class TestBuilder:
         assert built.n_docs == 0
         assert built.postings.size == 0
 
+    def test_chunked_finalize_matches_pair_fallback(self, monkeypatch):
+        """The chunked RLE finalize (mg_tid_hist + mg_scatter_rle) must
+        produce the same CSR as the expanded-pair fallback, across mixed
+        add_batch / add_document streams with duplicate re-adds."""
+        from mygramdb_tpu import native
+        rng = np.random.default_rng(42)
+        words = ["alpha", "beta", "gamma", "delta", "検索", "日本語"]
+
+        def feed(b):
+            batch = []
+            for d in range(1, 301):
+                t = "".join(rng.choice(words,
+                                       size=int(rng.integers(1, 8))))
+                if d % 3 == 0:
+                    b.add_document(d, t)       # per-doc path (RLE _flush)
+                else:
+                    batch.append((d, t))
+                    if len(batch) == 32:
+                        b.add_batch(batch)     # native batch path
+                        batch = []
+                if d % 97 == 0:
+                    b.add_document(d, t)       # duplicate re-add
+            if batch:
+                b.add_batch(batch)
+
+        rng = np.random.default_rng(42)
+        b1 = IndexBuilder()
+        feed(b1)
+        i1 = b1.finalize()
+
+        rng = np.random.default_rng(42)
+        b2 = IndexBuilder()
+        feed(b2)
+        monkeypatch.setattr(native, "radix_finalize_chunked",
+                            lambda chunks, V: None)  # force pair fallback
+        i2 = b2.finalize()
+        assert i1.n_docs == i2.n_docs
+        assert np.array_equal(i1.lengths, i2.lengths)
+        assert np.array_equal(i1.postings, i2.postings)
+        assert np.array_equal(i1.offsets, i2.offsets)
+
     def test_out_of_order_docs_fall_back_to_lexsort(self):
         """finalize()'s single-radix fast path requires ascending doc ids;
         out-of-order adds must produce identical sorted-per-term CSR."""
