@@ -37,7 +37,8 @@ from .bitmap_ops import (_topn_hierarchical, dense_query, dense_query_pallas,
 from .posting_ops import SENTINEL
 from .verify_ops import (NEEDLE_CAP, _TF_ROWS, bm25_scores, cast_needles_i32,
                          contains_all, gather_text, needle_cap_bucket,
-                         tf_matrix, tf_matrix_nonoverlap, tf_rows_pallas)
+                         tf_matrix, tf_matrix_nonoverlap, tf_rows_flat_pallas,
+                         tf_rows_pallas)
 
 
 def compact_first_k(cands: jax.Array, mask: jax.Array, Kv: int):
@@ -141,10 +142,18 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
         safe = jnp.where(sel_all != SENTINEL, sel_all, 0).reshape(-1)
         ndl = cast_needles_i32(needles, codepoints.dtype, cap)
         nlen = needle_lens.astype(jnp.int32)
-        out = tf_rows_pallas(codepoints, safe, ndl, nlen, Kv=Kv, Nn=Nn,
-                             cap=cap,
-                             use_range=bool(score_mode or use_range),
-                             interpret=ptf_interpret)
+        if codepoints.ndim == 2:
+            out = tf_rows_pallas(codepoints, safe, ndl, nlen, Kv=Kv,
+                                 Nn=Nn, cap=cap,
+                                 use_range=bool(score_mode or use_range),
+                                 interpret=ptf_interpret)
+        else:
+            # flat pack: per-candidate [off, off+maxT+cap) window DMAs
+            out = tf_rows_flat_pallas(
+                codepoints, offsets[safe], lengths[safe], ndl, nlen,
+                Kv=Kv, Nn=Nn, cap=cap, win=maxT,
+                use_range=bool(score_mode or use_range),
+                interpret=ptf_interpret)
         B = sel_all.shape[0]
         tf = out[:, :Nn].reshape(B, Kv, Nn)
         dl = out[:, Nn].reshape(B, Kv)
@@ -374,10 +383,12 @@ _pallas_tf_state = _PallasTFState()
 
 
 def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
-    """The fused gather+TF kernel requires: TPU backend, single-device
-    padded text layout with the baked sentinel pad columns, a compaction
-    width divisible by the kernel's row block, and all-positions TF
-    semantics (the non-overlapping greedy scan stays on the XLA path)."""
+    """The fused gather+TF kernels require: TPU backend, a single-device
+    text layout the DMAs understand (padded matrix with baked sentinel
+    pad columns, or a flat pack carrying the FLAT_GATHER_PAD tail), a
+    compaction width divisible by the kernel's row block, and
+    all-positions TF semantics (the non-overlapping greedy scan stays on
+    the XLA path)."""
     import os
     if not _pallas_tf_state.enabled:
         return False
@@ -386,13 +397,13 @@ def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
     if not runtime.use_pallas():
         return False
     cp = getattr(text_store, "codepoints", None)
-    if cp is None or getattr(cp, "ndim", 1) != 2:
-        return False
-    if not _single_device(cp):
+    if cp is None or not _single_device(cp):
         return False
     if nonoverlap or Kv % _TF_ROWS:
         return False
-    return cp.shape[1] >= text_store.maxT + NEEDLE_CAP
+    if getattr(cp, "ndim", 1) == 2:
+        return cp.shape[1] >= text_store.maxT + NEEDLE_CAP
+    return bool(getattr(text_store, "flat_padded", False))
 
 
 def _ptf_interpret() -> bool:

@@ -349,6 +349,27 @@ def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
 _TF_ROWS = 16  # candidate rows DMA'd + verified per grid step
 
 
+def _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
+                    cap: int, win: int, use_range: bool):
+    """Shared kernel tail: rows (R, >=win+cap) int32 (sentinel-masked past
+    doc end), dl (R,) int32 doc lengths -> out_ref[...] = [tf | dl]."""
+    starts = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
+    cols = []
+    for j in range(Nn):
+        nl = nlen_ref[0, j]
+        m = None
+        for k in range(cap):
+            val = ndl_ref[0, j * cap + k]
+            cmp = jnp.logical_or(k >= nl, rows[:, k:k + win] == val)
+            m = cmp if m is None else jnp.logical_and(m, cmp)
+        if use_range:
+            m = jnp.logical_and(m, starts + nl <= dl[:, None])
+        tf = jnp.sum(m.astype(jnp.int32), axis=1)
+        cols.append(jnp.where(nl == 0, 0, tf))
+    out_ref[...] = jnp.concatenate(
+        [jnp.stack(cols, axis=1), dl[:, None]], axis=1)
+
+
 def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
                     use_range: bool):
     from jax.experimental import pallas as pl
@@ -362,21 +383,8 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
         # <= 0x10FFFF so they can never alias it)
         rows = rows_u.astype(jnp.int32)
         dl = jnp.sum((rows != sentinel).astype(jnp.int32), axis=1)
-        starts = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
-        cols = []
-        for j in range(Nn):
-            nl = nlen_ref[0, j]
-            m = None
-            for k in range(cap):
-                val = ndl_ref[0, j * cap + k]
-                cmp = jnp.logical_or(k >= nl, rows[:, k:k + win] == val)
-                m = cmp if m is None else jnp.logical_and(m, cmp)
-            if use_range:
-                m = jnp.logical_and(m, starts + nl <= dl[:, None])
-            tf = jnp.sum(m.astype(jnp.int32), axis=1)
-            cols.append(jnp.where(nl == 0, 0, tf))
-        out_ref[...] = jnp.concatenate(
-            [jnp.stack(cols, axis=1), dl[:, None]], axis=1)
+        _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R, Nn, cap,
+                        win, use_range)
 
     def kern(ids_ref, idsn_ref, ndl_ref, nlen_ref, text_ref, out_ref,
              scratch, sems):
@@ -477,6 +485,115 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
     )(ids, ids, ndl_i32, nlen_i32, padded)
+
+
+def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
+                    use_range: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rowTk = win + cap
+
+    def compute(rows_u, lens, ndl_ref, nlen_ref, out_ref):
+        rows = rows_u.astype(jnp.int32)
+        # flat windows may run into the NEXT doc's text (or the pack's pad
+        # tail): mask cells past doc end to the sentinel so they can never
+        # match — same semantics as the XLA flat gather's validity mask
+        pos = jax.lax.broadcasted_iota(jnp.int32, (R, rowTk), 1)
+        rows = jnp.where(pos < lens[:, None], rows, sentinel)
+        _window_tf_emit(rows, lens, ndl_ref, nlen_ref, out_ref, R, Nn,
+                        cap, win, use_range)
+
+    def kern(off_ref, offn_ref, len_ref, ndl_ref, nlen_ref, text_ref,
+             out_ref, scratch, sems):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def dma(buf, j, oref):
+            return pltpu.make_async_copy(
+                text_ref.at[pl.ds(oref[j], rowTk)],
+                scratch.at[buf, j], sems.at[buf, j])
+
+        def start_all(buf, oref):
+            for j in range(R):
+                dma(buf, j, oref).start()
+
+        def finish(buf):
+            for j in range(R):
+                dma(buf, j, off_ref).wait()
+            lens = jnp.stack([len_ref[j] for j in range(R)])
+            compute(scratch[buf], lens, ndl_ref, nlen_ref, out_ref)
+
+        even = jnp.equal(jnp.remainder(i, 2), 0)
+
+        @pl.when(i == 0)
+        def _():
+            start_all(0, off_ref)
+
+        @pl.when(jnp.logical_and(i + 1 < nsteps, even))
+        def _():
+            start_all(1, offn_ref)
+
+        @pl.when(jnp.logical_and(i + 1 < nsteps, jnp.logical_not(even)))
+        def _():
+            start_all(0, offn_ref)
+
+        @pl.when(even)
+        def _():
+            finish(0)
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            finish(1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("Kv", "Nn", "cap", "win",
+                                             "use_range", "interpret"))
+def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
+                        ln: jax.Array, ndl_i32: jax.Array,
+                        nlen_i32: jax.Array, *, Kv: int, Nn: int, cap: int,
+                        win: int, use_range: bool,
+                        interpret: bool = False) -> jax.Array:
+    """Flat-pack variant of tf_rows_pallas: candidate text windows stream
+    as [off, off+win+cap) DMA slices from the flat code-point array — no
+    padded matrix needed, and the copy width is the per-batch maxT bucket
+    (often 4-8x narrower than the padded physical row). Serves the
+    verified path at corpus sizes past the padded-layout HBM budget.
+
+    codepoints: (P,) flat pack CARRYING the FLAT_GATHER_PAD sentinel tail
+    (DeviceTextStore.flat_padded); off/ln: (M,) int32 per-candidate pack
+    offsets and doc lengths (invalid lanes pre-clamped to doc 0 = len 0);
+    -> (M, Nn+1) int32 [tf | doc_len], like tf_rows_pallas.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = off.shape[0]
+    R = _TF_ROWS
+    nsteps = M // R
+    sent = 0xFFFF if codepoints.dtype == jnp.uint16 else -1
+    return pl.pallas_call(
+        _tf_flat_kernel(R, Nn, cap, win, sent, use_range),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R,), lambda i: (jnp.minimum(i + 1, nsteps - 1),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Nn * cap), lambda i: ((i * R) // Kv, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Nn), lambda i: ((i * R) // Kv, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, R, win + cap), codepoints.dtype),
+                        pltpu.SemaphoreType.DMA((2, R))],
+        interpret=interpret,
+    )(off, off, ln, ndl_i32, nlen_i32, codepoints)
 
 
 def has_self_overlap(term: str) -> bool:

@@ -31,6 +31,10 @@ _C_BUCKETS = (2048, 4096, 8192, 16384)
 _PADDED_BUDGET_BYTES = 11 << 30
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 _U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
+# Flat packs carry this many trailing sentinel cells so the Pallas flat
+# verify kernel can DMA [off, off+win) unconditionally for any window up
+# to the largest maxT bucket (mirrors posting_ops.SLICE_GATHER_PAD).
+FLAT_GATHER_PAD = _MAXT_CHOICES[-1] + NEEDLE_CAP
 
 
 @functools.partial(jax.jit, static_argnames=("maxT",))
@@ -285,9 +289,18 @@ class DeviceTextStore:
                 flat_dev, self.offsets, self.lengths, rowT,
                 np.asarray(sentinel, dtype=self.dtype))
             self.codepoints.block_until_ready()
+            self.flat_padded = False
             del flat_dev
         else:
-            self.codepoints = jax.device_put(flat, device)
+            # sentinel tail: the Pallas flat verify kernel DMAs
+            # [off, off+win) unconditionally (win <= largest maxT bucket
+            # + NEEDLE_CAP); cells past doc end are masked to sentinel
+            # in-kernel from `lengths`, so the tail only needs to keep
+            # the copies in-bounds
+            self.codepoints = jax.device_put(np.concatenate([
+                flat, np.full(FLAT_GATHER_PAD, sentinel,
+                              dtype=self.dtype)]), device)
+            self.flat_padded = True
         del flat
 
     # coarse on purpose: each bucket is a separate XLA program and cold

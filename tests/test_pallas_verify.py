@@ -107,6 +107,96 @@ def test_kernel_parity_u32_synthetic():
             assert out[c, j] == cnt, (c, j)
 
 
+@pytest.fixture()
+def flat_store(monkeypatch):
+    """Force the flat-pack layout (padded budget 0) — the 10M+ doc shape."""
+    from mygramdb_tpu.storage import device_text as dt
+    monkeypatch.setattr(dt, "_PADDED_BUDGET_BYTES", 0)
+    rng = np.random.default_rng(78)
+    texts = {i: "".join(rng.choice(WORDS, size=int(rng.integers(2, 12))))
+             for i in range(1, 257)}
+    st = DeviceTextStore(texts, capacity=512)
+    assert st.codepoints.ndim == 1 and st.flat_padded
+    return st, texts
+
+
+@pytest.mark.parametrize("use_range", [True, False])
+def test_flat_kernel_parity_u16(flat_store, use_range):
+    from mygramdb_tpu.ops.verify_ops import tf_rows_flat_pallas
+    st, texts = flat_store
+    assert st.dtype == np.uint16
+    rng = np.random.default_rng(4)
+    B, Kv = 3, 2 * _TF_ROWS
+    terms = [["検索", "alpha"], ["quick", "高速"], ["日本語"]]
+    Nn = 2
+    cap = needle_cap_bucket(4)
+    maxT = st.maxT_bucket(st.maxT)
+    ids = rng.integers(1, 257, size=(B, Kv)).astype(np.int32)
+    ndl = np.zeros((B, Nn, NEEDLE_CAP), dtype=np.uint32)
+    nlens = np.zeros((B, Nn), dtype=np.int32)
+    for b, ts in enumerate(terms):
+        n, l = DeviceTextStore._pack_needles(ts)
+        ndl[b, :n.shape[0]] = n
+        nlens[b, :l.shape[0]] = l
+    flat_ids = jnp.asarray(ids.reshape(-1))
+    out = np.asarray(tf_rows_flat_pallas(
+        st.codepoints, st.offsets[flat_ids], st.lengths[flat_ids],
+        cast_needles_i32(jnp.asarray(ndl), st.codepoints.dtype, cap),
+        jnp.asarray(nlens), Kv=Kv, Nn=Nn, cap=cap, win=maxT,
+        use_range=use_range, interpret=True))
+    for b in range(B):
+        text, dl, win = gather_text(st.codepoints, st.offsets, st.lengths,
+                                    jnp.asarray(ids[b]), maxT, cap,
+                                    need_len=True)
+        tf_x = np.asarray(tf_matrix(text, dl, jnp.asarray(ndl[b]),
+                                    jnp.asarray(nlens[b]), win, Nn, cap,
+                                    use_range))
+        assert np.array_equal(out[b * Kv:(b + 1) * Kv, :Nn], tf_x), b
+        assert np.array_equal(out[b * Kv:(b + 1) * Kv, Nn],
+                              np.asarray(dl)), b
+
+
+def test_flat_full_path_parity(flat_store, monkeypatch):
+    """Whole fused dispatch over the flat pack: pallas (interpret) vs XLA."""
+    from mygramdb_tpu.index.builder import IndexBuilder
+    from mygramdb_tpu.index.device_index import DeviceIndex
+    from mygramdb_tpu.utils.textproc import generate_query_ngrams
+    st, texts = flat_store
+    b = IndexBuilder(ngram_size=2, kanji_ngram_size=1)
+    for did, t in texts.items():
+        b.add_document(did, t)
+    built = b.finalize()
+    idx = DeviceIndex(built, dense_df_ratio=0.08, max_dense_terms=64)
+    def call(terms, score_mode):
+        tids = []
+        for t in terms:
+            for g in generate_query_ngrams(t, 2, kanji_ngram_size=1):
+                tid = built.term_dict.get(g)
+                if tid is not None:
+                    tids.append(tid)
+        assert tids, terms
+        ndl, nlens = DeviceTextStore._pack_needles(terms)
+        idf = np.ones(ndl.shape[0], dtype=np.float32)
+        return idx.search_and_verified(
+            tids, st, ndl, nlens, 64, True, score_mode=score_mode,
+            idf=idf, k1=1.2, b=0.75, avgdl=30.0)
+
+    cases = [(["検索"], False), (["quick"], True)]
+    base = [call(*c) for c in cases]
+    monkeypatch.setattr(fused, "_pallas_tf_eligible", lambda *a, **k: True)
+    monkeypatch.setenv("MYGRAM_PALLAS_VERIFY_INTERPRET", "1")
+    ptf = [call(*c) for c in cases]
+    for (terms, score_mode), b_out, p_out in zip(cases, base, ptf):
+        assert b_out is not None and p_out is not None
+        assert b_out[0] == p_out[0]
+        assert np.array_equal(b_out[1], p_out[1])
+        assert np.allclose(b_out[2], p_out[2])
+        if not score_mode:
+            expect = sum(1 for t_ in texts.values()
+                         if all(term in t_ for term in terms))
+            assert p_out[0] == expect
+
+
 class TestFullPathParity:
     """Whole fused dispatch with pallas_tf on (interpret) vs off: the
     packed (pre, count, ids[, scores]) outputs must be identical."""
