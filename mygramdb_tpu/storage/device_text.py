@@ -276,7 +276,14 @@ class DeviceTextStore:
         # XLA path is indifferent — extra columns are sentinel fill that
         # can never match a sub-sentinel needle)
         rowT = ((self.maxT + NEEDLE_CAP + 127) // 128) * 128
-        if capacity * rowT * itemsize <= _PADDED_BUDGET_BYTES:
+        # MYGRAM_TEXT_LAYOUT=flat|padded overrides the budget heuristic
+        # (perf A/B: the Pallas flat kernel copies per-batch maxT-bucket
+        # windows — often narrower than the padded physical row — while
+        # the padded layout is what the XLA fallback gathers fastest)
+        import os
+        layout = os.environ.get("MYGRAM_TEXT_LAYOUT", "auto")
+        fits = capacity * rowT * itemsize <= _PADDED_BUDGET_BYTES
+        if layout == "padded" or (layout != "flat" and fits):
             # build the (capacity, maxT + NEEDLE_CAP) padded layout ON
             # DEVICE from the flat pack: host->HBM transfer is the flat
             # bytes only (~3x less than shipping the padded matrix — at
