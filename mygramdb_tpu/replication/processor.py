@@ -221,9 +221,32 @@ class BinlogEventProcessor:
                 self.cache.clear_table(ctx.name)
             StructuredLog().event("binlog_truncate").field(
                 "table", ctx.name).info()
-        elif event.ddl_type in ("alter", "drop", "rename") and ctx is not None:
+        elif event.ddl_type == "alter" and ctx is not None:
+            # Schema may no longer match the configured columns; cached
+            # results keyed on old column values are suspect. Reference
+            # warns + clears the table's query cache and keeps serving
+            # (binlog_event_processor.cpp:374-393).
+            if self.cache is not None:
+                self.cache.clear_table(ctx.name)
             StructuredLog().event("binlog_ddl").field(
-                "table", ctx.name).field("type", event.ddl_type).field(
+                "table", ctx.name).field("type", "alter").field(
+                "query", event.query[:200]).field(
+                "message", "schema change may cause data inconsistency; "
+                "consider rebuilding from snapshot").warn()
+        elif event.ddl_type == "drop" and ctx is not None:
+            # Table is gone upstream: serving stale rows would be wrong.
+            # Reference clears index + doc store + cache and logs an error
+            # (binlog_event_processor.cpp:394-413).
+            ctx.truncate()
+            if self.cache is not None:
+                self.cache.clear_table(ctx.name)
+            StructuredLog().event("binlog_ddl").field(
+                "table", ctx.name).field("type", "drop").field(
+                "message", "index and document store cleared; reconfigure "
+                "or stop the server").error()
+        elif event.ddl_type == "rename" and ctx is not None:
+            StructuredLog().event("binlog_ddl").field(
+                "table", ctx.name).field("type", "rename").field(
                 "query", event.query[:200]).warn()
         else:
             pass  # unrelated DDL

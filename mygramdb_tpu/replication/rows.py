@@ -41,6 +41,7 @@ T_BIT = 16
 T_TIMESTAMP2 = 17
 T_DATETIME2 = 18
 T_TIME2 = 19
+T_VECTOR = 242
 T_JSON = 245
 T_NEWDECIMAL = 246
 T_ENUM = 247
@@ -377,6 +378,14 @@ def decode_value(r: ByteReader, col_type: int, meta: int,
             real_len |= ((real_type & 0x30) ^ 0x30) << 4
         length = r.u16() if real_len > 255 else r.u8()
         return r.read(length).decode("utf-8", errors="replace")
+    if t == T_VECTOR:
+        # MySQL 9.0+ VECTOR: BLOB wire encoding (metadata = length-prefix
+        # bytes), payload is packed little-endian float32s. Not indexed —
+        # surfaced as a hex string so replication of vector-bearing tables
+        # never breaks (reference rows_parser_field_decoder.cpp:690-740).
+        n = meta if meta in (1, 2, 3, 4) else 4
+        length = int.from_bytes(r.read(n), "little")
+        return r.read(length).hex()
     if t in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB, T_GEOMETRY):
         n = meta if meta else 2
         length = int.from_bytes(r.read(n), "little")
@@ -410,7 +419,7 @@ def metadata_length(col_type: int) -> int:
                     T_BIT, T_ENUM, T_SET):
         return 2
     if col_type in (T_BLOB, T_TINY_BLOB, T_MEDIUM_BLOB, T_LONG_BLOB,
-                    T_GEOMETRY, T_JSON, T_FLOAT, T_DOUBLE,
+                    T_GEOMETRY, T_JSON, T_VECTOR, T_FLOAT, T_DOUBLE,
                     T_TIMESTAMP2, T_DATETIME2, T_TIME2):
         return 1
     return 0

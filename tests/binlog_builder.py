@@ -145,7 +145,7 @@ class EventBuilder:
             if meta > 255:
                 return struct.pack("<H", len(raw)) + raw
             return bytes([len(raw)]) + raw
-        if t == rowmod.T_BLOB:
+        if t in (rowmod.T_BLOB, rowmod.T_VECTOR):
             raw = value.encode() if isinstance(value, str) else value
             n = meta or 2
             return len(raw).to_bytes(n, "little") + raw

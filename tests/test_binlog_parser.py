@@ -2,6 +2,8 @@
 (reference tests/mysql/binlog_parsing_test.cpp, binlog_crc32_test.cpp,
 rows_parser_*_test.cpp analogs)."""
 
+import struct
+
 import pytest
 
 from mygramdb_tpu.replication import binlog_events as ev
@@ -176,6 +178,23 @@ class TestEventParsing:
         import calendar
         expect = calendar.timegm((2024, 3, 15, 12, 30, 45, 0, 0, 0))
         assert e.rows.rows[0][1] == expect
+
+    def test_vector_column(self):
+        # MySQL 9.0+ VECTOR column: BLOB-encoded packed float32s must
+        # decode (as hex) without breaking the surrounding row — the
+        # reference's vector-propagation e2e contract
+        # (e2e/tests/replication/test_vector_propagation.py).
+        b = EventBuilder()
+        p = make_parser(b)
+        cols = [rowmod.T_LONG, rowmod.T_VECTOR, rowmod.T_VARCHAR]
+        metas = [0, 4, 64]
+        payload = struct.pack("<3f", 1.0, 2.0, 3.0)
+        p.parse_event(b.table_map(11, "db", "vec", cols, metas))
+        e = p.parse_event(b.rows(11, "insert", cols, metas,
+                                 [[7, payload, "hello"]]))
+        assert e.rows.rows[0][0] == 7
+        assert e.rows.rows[0][1] == payload.hex()
+        assert e.rows.rows[0][2] == "hello"
 
     def test_unknown_table_id(self):
         b = EventBuilder()

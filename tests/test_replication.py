@@ -172,6 +172,37 @@ class TestProcessor:
         f.push(b.query("TRUNCATE TABLE articles"))
         assert ctx.doc_count == 0
 
+    def test_drop_ddl_clears_table(self):
+        # reference clears index + doc store on DROP TABLE
+        # (binlog_event_processor.cpp:394-413)
+        cfg, cat, proc = make_env()
+        ctx = cat.resolve("articles")
+        b = EventBuilder()
+        f = StreamFeeder(proc)
+        f.push(b.fde())
+        f.push(b.table_map(9, "db", "articles", COLS, METAS,
+                           col_names=NAMES))
+        f.push(b.rows(9, "insert", COLS, METAS, [[1, "data", 1, 1]]))
+        assert ctx.doc_count == 1
+        f.push(b.query("DROP TABLE articles"))
+        assert ctx.doc_count == 0
+
+    def test_alter_ddl_keeps_data(self):
+        # ALTER warns + invalidates cache but keeps serving the existing
+        # index (binlog_event_processor.cpp:374-393)
+        cfg, cat, proc = make_env()
+        ctx = cat.resolve("articles")
+        b = EventBuilder()
+        f = StreamFeeder(proc)
+        f.push(b.fde())
+        f.push(b.table_map(9, "db", "articles", COLS, METAS,
+                           col_names=NAMES))
+        f.push(b.rows(9, "insert", COLS, METAS, [[1, "data", 1, 1]]))
+        f.push(b.query("ALTER TABLE articles ADD COLUMN c VARCHAR(10)"))
+        assert ctx.doc_count == 1
+        total, _ = ctx.index.search_and(["da"])
+        assert total == 1
+
     def test_unknown_table_skipped(self):
         cfg, cat, proc = make_env()
         b = EventBuilder()
