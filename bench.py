@@ -48,7 +48,43 @@ def build_corpus(rng):
     return docs
 
 
+def _device_backend_error(timeout_s: float) -> str | None:
+    """Bounded device-backend probe.
+
+    On the tunneled axon backend, a dead relay makes the first
+    ``jax.devices()`` call block forever — which would hang the whole
+    bench run. Probe in a daemon thread with a hard timeout so a dead
+    tunnel yields a clean JSON error line instead of a stall. The
+    timeout is generous (cold PJRT init over the tunnel is minutes).
+    """
+    import threading
+
+    result: dict = {}
+
+    def probe() -> None:
+        try:
+            import jax
+            result["ok"] = [str(d) for d in jax.devices()]
+        except Exception as exc:  # backend registration/init failure
+            result["error"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return f"device backend init timed out after {timeout_s:.0f}s (tunnel down?)"
+    return result.get("error")
+
+
 def main() -> int:
+    err = _device_backend_error(float(os.environ.get("BENCH_PROBE_TIMEOUT", "600")))
+    if err is not None:
+        print(json.dumps({
+            "metric": "batched_search_qps", "value": 0.0, "unit": "qps",
+            "vs_baseline": 0.0, "detail": {"error": err},
+        }))
+        sys.stdout.flush()
+        os._exit(2)  # probe thread may be stuck in native code; hard-exit
     import jax
     import jax.numpy as jnp
     from mygramdb_tpu.index.builder import IndexBuilder
