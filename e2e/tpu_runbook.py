@@ -1,0 +1,247 @@
+"""One-command TPU measurement runbook for the round-3 perf tail.
+
+The round-3 kernels (Pallas fused row-gather+TF verify, flat-pack
+variant, chunked build finalize) were written and parity-tested while
+the TPU tunnel was down; this script runs the entire outstanding
+measurement queue the moment a tunnel is available, in the right order,
+single-tenant, with bounded step budgets:
+
+  probe     bounded jax.devices() — abort everything if the tunnel is
+            dead (an unbounded first dispatch blocks forever)
+  ab        verified-path kernel A/B at 1.1M docs: pallas+padded (auto),
+            pallas+flat pack, XLA fallback — three scale_bench --verify
+            runs; winner = highest ja_cjk_verified.qps with zero verify
+            parity failures
+  bench1m   promote the winning A/B run's JSON to BENCH_1M.json
+  bench4m   scale_bench --docs 4000000 --verify (winner env)
+  bench10m  scale_bench --docs 10000000 --verify, flat text layout
+            (padded exceeds the HBM budget at 10M)
+  headline  bench.py (100k-doc batched dense headline)
+
+State is written to RUNBOOK_r3.json after every step so a mid-run
+tunnel death loses nothing. Steps are selectable:
+
+    python e2e/tpu_runbook.py                 # everything
+    python e2e/tpu_runbook.py --steps ab,bench4m
+    python e2e/tpu_runbook.py --probe-timeout 120   # quick liveness test
+
+Single-tenant rules (CLAUDE.md): steps run strictly sequentially; a
+step that exceeds its budget is SIGTERM'd by exact child PID and the
+runbook ABORTS (never stack a second TPU process behind a hung one).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STATE_PATH = os.path.join(REPO, "RUNBOOK_r3.json")
+LOG_DIR = os.path.join(REPO, "e2e", "runbook_logs")
+
+AB_VARIANTS = [
+    # (name, env overrides) — order cheapest-risk first: auto is the
+    # production default, flat exercises the 10M-capable layout, xla is
+    # the round-2 fallback that sets the "did pallas help" bar
+    ("pallas_auto", {}),
+    ("pallas_flat", {"MYGRAM_TEXT_LAYOUT": "flat"}),
+    ("xla", {"MYGRAM_DISABLE_PALLAS_VERIFY": "1"}),
+]
+
+
+def load_state() -> dict:
+    if os.path.exists(STATE_PATH):
+        with open(STATE_PATH) as fh:
+            return json.load(fh)
+    return {"steps": {}}
+
+
+def save_state(state: dict) -> None:
+    tmp = STATE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh, indent=1)
+    os.replace(tmp, STATE_PATH)
+
+
+def probe_devices(timeout_s: float) -> str | None:
+    """Same bounded-probe shape as bench.py: a dead relay blocks the
+    first jax.devices() forever, so probe in a daemon thread."""
+    import threading
+    result: dict = {}
+
+    def probe() -> None:
+        try:
+            import jax
+            result["ok"] = [str(d) for d in jax.devices()]
+        except Exception as exc:
+            result["error"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        return f"device backend init timed out after {timeout_s:.0f}s"
+    return result.get("error")
+
+
+def run_step(name: str, cmd: list[str], env_extra: dict,
+             budget_s: float) -> dict:
+    """Run one TPU subprocess with a wall budget. On timeout: SIGTERM the
+    exact child PID (allowed — not pattern-matching), give it 60 s, then
+    report failure. The caller aborts the runbook on any failure so a
+    possibly-wedged device never gets a second process stacked on it."""
+    os.makedirs(LOG_DIR, exist_ok=True)
+    log_path = os.path.join(LOG_DIR, f"{name}.log")
+    env = dict(os.environ)
+    env.update(env_extra)
+    t0 = time.time()
+    with open(log_path, "w") as log:
+        log.write(f"# cmd: {' '.join(cmd)}\n# env_extra: {env_extra}\n")
+        log.flush()
+        proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT,
+                                cwd=REPO, env=env)
+        try:
+            rc = proc.wait(timeout=budget_s)
+        except subprocess.TimeoutExpired:
+            proc.send_signal(signal.SIGTERM)
+            try:
+                proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                pass  # leave it; operator decides — do NOT SIGKILL a
+                # process that may be mid-device-transfer (relay safety)
+            return {"status": "timeout", "budget_s": budget_s,
+                    "log": log_path, "wall_s": round(time.time() - t0, 1)}
+    res: dict = {"status": "ok" if rc == 0 else f"exit {rc}",
+                 "log": log_path, "wall_s": round(time.time() - t0, 1)}
+    # scale_bench / bench print ONE JSON line on stdout (now in the log)
+    with open(log_path) as fh:
+        for line in fh:
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                try:
+                    res["result"] = json.loads(line)
+                except ValueError:
+                    pass
+    return res
+
+
+def ab_out(name: str) -> str:
+    return os.path.join(REPO, "e2e", f"ab_1m_{name}.json")
+
+
+def pick_ab_winner(state: dict) -> tuple[str, dict] | None:
+    best = None
+    for name, env in AB_VARIANTS:
+        rec = state["steps"].get(f"ab_{name}", {}).get("result")
+        if not rec:
+            continue
+        det = rec.get("detail", {})
+        ver = det.get("ja_cjk_verified") or {}
+        if det.get("verify_parity_failures", 1) != 0:
+            continue
+        qps = ver.get("qps", 0.0)
+        if best is None or qps > best[2]:
+            best = (name, env, qps)
+    if best is None:
+        return None
+    return best[0], dict(best[1])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=str, default="",
+                    help="comma list: probe,ab,bench1m,bench4m,bench10m,"
+                         "headline (default: all)")
+    ap.add_argument("--probe-timeout", type=float, default=600.0)
+    ap.add_argument("--budget-1m", type=float, default=45 * 60)
+    ap.add_argument("--budget-4m", type=float, default=100 * 60)
+    ap.add_argument("--budget-10m", type=float, default=180 * 60)
+    args = ap.parse_args()
+    wanted = set(args.steps.split(",")) if args.steps else {
+        "probe", "ab", "bench1m", "bench4m", "bench10m", "headline"}
+
+    state = load_state()
+    py = sys.executable
+
+    def record(key: str, rec: dict) -> bool:
+        state["steps"][key] = rec
+        state["updated"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        save_state(state)
+        print(f"[{key}] {rec['status']} ({rec.get('wall_s', '?')}s)",
+              flush=True)
+        if rec["status"] != "ok":
+            print(f"ABORT: step {key} did not complete cleanly; see "
+                  f"{rec.get('log', '(no log)')}", flush=True)
+            return False
+        return True
+
+    if "probe" in wanted:
+        t0 = time.time()
+        err = probe_devices(args.probe_timeout)
+        rec = {"status": "ok" if err is None else "tunnel_down",
+               "error": err, "wall_s": round(time.time() - t0, 1)}
+        if not record("probe", rec):
+            return 2
+
+    if "ab" in wanted:
+        for name, env in AB_VARIANTS:
+            cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "1100000",
+                   "--verify", "--out", ab_out(name)]
+            if not record(f"ab_{name}",
+                          run_step(f"ab_{name}", cmd, env, args.budget_1m)):
+                return 2
+
+    winner = pick_ab_winner(state)
+    if winner is not None:
+        state["ab_winner"] = {"name": winner[0], "env": winner[1]}
+        save_state(state)
+        print(f"[ab] winner: {winner[0]} env={winner[1]}", flush=True)
+    win_env = winner[1] if winner else {}
+
+    if "bench1m" in wanted:
+        src = ab_out(winner[0]) if winner else None
+        if src and os.path.exists(src):
+            with open(src) as fh, open(
+                    os.path.join(REPO, "BENCH_1M.json"), "w") as out:
+                out.write(fh.read())
+            record("bench1m", {"status": "ok", "promoted_from": src,
+                               "wall_s": 0.0})
+        else:
+            cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "1100000",
+                   "--verify", "--out", "BENCH_1M.json"]
+            if not record("bench1m", run_step("bench1m", cmd, win_env,
+                                              args.budget_1m)):
+                return 2
+
+    if "bench4m" in wanted:
+        cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "4000000",
+               "--verify", "--out", "BENCH_4M.json"]
+        if not record("bench4m", run_step("bench4m", cmd, win_env,
+                                          args.budget_4m)):
+            return 2
+
+    if "bench10m" in wanted:
+        env = dict(win_env)
+        env["MYGRAM_TEXT_LAYOUT"] = "flat"  # padded busts HBM at 10M
+        cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "10000000",
+               "--verify", "--out", "BENCH_10M.json"]
+        if not record("bench10m", run_step("bench10m", cmd, env,
+                                           args.budget_10m)):
+            return 2
+
+    if "headline" in wanted:
+        if not record("headline", run_step(
+                "headline", [py, "-u", "bench.py"], {}, 30 * 60)):
+            return 2
+
+    print("runbook complete; state in RUNBOOK_r3.json", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
