@@ -418,15 +418,15 @@ def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
         z32 = np.zeros(0, dtype=np.int32)
         return (np.zeros(0, dtype=np.uint32), z32, z32,
                 np.zeros(0, dtype=np.uint64), z32)
-    # concatenate UTF-32 buffers (no separators — offsets delimit docs)
-    cps_list = [to_cp(t) for t in texts]
-    doc_len = np.asarray([c.size for c in cps_list], dtype=np.int32)
+    # ONE join + ONE utf-32 encode for the whole batch (no separators —
+    # offsets delimit docs): ~4x cheaper than a per-doc to_cp + concat,
+    # and len(str) == code points so doc_len needs no decode pass
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                         dtype=np.uint32)
+    doc_len = np.asarray([len(t) for t in texts], dtype=np.int32)
     doc_off = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(doc_len[:-1], out=doc_off[1:])
-    flat = (np.concatenate(cps_list) if cps_list
-            else np.zeros(0, dtype=np.uint32))
-    flat = np.ascontiguousarray(flat, dtype=np.uint32)
-    cap = max(int(doc_len.sum()), 1)
+    cap = max(int(flat.size), 1)
     starts = np.empty(cap, dtype=np.int32)
     lens = np.empty(cap, dtype=np.int32)
     hashes = np.empty(cap, dtype=np.uint64)

@@ -136,10 +136,14 @@ class CorpusGenerator:
                                              size=int(h_mask.sum()))]
         cps[t_mask] = _KATAKANA[rng.integers(0, _KATAKANA.size,
                                              size=int(t_mask.sum()))]
+        # one C-speed utf-32 decode for the whole batch, then slice:
+        # ~100x faster than a per-character chr() join (the generator was
+        # half the benchmark build loop's wall time)
+        big = cps.astype("<u4").tobytes().decode("utf-32-le")
         out = []
         pos = 0
         for L in lens.tolist():
-            out.append("".join(chr(c) for c in cps[pos:pos + L]))
+            out.append(big[pos:pos + L])
             pos += L
         return out
 
@@ -184,5 +188,6 @@ class CorpusGenerator:
         rng = rng or np.random.default_rng(self.seed + 98)
         idx = _zipf_sample(self.kanji_cdf, count * term_len, rng)
         cps = self.kanji[idx]
-        return ["".join(chr(c) for c in cps[i * term_len:(i + 1) * term_len])
+        big = cps.astype("<u4").tobytes().decode("utf-32-le")
+        return [big[i * term_len:(i + 1) * term_len]
                 for i in range(count)]
