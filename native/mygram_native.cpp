@@ -213,6 +213,25 @@ int64_t mg_difference_sorted(const int32_t* a, int64_t la, const int32_t* b,
 // slices the original string once per gram only for unseen hashes.
 // Also emits FNV-1a 64-bit hashes for fast term-dict probing.
 // ---------------------------------------------------------------------------
+// Gram hash: 64-bit mul-xorshift mix per CODE POINT (not per byte — the
+// byte-wise FNV-1a loop was 16 multiplies per bigram and dominated the
+// shredder's inner loop; this is 2 + a final avalanche). The hash is
+// internal-only (gram-hash -> tid tables rebuilt per process; never
+// persisted), but the two emitters below and mg_shred_batch MUST agree:
+// the builder mixes per-doc and batched paths over one h2t table.
+static inline uint64_t gram_hash(const uint32_t* cp, int32_t size) {
+  uint64_t h = 0x243F6A8885A308D3ULL ^ static_cast<uint64_t>(size);
+  for (int32_t j = 0; j < size; ++j) {
+    h ^= cp[j];
+    h *= 0x9E3779B97F4A7C15ULL;
+    h ^= h >> 29;
+  }
+  h ^= h >> 32;
+  h *= 0xD6E8FEB86659FD93ULL;
+  h ^= h >> 32;
+  return h;
+}
+
 static bool is_cjk_ideograph(uint32_t cp) {
   return (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
          (cp >= 0x20000 && cp <= 0x2A6DF) || (cp >= 0x2A700 && cp <= 0x2B73F) ||
@@ -240,14 +259,7 @@ int64_t mg_hybrid_ngrams(const uint32_t* cps, int64_t n, int32_t ascii_n,
       }
       if (crossed) continue;
     }
-    uint64_t h = 1469598103934665603ULL;  // FNV-1a 64
-    for (int32_t j = 0; j < size; ++j) {
-      uint32_t c = cps[i + j];
-      for (int b = 0; b < 4; ++b) {
-        h ^= (c >> (b * 8)) & 0xFF;
-        h *= 1099511628211ULL;
-      }
-    }
+    uint64_t h = gram_hash(cps + i, size);
     out_start[count] = static_cast<int32_t>(i);
     out_len[count] = size;
     out_hash[count] = h;
@@ -293,14 +305,7 @@ int64_t mg_shred_batch(const uint32_t* cps, const int64_t* doc_off,
         }
         if (crossed) continue;
       }
-      uint64_t h = 1469598103934665603ULL;  // FNV-1a 64
-      for (int32_t j = 0; j < size; ++j) {
-        uint32_t c = t[i + j];
-        for (int b = 0; b < 4; ++b) {
-          h ^= (c >> (b * 8)) & 0xFF;
-          h *= 1099511628211ULL;
-        }
-      }
+      uint64_t h = gram_hash(t + i, size);
       uint64_t key = h ? h : 1;  // reserve 0 for empty slots
       size_t pos = static_cast<size_t>(key) & (cap - 1);
       bool dup = false;
