@@ -74,7 +74,8 @@ class Application:
 
         # restore from dump, then seed if empty
         if self.restore_dump:
-            self.core.dump_manager.start_load(self.restore_dump)
+            self.core.dump_manager.start_load(self.restore_dump,
+                                              trusted=True)
             self.core.dump_manager.wait(timeout=3600)
         if self.seed_path and all(c.doc_count == 0
                                   for c in self.catalog.contexts()):

@@ -455,10 +455,31 @@ class ServerCore:
         return "\r\n".join(lines)
 
     def _handle_config_verify(self, q: Query) -> str:
+        """CONFIG VERIFY <file>: relative .yaml/.yml under the CWD only —
+        absolute paths, traversal and symlinks rejected (network-supplied
+        path; reference admin_handler.cpp:126-170)."""
+        import os
         from ..config import load_config
-        from ..utils.errors import ConfigError
+        from ..utils.errors import ConfigError, MygramError
+        from ..utils.safe_path import resolve_safe_path
+        path = q.filepath or ""
+        if path.startswith("/"):
+            return fmt.format_error(
+                "CONFIG VERIFY: absolute paths not allowed")
+        if ".." in path:
+            return fmt.format_error(
+                "CONFIG VERIFY: path traversal (..) not allowed")
         try:
-            load_config(q.filepath)
+            resolved = resolve_safe_path(path, os.getcwd(),
+                                         allowed_extensions=(".yaml",
+                                                             ".yml"))
+        except MygramError as e:
+            return fmt.format_error(f"CONFIG VERIFY: {e.message}")
+        if os.path.islink(os.path.join(os.getcwd(), path)):
+            return fmt.format_error(
+                "CONFIG VERIFY: symbolic links are not allowed")
+        try:
+            load_config(resolved)
         except ConfigError as e:
             return fmt.format_error(f"config invalid: {e.message}")
         return "OK CONFIG_VERIFIED"

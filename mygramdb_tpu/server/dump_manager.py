@@ -15,7 +15,8 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional
 
 from ..storage import dump as dump_format
-from ..utils.errors import DumpError
+from ..utils.errors import DumpError, MygramError
+from ..utils.safe_path import resolve_safe_path
 from ..utils.structured_log import StructuredLog
 
 
@@ -79,22 +80,28 @@ class DumpManager:
                             self.config.dump.default_filename)
 
     def _resolve(self, filepath: str) -> str:
+        """Resolve a DUMP SAVE/LOAD/VERIFY path, confined to the dump
+        directory (traversal/symlink escapes rejected — DUMP commands
+        arrive over the network; reference dump_handler.cpp
+        ResolveDumpFilepath + safe_path.h)."""
         if not filepath:
             return self.default_path()
-        if not os.path.isabs(filepath):
-            return os.path.join(self.config.dump.dir, filepath)
-        return filepath
+        try:
+            return resolve_safe_path(filepath, self.config.dump.dir,
+                                     base_dir_label="dump directory")
+        except MygramError as e:
+            raise DumpError(e.message) from None
 
     # ------------------------------------------------------------------
     def start_save(self, filepath: str = "", with_stats: bool = False,
                    stats: Optional[Dict] = None) -> str:
         """Kick off async save; returns resolved path.
         Raises DumpError if another op is in flight."""
-        with self._lock:
+        path = self._resolve(filepath)  # before busy: a raise must not
+        with self._lock:                # leave the manager wedged
             if self._busy.is_set():
                 raise DumpError("another dump/sync operation is in progress")
             self._busy.set()
-            path = self._resolve(filepath)
             self.progress = DumpProgress(
                 operation="save", state="running", filepath=path,
                 started_at=time.time(),
@@ -132,12 +139,19 @@ class DumpManager:
             self._busy.clear()
 
     # ------------------------------------------------------------------
-    def start_load(self, filepath: str) -> str:
+    def start_load(self, filepath: str, trusted: bool = False) -> str:
+        # trusted=True: operator-supplied CLI path (--restore), not a
+        # network command — exempt from the dump-directory confinement
+        # (relative names still resolve against dump.dir)
+        if trusted and filepath:
+            path = (filepath if os.path.isabs(filepath)
+                    else os.path.join(self.config.dump.dir, filepath))
+        else:
+            path = self._resolve(filepath)
         with self._lock:
             if self._busy.is_set():
                 raise DumpError("another dump/sync operation is in progress")
             self._busy.set()
-            path = self._resolve(filepath)
             self.progress = DumpProgress(
                 operation="load", state="running", filepath=path,
                 started_at=time.time())
