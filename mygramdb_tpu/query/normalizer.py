@@ -20,7 +20,10 @@ class QueryNormalizer:
     def canonical(self, query: Query) -> str:
         parts = [query.type.value, query.table]
         if query.search_text:
-            parts.append("Q:" + self._norm(query.search_text))
+            # quoted (literal) vs boolean-parsed text are different
+            # queries even when the characters match: key them apart
+            tag = "QL:" if query.search_text_quoted else "Q:"
+            parts.append(tag + self._norm(query.search_text))
         for t in sorted(self._norm(t) for t in query.and_terms):
             parts.append("A:" + t)
         for t in sorted(self._norm(t) for t in query.not_terms):

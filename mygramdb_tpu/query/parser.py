@@ -136,6 +136,10 @@ class Query:
     highlight: Optional[HighlightOptions] = None
     fuzzy_max_distance: Optional[int] = None
     cache_key: Optional[str] = None
+    # True when the search text came from quoted token(s): it is ONE
+    # literal term — downstream boolean-syntax detection must not
+    # re-parse AND/OR/NOT out of it (reference quoted-region semantics)
+    search_text_quoted: bool = False
 
     @property
     def all_terms(self) -> List[str]:
@@ -153,19 +157,47 @@ _ALL_CLAUSE_KEYWORDS = _NON_EXPR_KEYWORDS | _EXPR_KEYWORDS
 _WS_RE = re.compile(r"\s")
 
 
+# A token is a list of (text, was_quoted) segments: '("abc' tokenizes to
+# [('(', False), ('abc', True)]. Quoted segments are literal search text
+# and must never be read as clause/boolean keywords or grouping parens
+# (reference: the parser's keyword logic "must skip quoted regions",
+# http_server_search_test.cpp:1604).
+TokenSegments = List[Tuple[str, bool]]
+
+
 def tokenize(text: str) -> List[str]:
     """Whitespace split with single/double quotes and backslash escapes."""
-    tokens: List[str] = []
-    token: List[str] = []
+    return [_seg_text(t) for t in tokenize_segments(text)]
+
+
+def tokenize_segments(text: str) -> List[TokenSegments]:
+    tokens: List[TokenSegments] = []
+    segs: TokenSegments = []
+    buf: List[str] = []
+    buf_quoted = False
     has_token = False
     quote = ""
     escape = False
+
+    def push_buf() -> None:
+        nonlocal buf
+        if buf:
+            segs.append(("".join(buf), buf_quoted))
+            buf = []
+
+    def put(ch: str, quoted: bool) -> None:
+        nonlocal buf_quoted
+        if buf and buf_quoted != quoted:
+            push_buf()
+        buf_quoted = quoted
+        buf.append(ch)
+
     i = 0
     n = len(text)
     while i < n:
         ch = text[i]
         if escape:
-            token.append({"n": "\n", "t": "\t", "r": "\r"}.get(ch, ch))
+            put({"n": "\n", "t": "\t", "r": "\r"}.get(ch, ch), bool(quote))
             escape = False
             i += 1
             continue
@@ -178,22 +210,28 @@ def tokenize(text: str) -> List[str]:
             if ch == quote:
                 quote = ""
             else:
-                token.append(ch)
+                put(ch, True)
             i += 1
             continue
         if ch in "\"'":
             quote = ch
             has_token = True
+            # an empty quoted region still marks the token as quoted
+            if not buf or not buf_quoted:
+                push_buf()
+                buf_quoted = True
             i += 1
             continue
         if ch.isspace():
             if has_token:
-                tokens.append("".join(token))
-                token = []
+                push_buf()
+                tokens.append(segs)
+                segs = []
                 has_token = False
+                buf_quoted = False
             i += 1
             continue
-        token.append(ch)
+        put(ch, False)
         has_token = True
         i += 1
     if escape:
@@ -201,12 +239,110 @@ def tokenize(text: str) -> List[str]:
     if quote:
         raise QueryParseError("unclosed quote in query")
     if has_token:
-        tokens.append("".join(token))
+        push_buf()
+        tokens.append(segs)
     return tokens
+
+
+def _seg_text(segs: TokenSegments) -> str:
+    return "".join(s for s, _ in segs)
+
+
+def _seg_any_quoted(segs: TokenSegments) -> bool:
+    return any(q for _, q in segs) or not segs
+
+
+def _seg_parens(segs: TokenSegments) -> Tuple[int, int]:
+    """(open, close) counts over UNQUOTED segments only — quoted parens
+    are literal text, not grouping."""
+    o = c = 0
+    for s, q in segs:
+        if not q:
+            o += s.count("(")
+            c += s.count(")")
+    return o, c
 
 
 def _count_parens(token: str) -> Tuple[int, int]:
     return token.count("("), token.count(")")
+
+
+def _finalize_search_text(toks: List[TokenSegments]) -> Tuple[str, bool]:
+    """Assemble accumulated search tokens -> (search_text, quoted_flag).
+
+    Decision mirrors the pipeline's own routing test: assemble the
+    boolean form (quoted segments re-quoted) and ask the quote-aware
+    ``contains_boolean_syntax`` whether it actually parses as a boolean
+    expression. If yes, keep the boolean form. If not, the text is ONE
+    literal substring term: strip quotes and flag it quoted when any
+    part was, so downstream never re-parses AND/OR/NOT out of it."""
+    from .ast import contains_boolean_syntax
+    bool_form = _assemble_search_text(toks, True)
+    if contains_boolean_syntax(bool_form):
+        return bool_form, False
+    literal = _assemble_search_text(toks, False)
+    return literal, any(_seg_any_quoted(t) for t in toks)
+
+
+def _requote(s: str) -> str:
+    qc = '"' if '"' not in s else "'"
+    return qc + s + qc
+
+
+def _assemble_search_text(toks: List[TokenSegments],
+                          is_bool_expr: bool) -> str:
+    """Join accumulated search tokens back into search_text.
+
+    Literal (non-boolean) text: plain space join, quotes stripped — the
+    whole text is ONE substring term. Boolean expressions: quoted
+    SEGMENTS are RE-QUOTED so the AST lexer (quote-aware) keeps them as
+    literal terms ('(a OR b) AND "c d"', '("a" AND "b")'), and the
+    paren-adjacency join is preserved for grouping tokens."""
+    parts: List[str] = []
+    for i, segs in enumerate(toks):
+        if i > 0:
+            prev = toks[i - 1]
+            prev_open = (prev and not prev[-1][1]
+                         and prev[-1][0].endswith("("))
+            cur_close = (segs and not segs[0][1]
+                         and segs[0][0].startswith(")"))
+            if not (prev_open or cur_close):
+                parts.append(" ")
+        if is_bool_expr:
+            parts.extend(_requote(s) if q else s for s, q in segs)
+        else:
+            parts.append(_seg_text(segs))
+    return "".join(parts)
+
+
+def parse_search_expression(text: str) -> Tuple[str, bool]:
+    """Parse a bare search expression (the HTTP plane's ``q`` field) with
+    the SAME semantics as the TCP SEARCH operand: quoted phrases,
+    boolean AND/OR/NOT, grouping. -> (search_text, search_text_quoted).
+
+    Clause keywords (LIMIT/FILTER/SORT/...) outside quotes are parameter
+    pollution and rejected — the JSON body has dedicated fields for them
+    (reference http_server_search_test.cpp:1604-1639: quoted keywords
+    and boolean operators pass, bare clause keywords do not)."""
+    toks = tokenize_segments(text)
+    if not toks:
+        return "", False
+    depth = 0
+    for segs in toks:
+        up = _seg_text(segs).upper()
+        unquoted = not _seg_any_quoted(segs)
+        if depth == 0 and unquoted and (up in _NON_EXPR_KEYWORDS
+                                        or up == "ORDER"):
+            raise QueryParseError(
+                f"clause keyword {up} is not allowed in q (use the "
+                "request's own fields)")
+        o, c = _seg_parens(segs)
+        depth += o - c
+        if depth < 0:
+            raise QueryParseError("Unmatched closing parenthesis")
+    if depth > 0:
+        raise QueryParseError("Unclosed parenthesis")
+    return _finalize_search_text(toks)
 
 
 class QueryParser:
@@ -224,103 +360,114 @@ class QueryParser:
         if self.max_query_length and len(line) > max(self.max_query_length, 0) \
                 and line.split(None, 1)[0].upper() in ("SEARCH", "COUNT", "FACET"):
             raise QueryParseError("query too long")
-        tokens = tokenize(line)
+        segs = tokenize_segments(line)
+        tokens = [_seg_text(t) for t in segs]
         if not tokens:
             raise QueryParseError("empty query")
         cmd = tokens[0].upper()
+        if _seg_any_quoted(segs[0]):
+            raise QueryParseError(f"unknown command: {tokens[0]}")
         handler = self._COMMANDS.get(cmd)
         if handler is None:
             raise QueryParseError(f"unknown command: {tokens[0]}")
+        if cmd in ("SEARCH", "COUNT", "FACET"):
+            return handler(self, tokens, segs)
         return handler(self, tokens)
 
     # ------------------------------------------------------------------
-    def _parse_search(self, tokens: List[str]) -> Query:
-        return self._parse_search_like(tokens, QueryType.SEARCH)
+    def _parse_search(self, tokens: List[str],
+                      segs: Optional[List[TokenSegments]] = None) -> Query:
+        return self._parse_search_like(tokens, QueryType.SEARCH, segs=segs)
 
-    def _parse_count(self, tokens: List[str]) -> Query:
-        return self._parse_search_like(tokens, QueryType.COUNT)
+    def _parse_count(self, tokens: List[str],
+                     segs: Optional[List[TokenSegments]] = None) -> Query:
+        return self._parse_search_like(tokens, QueryType.COUNT, segs=segs)
 
-    def _parse_facet(self, tokens: List[str]) -> Query:
+    def _parse_facet(self, tokens: List[str],
+                     segs: Optional[List[TokenSegments]] = None) -> Query:
         if len(tokens) < 3:
             raise QueryParseError("FACET requires table and column")
+        sub_segs = None if segs is None else \
+            [segs[0], segs[1]] + segs[3:]
         q = self._parse_search_like(
             ["FACET", tokens[1]] + tokens[3:], QueryType.FACET,
-            require_search_text=False)
+            require_search_text=False, segs=sub_segs)
         q.facet_column = tokens[2]
         return q
 
     def _parse_search_like(self, tokens: List[str], qtype: QueryType,
-                           require_search_text: bool = True) -> Query:
+                           require_search_text: bool = True,
+                           segs: Optional[List[TokenSegments]] = None
+                           ) -> Query:
         if len(tokens) < 2:
             raise QueryParseError(f"{qtype.value} requires a table name")
         q = Query(type=qtype, table=tokens[1], limit=self.default_limit)
+        if segs is None:
+            # plain-token call (tests/back-compat): everything unquoted
+            segs = [[(t, False)] if t else [] for t in tokens]
         if "," in q.table or (len(tokens) > 2 and tokens[2] == ","):
             raise QueryParseError(
                 "Multiple tables not supported. Hint: MygramDB searches a "
                 "single table at a time.")
         pos = 2
-        # parenthesis balance check
+        # parenthesis balance check (quoted parens are literal text)
         depth = 0
-        for t in tokens[pos:]:
-            o, c = _count_parens(t)
+        for i in range(pos, len(tokens)):
+            o, c = _seg_parens(segs[i])
             depth += o - c
             if depth < 0:
                 raise QueryParseError("Unmatched closing parenthesis")
         if depth > 0:
             raise QueryParseError("Unclosed parenthesis")
 
-        # classify: top-level OR / grouped operand => whole boolean expression
+        # classify: top-level OR / grouped operand => whole boolean
+        # expression. Quoted keywords/parens never count.
         has_top_or = False
         has_grouped = False
         scan_depth = 0
         seen_top_op = False
-        for t in tokens[pos:]:
-            up = t.upper()
-            o, c = _count_parens(t)
+        for i in range(pos, len(tokens)):
+            unquoted = not _seg_any_quoted(segs[i])
+            up = tokens[i].upper()
+            o, c = _seg_parens(segs[i])
             if scan_depth == 0 and o > 0 and seen_top_op:
                 has_grouped = True
             scan_depth += o - c
-            if scan_depth == 0 and up in _NON_EXPR_KEYWORDS:
-                break
-            if scan_depth == 0 and up == "ORDER":
-                break
-            if scan_depth == 0 and up == "OR":
-                has_top_or = True
-                break
-            if scan_depth == 0 and up in ("AND", "NOT"):
-                seen_top_op = True
+            if scan_depth == 0 and unquoted:
+                if up in _NON_EXPR_KEYWORDS or up == "ORDER":
+                    break
+                if up == "OR":
+                    has_top_or = True
+                    break
+                if up in ("AND", "NOT"):
+                    seen_top_op = True
         is_bool_expr = has_top_or or has_grouped
 
-        # accumulate search text (clause keywords only terminate at depth 0)
-        search_tokens: List[str] = []
+        # accumulate search text (clause keywords only terminate at depth
+        # 0 and only when unquoted — quoted keywords are search text)
+        search_toks: List[TokenSegments] = []
         depth = 0
         while pos < len(tokens):
-            t = tokens[pos]
-            up = t.upper()
-            if depth == 0:
+            up = tokens[pos].upper()
+            if depth == 0 and not _seg_any_quoted(segs[pos]):
                 if up == "ORDER":
                     raise QueryParseError(
                         "ORDER BY is not supported. Use SORT instead.")
                 if up in _NON_EXPR_KEYWORDS or \
                         (not is_bool_expr and up in _EXPR_KEYWORDS):
                     break
-            o, c = _count_parens(t)
+            o, c = _seg_parens(segs[pos])
             depth += o - c
-            search_tokens.append(t)
+            search_toks.append(segs[pos])
             pos += 1
 
-        if search_tokens:
-            parts: List[str] = [search_tokens[0]]
-            for i in range(1, len(search_tokens)):
-                prev, cur = search_tokens[i - 1], search_tokens[i]
-                if not (prev.endswith("(") or cur.startswith(")")):
-                    parts.append(" ")
-                parts.append(cur)
-            q.search_text = "".join(parts)
+        if search_toks:
+            q.search_text, q.search_text_quoted = \
+                _finalize_search_text(search_toks)
         elif require_search_text:
             raise QueryParseError(f"{qtype.value} requires search text")
-        if require_search_text and search_tokens and \
-                not any(t for t in search_tokens):
+        if require_search_text and search_toks and \
+                not any(_seg_text(t) for t in search_toks):
             raise QueryParseError(f"{qtype.value} requires search text")
 
         # clauses

@@ -26,6 +26,14 @@ from ..utils import textproc
 from .parser import (FilterCondition, FilterOp, OrderByClause, Query,
                      QueryType, SortOrder)
 from .ast import QueryASTParser, QueryNode, contains_boolean_syntax
+
+
+def _is_boolean_query(query) -> bool:
+    """Boolean-AST routing gate: quoted search text is ONE literal term
+    and must never be re-parsed for AND/OR/NOT (the TCP/HTTP parsers set
+    search_text_quoted; reference quoted-region semantics)."""
+    return (not getattr(query, "search_text_quoted", False)
+            and contains_boolean_syntax(query.search_text))
 from .bm25 import BM25Scorer
 from .sorter import ResultSorter
 
@@ -291,7 +299,7 @@ class SearchPipeline:
             if query.fuzzy_max_distance is not None:
                 out.path = "fuzzy"
                 all_ids, terms = self._execute_fuzzy(query, dbg)
-            elif contains_boolean_syntax(query.search_text):
+            elif _is_boolean_query(query):
                 out.path = "boolean_ast"
                 all_ids, terms = self._execute_ast(query, dbg)
             elif self._synonyms_apply(query):
@@ -426,7 +434,7 @@ class SearchPipeline:
     def _try_count(self, query: Query, dbg: DebugInfo):
         if query.fuzzy_max_distance is not None or query.not_terms:
             return None
-        if contains_boolean_syntax(query.search_text) or \
+        if _is_boolean_query(query) or \
                 self._synonyms_apply(query):
             return None
         extra = self._device_eq_filters(query)
@@ -464,7 +472,7 @@ class SearchPipeline:
             return None
         if query.fuzzy_max_distance is not None or query.not_terms:
             return None
-        if contains_boolean_syntax(query.search_text) or \
+        if _is_boolean_query(query) or \
                 self._synonyms_apply(query):
             return None
         # bitmap-EQ filters ride the fused dispatch as extra AND rows
@@ -595,7 +603,7 @@ class SearchPipeline:
             return None
         if query.fuzzy_max_distance is not None or query.not_terms:
             return None
-        if contains_boolean_syntax(query.search_text) or \
+        if _is_boolean_query(query) or \
                 self._synonyms_apply(query):
             return None
         extra = self._device_eq_filters(query)

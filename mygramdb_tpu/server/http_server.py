@@ -26,7 +26,9 @@ from aiohttp import web
 
 from ..query.highlighter import Highlighter
 from ..query.parser import (FilterCondition, FilterOp, HighlightOptions,
-                            OrderByClause, Query, QueryType, SortOrder)
+                            OrderByClause, Query, QueryType, SortOrder,
+                            parse_search_expression)
+from ..utils.errors import QueryParseError
 from ..utils.structured_log import StructuredLog
 from .core import ServerCore
 from .tcp_server import CidrAcl
@@ -82,7 +84,14 @@ def _parse_body_query(body: Dict[str, Any], table: str, qtype: QueryType,
     text = body.get("q", "")
     if not isinstance(text, str):
         raise HttpError(400, "q must be a string")
-    q.search_text = text
+    # q is a full search EXPRESSION exactly like the TCP operand: quoted
+    # phrases, boolean AND/OR/NOT, grouping (reference parses both
+    # planes identically; http_server_search_test.cpp:1604-1639). Clause
+    # keywords outside quotes are parameter pollution -> 400.
+    try:
+        q.search_text, q.search_text_quoted = parse_search_expression(text)
+    except QueryParseError as e:
+        raise HttpError(400, e.message)
     for key, target in (("and", q.and_terms), ("not", q.not_terms)):
         terms = body.get(key)
         if terms is None:

@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, \
 import numpy as np
 
 from .frozen_docs import FrozenDocBuilder, FrozenDocs
+from ..utils.errors import ErrorCode, MygramError
 
 # FilterValue: python analog of the reference's 13-alternative variant
 # (document_store.h:72-85). Times are epoch ints (TimeValue).
@@ -129,6 +130,13 @@ class DocumentStore:
             if existing is not None:
                 return existing, False
             doc_id = self._next_doc_id
+            if doc_id > 0xFFFFFFFF:
+                # doc ids are uint32 on device (bitmap words, CSR
+                # postings, packed transports): exhaustion must be a hard
+                # error, never a silent wrap that would alias doc 0/1
+                # (reference document_store_docid_overflow_test.cpp)
+                raise MygramError(ErrorCode.OUT_OF_RANGE,
+                                  "doc id space exhausted (uint32)")
             self._next_doc_id += 1
             self._pk_to_doc[pk] = doc_id
             self._doc_to_pk[doc_id] = pk

@@ -37,12 +37,12 @@ def engine():
 P = QueryParser()
 
 CASES = [
-    ('"(alpha OR beta) AND gamma"',
+    ('((alpha OR beta) AND gamma)',
      lambda t: ("alpha" in t or "beta" in t) and "gamma" in t),
-    ('"alpha AND NOT beta"', lambda t: "alpha" in t and "beta" not in t),
-    ('"NOT alpha"', lambda t: "alpha" not in t),
-    ('"alpha OR zzznope"', lambda t: "alpha" in t),
-    ('"(alpha OR 日本語) AND NOT (beta AND gamma)"',
+    ('(alpha AND NOT beta)', lambda t: "alpha" in t and "beta" not in t),
+    ('(NOT alpha)', lambda t: "alpha" not in t),
+    ('(alpha OR zzznope)', lambda t: "alpha" in t),
+    ('((alpha OR 日本語) AND NOT (beta AND gamma))',
      lambda t: ("alpha" in t or "日本語" in t)
      and not ("beta" in t and "gamma" in t)),
 ]
@@ -65,7 +65,7 @@ class TestDeviceAST:
         pipe, ctx, docs = engine
         ctx.add_row("9001", "alpha beta fresh", None)
         try:
-            out = pipe.execute(P.parse('SEARCH t "alpha AND beta" LIMIT 9999'),
+            out = pipe.execute(P.parse('SEARCH t (alpha AND beta) LIMIT 9999'),
                                want_debug=True)
             assert out.success
             assert out.debug.optimization_used != "device_ast"
@@ -78,7 +78,7 @@ class TestDeviceAST:
     def test_short_term_falls_back(self, engine):
         pipe, ctx, docs = engine
         # 1-char ascii term has no grams -> host substring path
-        out = pipe.execute(P.parse('SEARCH t "alpha AND l" LIMIT 2000'),
+        out = pipe.execute(P.parse('SEARCH t (alpha AND l) LIMIT 2000'),
                            want_debug=True)
         assert out.success
         assert out.debug.optimization_used != "device_ast"

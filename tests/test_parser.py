@@ -242,3 +242,94 @@ class TestBooleanAst:
         expr = " OR ".join(f"t{i}" for i in range(70))
         assert p.parse(expr) is None
         assert "too many terms" in p.error
+
+
+class TestQuotedRegions:
+    """Quoted regions are literal search text: never clause keywords,
+    never boolean operators (reference quoted-region semantics,
+    http_server_search_test.cpp:1604+)."""
+
+    def test_quoted_phrase_not_boolean(self):
+        q = P.parse('SEARCH t "foo AND bar"')
+        assert q.search_text == "foo AND bar"
+        assert q.search_text_quoted is True
+
+    def test_quoted_clause_keyword_is_text(self):
+        q = P.parse('SEARCH t "LIMIT"')
+        assert q.search_text == "LIMIT"
+        assert q.search_text_quoted is True
+        assert q.limit_explicit is False
+
+    def test_quoted_keyword_mid_text(self):
+        q = P.parse('SEARCH t hello "LIMIT" world')
+        assert q.search_text == "hello LIMIT world"
+        assert q.search_text_quoted is True
+
+    def test_unquoted_keyword_still_clause(self):
+        q = P.parse("SEARCH t hello LIMIT 5")
+        assert q.search_text == "hello"
+        assert q.limit == 5
+
+    def test_boolean_with_quoted_operand(self):
+        # top-level AND becomes an and_terms clause; the quoted operand
+        # stays one literal term with its space preserved
+        q = P.parse('SEARCH t (a OR b) AND "c d"')
+        assert q.search_text == "(a OR b)"
+        assert q.and_terms == ["c d"]
+        assert q.search_text_quoted is False
+
+    def test_unquoted_boolean_unchanged(self):
+        q = P.parse("SEARCH t (a OR b) AND c")
+        assert q.search_text == "(a OR b)"
+        assert q.and_terms == ["c"]
+        assert q.search_text_quoted is False
+
+    def test_top_level_or_with_quoted_operand(self):
+        q = P.parse('SEARCH t "x y" OR b')
+        assert q.search_text == '"x y" OR b'
+        assert q.search_text_quoted is False
+
+    def test_quoted_parens_are_text(self):
+        q = P.parse('SEARCH t "(x)"')
+        assert q.search_text == "(x)"
+        assert q.search_text_quoted is True
+
+
+class TestParseSearchExpression:
+    """HTTP q-field parsing (parse_search_expression)."""
+
+    def _pse(self, text):
+        from mygramdb_tpu.query.parser import parse_search_expression
+        return parse_search_expression(text)
+
+    def test_plain(self):
+        assert self._pse("hello world") == ("hello world", False)
+
+    def test_quoted_phrase(self):
+        assert self._pse('"hello world"') == ("hello world", True)
+
+    def test_quoted_keeps_keyword_literal(self):
+        st, quoted = self._pse('"machine LIMIT learning"')
+        assert st == "machine LIMIT learning" and quoted
+
+    def test_boolean_allowed(self):
+        st, quoted = self._pse("machine AND learning")
+        assert st == "machine AND learning" and not quoted
+
+    def test_clause_keyword_rejected(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            self._pse("hello LIMIT 5")
+
+    def test_filter_keyword_rejected(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            self._pse("hello FILTER status = 1")
+
+    def test_unbalanced_parens_rejected(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            self._pse("(a OR b")

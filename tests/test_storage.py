@@ -279,3 +279,45 @@ class TestDictCompress:
             fi_c.add_document(d, {"c": v})
             fi_p.add_document(d, {"c": v})
         assert fi_c.memory_usage() < fi_p.memory_usage()
+
+
+class TestDocIdOverflow:
+    """uint32 doc-id exhaustion must be a hard error, never a wrap
+    (reference document_store_docid_overflow_test.cpp — device layouts
+    index doc ids as uint32)."""
+
+    def _store_at(self, next_id):
+        s = DocumentStore(store_texts=False)
+        s._next_doc_id = next_id
+        return s
+
+    def test_last_id_allocates(self):
+        s = self._store_at(0xFFFFFFFF)
+        doc_id, inserted = s.add_document("pk-last")
+        assert inserted and doc_id == 0xFFFFFFFF
+
+    def test_overflow_raises(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import ErrorCode, MygramError
+        s = self._store_at(0xFFFFFFFF + 1)
+        with pytest.raises(MygramError) as ei:
+            s.add_document("pk-over")
+        assert ei.value.code is ErrorCode.OUT_OF_RANGE
+
+    def test_no_partial_state_on_overflow(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import MygramError
+        s = self._store_at(0xFFFFFFFF + 1)
+        with pytest.raises(MygramError):
+            s.add_document("pk-over")
+        assert s.doc_id("pk-over") is None
+        assert s.count == 0
+
+    def test_batch_stops_at_overflow(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import MygramError
+        s = self._store_at(0xFFFFFFFF)
+        with pytest.raises(MygramError):
+            s.add_batch([("a", {}, None), ("b", {}, None)])
+        assert s.doc_id("a") == 0xFFFFFFFF  # first insert landed
+        assert s.doc_id("b") is None
