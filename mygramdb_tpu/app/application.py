@@ -120,6 +120,15 @@ class Application:
                 hasattr(self.binlog, "start"):
             self.binlog.start()
         self.scheduler.start()
+        # periodic rate-limiter sweep: drop idle client buckets so the
+        # tracked-client table reflects live peers, not history
+        # (reference rate_limiter_cleanup_test.cpp / io_reactor
+        # maintenance loop)
+        from ..utils.periodic import PeriodicWorker
+        self._rl_sweeper = PeriodicWorker(
+            60.0, self.core.rate_limiter.sweep_idle,
+            name="rate-limiter-sweep")
+        self._rl_sweeper.start()
         StructuredLog().event("server_ready").field(
             "tcp_port", self.tcp.port).info()
         try:
@@ -129,6 +138,8 @@ class Application:
 
     async def shutdown(self) -> None:
         StructuredLog().event("server_stopping").info()
+        if getattr(self, "_rl_sweeper", None) is not None:
+            self._rl_sweeper.stop()
         if self.scheduler:
             self.scheduler.stop()
         if hasattr(self.binlog, "stop_async"):

@@ -164,3 +164,51 @@ class TestPipelineCacheIntegration:
         pipe.ctx.doc_store.remove_by_pk("7")
         after = pipe.execute(query)
         assert after.path != "cache"
+
+
+class TestResultCompression:
+    """Compressed result payload roundtrip (reference
+    result_compressor_test.cpp analog; zlib here vs LZ4 there)."""
+
+    def test_compressible_roundtrip(self):
+        import numpy as np
+        from mygramdb_tpu.cache.query_cache import QueryCache
+        qc = QueryCache(max_memory_mb=4, ttl_seconds=0,
+                        min_query_cost_ms=0.0, compression_enabled=True)
+        ids = np.arange(1, 20001, dtype=np.int32)  # highly compressible
+        assert qc.insert("k", 20000, ids, cost_ms=5.0)
+        e = qc._entries["k"]
+        assert e.compressed and e.size < ids.nbytes // 2
+        total, got, _age, _saved = qc.lookup("k")
+        assert total == 20000 and np.array_equal(got, ids)
+
+    def test_incompressible_stays_raw(self):
+        import numpy as np
+        from mygramdb_tpu.cache.query_cache import QueryCache
+        qc = QueryCache(max_memory_mb=4, ttl_seconds=0,
+                        min_query_cost_ms=0.0, compression_enabled=True)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, 2**31 - 1, size=4096).astype(np.int32)
+        assert qc.insert("k", ids.size, ids, cost_ms=5.0)
+        total, got, _a, _s = qc.lookup("k")
+        assert np.array_equal(got, ids)
+
+    def test_compression_disabled(self):
+        import numpy as np
+        from mygramdb_tpu.cache.query_cache import QueryCache
+        qc = QueryCache(max_memory_mb=4, ttl_seconds=0,
+                        min_query_cost_ms=0.0, compression_enabled=False)
+        ids = np.arange(1, 10001, dtype=np.int32)
+        assert qc.insert("k", ids.size, ids, cost_ms=5.0)
+        assert not qc._entries["k"].compressed
+        _t, got, _a, _s = qc.lookup("k")
+        assert np.array_equal(got, ids)
+
+    def test_small_payload_not_compressed(self):
+        import numpy as np
+        from mygramdb_tpu.cache.query_cache import QueryCache
+        qc = QueryCache(max_memory_mb=4, ttl_seconds=0,
+                        min_query_cost_ms=0.0, compression_enabled=True)
+        ids = np.arange(1, 9, dtype=np.int32)  # 32 bytes <= 64 floor
+        assert qc.insert("k", 8, ids, cost_ms=5.0)
+        assert not qc._entries["k"].compressed
