@@ -326,3 +326,35 @@ class TestStatisticsCompleteness:
             finally:
                 await srv.stop()
         asyncio.run(main())
+
+
+class TestMemoryRelease:
+    """Index/doc-store memory must return near-baseline after TRUNCATE +
+    optimize (reference e2e/tests/memory/test_release.py)."""
+
+    def test_truncate_releases_memory(self, tmp_path):
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t", "text_source": {"column": "content"}}],
+            "memory": {"verify_text": "all"},
+        })
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("t")
+        baseline = ctx.memory_usage()
+        for i in range(1, 3001):
+            ctx.add_row(str(i), f"document body {i} quick brown fox "
+                                f"{i % 7} gamma", {})
+        ctx.optimize()
+        loaded = ctx.memory_usage()
+        assert loaded > baseline * 2 or loaded > baseline + 100_000
+        ctx.truncate()
+        ctx.optimize()
+        released = ctx.memory_usage()
+        # within 25% of the empty baseline (allowance for retained
+        # capacity buckets / term dict)
+        assert released <= max(baseline * 1.25, baseline + 64_000), \
+            (baseline, loaded, released)
+        # and the table still serves correctly after the cycle
+        ctx.add_row("9999", "revived quick fox", {})
+        assert ctx.doc_count == 1
+        total, _ = ctx.index.search_and(["qu"])
+        assert total == 1

@@ -392,3 +392,75 @@ class TestReplicationScenarios:
                 lambda: pipe.execute(
                     P.parse("SEARCH articles cached")).total == 1, 10.0)
             reader.stop()
+
+
+class TestDdlPropagation(TestReplicationScenarios):
+    """ALTER/DROP DDL arriving over the binlog stream (reference
+    e2e/tests/ddl/test_alter_table.py + test_ddl_edge_cases.py)."""
+
+    def test_alter_keeps_serving_and_drops_cache(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            conn = connect(srv, cfg)
+            InitialLoader(ctx, conn, batch_size=10).load()
+            conn.close()
+            n0 = ctx.doc_count
+            assert n0 == 3
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.query(
+                "ALTER TABLE articles ADD COLUMN extra INT",
+                schema="testdb"))
+            srv.push_event(b.xid())
+            # serving continues on the existing index
+            assert self._wait(lambda: ctx.doc_count == n0)
+            assert search_total(ctx, cfg, "hello") > 0
+            reader.stop()
+
+    def test_drop_clears_table(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            conn = connect(srv, cfg)
+            InitialLoader(ctx, conn, batch_size=10).load()
+            conn.close()
+            assert ctx.doc_count == 3
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.query("DROP TABLE articles",
+                                   schema="testdb"))
+            srv.push_event(b.xid())
+            assert self._wait(lambda: ctx.doc_count == 0)
+            assert search_total(ctx, cfg, "hello") == 0
+            reader.stop()
+
+    def test_unrelated_ddl_ignored(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        with make_server() as srv:
+            conn = connect(srv, cfg)
+            InitialLoader(ctx, conn, batch_size=10).load()
+            conn.close()
+            reader = self._start(srv, cfg, cat)
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.gtid(SID, 6))
+            srv.push_event(b.query("DROP TABLE other_table",
+                                   schema="testdb"))
+            srv.push_event(b.gtid(SID, 7))
+            srv.push_event(b.query("CREATE TABLE newt (id INT)",
+                                   schema="testdb"))
+            srv.push_event(b.xid())
+            import time
+            time.sleep(0.3)
+            assert ctx.doc_count == 3
+            assert search_total(ctx, cfg, "hello") > 0
+            reader.stop()
