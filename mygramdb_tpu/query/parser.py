@@ -507,18 +507,65 @@ class QueryParser:
             q.limit = 0
         return q
 
+    # README/CLI compound forms: FILTER status=1 / FILTER status= 1.
+    # Longest operators first so 'a>=2' never parses as op '>' value '=2'
+    # (reference ParseFilterArguments, query_parser_clauses.cpp:96-151).
+    _COMPOUND_OPS = (">=", "<=", "!=", "<>", "=", ">", "<")
+    _MAX_FILTER_COLUMN = 128   # query_parser.h:273
+    _MAX_FILTER_VALUE = 1024   # query_parser.h:274
+
     # ------------------------------------------------------------------
     def _parse_filter(self, tokens: List[str], pos: int, q: Query) -> int:
-        if len(tokens) - pos < 4:
+        if len(tokens) - pos < 2:
             raise QueryParseError("FILTER requires column, operator and value")
-        col = tokens[pos + 1]
-        op_tok = tokens[pos + 2]
-        op = _FILTER_OPS.get(op_tok)
-        if op is None:
-            raise QueryParseError(f"invalid filter operator: {op_tok}")
-        q.filters.append(FilterCondition(column=col, op=op,
-                                         value=tokens[pos + 3]))
-        return pos + 4
+        f = self._parse_compound_filter(tokens, pos + 1)
+        if f is not None:
+            cond, consumed = f
+        else:
+            if len(tokens) - pos < 4:
+                raise QueryParseError(
+                    "FILTER requires column, operator and value")
+            op_tok = tokens[pos + 2]
+            op = _FILTER_OPS.get(op_tok)
+            if op is None:
+                raise QueryParseError(f"invalid filter operator: {op_tok}")
+            cond = FilterCondition(column=tokens[pos + 1], op=op,
+                                   value=tokens[pos + 3])
+            consumed = 3
+        if len(cond.column) > self._MAX_FILTER_COLUMN:
+            raise QueryParseError("FILTER column name exceeds maximum "
+                                  f"length ({self._MAX_FILTER_COLUMN})")
+        if len(str(cond.value)) > self._MAX_FILTER_VALUE:
+            raise QueryParseError("FILTER value exceeds maximum length "
+                                  f"({self._MAX_FILTER_VALUE})")
+        q.filters.append(cond)
+        return pos + 1 + consumed
+
+    def _parse_compound_filter(self, tokens: List[str], pos: int
+                               ) -> Optional[Tuple[FilterCondition, int]]:
+        """'col=value' / 'col=' + 'value' single-token operator forms.
+        -> (condition, tokens consumed starting at pos) or None to fall
+        back to the three-token 'col op value' form."""
+        token = tokens[pos]
+        for sym in self._COMPOUND_OPS:
+            cut = token.find(sym)
+            if cut == -1:
+                continue
+            col, val = token[:cut], token[cut + len(sym):]
+            if not col:
+                return None
+            op = _FILTER_OPS.get(sym)
+            if op is None:
+                return None
+            if val:
+                return FilterCondition(column=col, op=op, value=val), 1
+            if pos + 1 >= len(tokens):
+                return None
+            nxt = tokens[pos + 1]
+            if nxt[:1] in ("=", "<", ">", "!"):
+                return None
+            return FilterCondition(column=col, op=op, value=nxt), 2
+        return None
 
     def _parse_sort(self, tokens: List[str], pos: int, q: Query) -> int:
         if pos + 1 >= len(tokens):

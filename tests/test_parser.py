@@ -333,3 +333,54 @@ class TestParseSearchExpression:
         from mygramdb_tpu.utils.errors import QueryParseError
         with pytest.raises(QueryParseError):
             self._pse("(a OR b")
+
+
+class TestCompoundFilters:
+    """Single-token filter forms from the reference README/CLI surface
+    (reference ParseFilterArguments, query_parser_clauses.cpp:96-173)."""
+
+    def test_attached_value(self):
+        q = P.parse("SEARCH t x FILTER status=1 LIMIT 5")
+        f = q.filters[0]
+        assert (f.column, f.op.value, f.value) == ("status", "=", "1")
+        assert q.limit == 5
+
+    def test_attached_op_only(self):
+        q = P.parse("SEARCH t x FILTER status= 1")
+        f = q.filters[0]
+        assert (f.column, f.op.value, f.value) == ("status", "=", "1")
+
+    def test_two_char_ops(self):
+        for expr, op in (("a>=2", ">="), ("a<=2", "<="), ("a!=2", "!="),
+                         ("a<>2", "!=")):
+            q = P.parse(f"SEARCH t x FILTER {expr}")
+            f = q.filters[0]
+            assert (f.column, f.op.value, f.value) == ("a", op, "2"), expr
+
+    def test_ge_not_split_as_gt(self):
+        # 'a>=2' must not parse as op '>' value '=2'
+        q = P.parse("SEARCH t x FILTER a>=2")
+        assert q.filters[0].op.value == ">="
+
+    def test_spaced_form_unchanged(self):
+        q = P.parse("SEARCH t x FILTER status = 1")
+        f = q.filters[0]
+        assert (f.column, f.op.value, f.value) == ("status", "=", "1")
+
+    def test_value_looking_like_op_rejected(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            P.parse("SEARCH t x FILTER status= =1")
+
+    def test_column_length_cap(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            P.parse(f"SEARCH t x FILTER {'c' * 129}=1")
+
+    def test_value_length_cap(self):
+        import pytest
+        from mygramdb_tpu.utils.errors import QueryParseError
+        with pytest.raises(QueryParseError):
+            P.parse(f"SEARCH t x FILTER c={'v' * 1025}")
