@@ -240,6 +240,16 @@ class PacketStream:
                 break
 
     def close(self) -> None:
+        # shutdown BEFORE close: close() alone does not wake a reader
+        # thread blocked in recv() (the fd stays pinned by the syscall),
+        # which would make BinlogReader.stop() hang past its join
+        # timeout (reference stop contract:
+        # binlog_reader_stop_contract_test.cpp
+        # StopJoinsWorkerThreadSynchronously)
+        try:
+            self.sock.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self.sock.close()
         except OSError:

@@ -148,7 +148,11 @@ class BinlogReader:
                     self.stats.crc_errors += 1
                 StructuredLog().event("binlog_reconnect").field(
                     "error", str(e)).field("backoff_sec", backoff).warn()
-                time.sleep(backoff)
+                # interruptible backoff: stop() during a long backoff
+                # must not stall the join (stop contract)
+                deadline = time.time() + backoff
+                while self._running.is_set() and time.time() < deadline:
+                    time.sleep(0.05)
                 backoff = min(backoff * 2,
                               self.repl_cfg.reconnect_backoff_max_ms / 1000.0)
 
@@ -197,7 +201,14 @@ class BinlogReader:
             # block while paused (dump/sync) without losing events
             while self._paused.is_set() and self._running.is_set():
                 time.sleep(0.05)
-            self.queue.put(event)  # blocks at capacity (backpressure)
+            # bounded put: backpressure at capacity, but a stop() while
+            # the worker has already exited must not block forever
+            while self._running.is_set():
+                try:
+                    self.queue.put(event, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def _load_schema_metadata(self, conn: MysqlConnection) -> None:
         """Column names/signedness from INFORMATION_SCHEMA

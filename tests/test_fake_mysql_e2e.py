@@ -464,3 +464,65 @@ class TestDdlPropagation(TestReplicationScenarios):
             assert ctx.doc_count == 3
             assert search_total(ctx, cfg, "hello") > 0
             reader.stop()
+
+
+class TestStopContract(TestBinlogStreamOverSocket):
+    """BinlogReader.stop() contract (reference
+    binlog_reader_stop_contract_test.cpp): synchronous join, no activity
+    after return, idempotent, and the NullBinlogReader trivially stops."""
+
+    def test_stop_joins_threads_synchronously(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        proc = BinlogEventProcessor(cat, database="testdb")
+        with make_server() as srv:
+            reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+            reader.mysql_cfg.port = srv.port
+            reader.start()
+            assert self._wait(srv.binlog_started.is_set)
+            threads = [reader._reader_t, reader._worker_t]
+            assert all(t is not None and t.is_alive() for t in threads)
+            assert reader.stop() is True
+            # stop() must have joined both threads before returning
+            assert all(not t.is_alive() for t in threads)
+
+    def test_no_activity_after_stop_returns(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        proc = BinlogEventProcessor(cat, database="testdb")
+        with make_server() as srv:
+            reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+            reader.mysql_cfg.port = srv.port
+            reader.start()
+            assert self._wait(srv.binlog_started.is_set)
+            reader.stop()
+            n0 = ctx.doc_count
+            # events pushed after stop must not be applied
+            b = EventBuilder()
+            srv.push_event(b.fde())
+            srv.push_event(b.table_map(9, "testdb", "articles", COLS,
+                                       METAS, col_names=NAMES))
+            srv.push_event(b.rows(9, "insert", COLS, METAS,
+                                  [[900, "ghost", 1, 1]]))
+            time.sleep(0.3)
+            assert ctx.doc_count == n0
+
+    def test_stop_is_idempotent(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        proc = BinlogEventProcessor(cat, database="testdb")
+        with make_server() as srv:
+            reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+            reader.mysql_cfg.port = srv.port
+            reader.start()
+            assert self._wait(srv.binlog_started.is_set)
+            assert reader.stop() is True
+            assert reader.stop() is False  # second stop: no-op
+            assert reader.stop() is False
+
+    def test_null_reader_stop_trivial(self):
+        from mygramdb_tpu.server.core import NullBinlogReader
+        r = NullBinlogReader()
+        r.stop()  # must not raise, returns immediately
+        r.stop()
