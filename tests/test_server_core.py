@@ -580,3 +580,117 @@ class TestMultiTable:
         assert core.handle_line("SEARCH products quick") == "OK RESULTS 1 1"
         info = core.handle_line("INFO")
         assert "blog.articles" in info and "shop.products" in info
+
+
+class TestSyncReplicationResume:
+    """Cancelled/failed SYNC must resume replication; concurrent status
+    reads / stop requests must not deadlock (reference
+    sync_cancel_replication_test.cpp + sync_operation_manager_deadlock
+    analogs)."""
+
+    def _env(self, tmp_path, loader):
+        import threading
+        cfg_dict = dict(CFG)
+        cfg_dict["dump"] = {"dir": str(tmp_path)}
+        cfg = load_config_from_dict(cfg_dict)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        for pk, text, filt in DOCS:
+            ctx.add_row(pk, text, filt)
+        core = ServerCore(cfg, cat, sync_loader_factory=loader)
+        calls = {"pause": 0, "resume": 0}
+        core.sync_manager.pause_replication = \
+            lambda: calls.__setitem__("pause", calls["pause"] + 1)
+        core.sync_manager.resume_replication = \
+            lambda: calls.__setitem__("resume", calls["resume"] + 1)
+        return core, ctx, calls
+
+    def test_cancelled_sync_resumes_replication(self, tmp_path):
+        import threading
+        import time
+        started = threading.Event()
+
+        def slow_loader(ctx_, cancel, progress):
+            started.set()
+            for _ in range(200):
+                if cancel.is_set():
+                    return 0
+                time.sleep(0.02)
+            return 0
+
+        core, ctx, calls = self._env(tmp_path, slow_loader)
+        assert "started" in core.handle_line("SYNC articles")
+        assert started.wait(10)
+        assert "stopping" in core.handle_line("SYNC STOP articles")
+        core.sync_manager.wait_all(30)
+        st = core.sync_manager.status()["articles"]["state"]
+        assert st == "cancelled"
+        assert calls["pause"] == 1 and calls["resume"] == 1
+        assert ctx.doc_count == 3  # live table untouched
+
+    def test_failed_sync_resumes_replication(self, tmp_path):
+        def failing_loader(ctx_, cancel, progress):
+            raise RuntimeError("snapshot connection refused")
+
+        core, ctx, calls = self._env(tmp_path, failing_loader)
+        assert "started" in core.handle_line("SYNC articles")
+        core.sync_manager.wait_all(30)
+        assert core.sync_manager.status()["articles"]["state"] == "failed"
+        assert calls["pause"] == 1 and calls["resume"] == 1
+
+    def test_concurrent_status_and_stop_no_deadlock(self, tmp_path):
+        import threading
+        import time
+        started = threading.Event()
+
+        def slow_loader(ctx_, cancel, progress):
+            started.set()
+            for i in range(200):
+                if cancel.is_set():
+                    return i
+                progress(i)
+                time.sleep(0.01)
+            return 200
+
+        core, ctx, calls = self._env(tmp_path, slow_loader)
+        core.handle_line("SYNC articles")
+        assert started.wait(10)
+        errs = []
+
+        def hammer(fn):
+            try:
+                for _ in range(50):
+                    fn()
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ths = [threading.Thread(target=hammer,
+                                args=(lambda: core.handle_line(
+                                    "SYNC STATUS"),)) for _ in range(4)]
+        ths.append(threading.Thread(
+            target=hammer, args=(lambda: core.handle_line("INFO"),)))
+        [t.start() for t in ths]
+        core.handle_line("SYNC STOP")
+        [t.join(20) for t in ths]
+        assert not any(t.is_alive() for t in ths)
+        assert not errs
+        core.sync_manager.wait_all(30)
+
+    def test_second_sync_while_running_rejected(self, tmp_path):
+        import threading
+        import time
+        started = threading.Event()
+
+        def slow_loader(ctx_, cancel, progress):
+            started.set()
+            while not cancel.is_set():
+                time.sleep(0.01)
+            return 0
+
+        core, ctx, calls = self._env(tmp_path, slow_loader)
+        assert "started" in core.handle_line("SYNC articles")
+        assert started.wait(10)
+        second = core.handle_line("SYNC articles")
+        assert "started" not in second or "already" in second.lower()
+        core.handle_line("SYNC STOP articles")
+        core.sync_manager.wait_all(30)
