@@ -350,6 +350,18 @@ class BinlogParser:
         if kind == "update":
             present2 = self._bitmap_to_bools(r.read((col_count + 7) // 8),
                                              col_count)
+        # Fail loud on partial row images: with binlog_row_image=MINIMAL
+        # an UPDATE after-image omits unchanged columns, and applying it
+        # would silently WIPE the document's text/filters (the processor
+        # diff-updates from the full row). Connect-time prereq validation
+        # checks @@binlog_row_image, but it can be flipped at runtime —
+        # reject at parse time like the reference
+        # (rows_parser.cpp:184-194 AllColumnsPresent).
+        if not all(present1) or (present2 is not None
+                                 and not all(present2)):
+            raise _err(f"{kind.upper()}_ROWS event: partial "
+                       "columns_present bitmap requires "
+                       "binlog_row_image=FULL")
         rows: List[Any] = []
         while r.remaining() > 0:
             vals1 = read_row_values(r, tm.col_types, tm.col_metas, present1,

@@ -172,7 +172,8 @@ class EventBuilder:
 
     def rows(self, table_id: int, kind: str, col_types: Sequence[int],
              col_metas: Sequence[int], rows: List[Any],
-             corrupt_crc: bool = False) -> bytes:
+             corrupt_crc: bool = False,
+             present_mask: bytes = b"") -> bytes:
         code = {"insert": ev.WRITE_ROWS_V2, "delete": ev.DELETE_ROWS_V2,
                 "update": ev.UPDATE_ROWS_V2}[kind]
         n = len(col_types)
@@ -181,7 +182,7 @@ class EventBuilder:
         body += struct.pack("<H", 0)       # flags
         body += struct.pack("<H", 2)       # v2 extra length (none)
         body += _lenc(n)
-        present = bytes([0xFF] * ((n + 7) // 8))
+        present = present_mask or bytes([0xFF] * ((n + 7) // 8))
         body += present
         if kind == "update":
             body += present

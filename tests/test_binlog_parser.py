@@ -217,3 +217,43 @@ class TestDecimal:
         raw[0] |= 0x80  # positive sign bit
         out = decode_newdecimal(ByteReader(bytes(raw)), 5, 2)
         assert out == "123.45"
+
+
+class TestPartialRowImage:
+    """Partial columns_present bitmaps (binlog_row_image=MINIMAL) must be
+    rejected loudly — applying a partial after-image would silently wipe
+    the unchanged text/filter columns (reference rows_parser.cpp:184-194
+    AllColumnsPresent)."""
+
+    def test_partial_insert_rejected(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        cols = [rowmod.T_LONG, rowmod.T_VARCHAR]
+        metas = [0, 64]
+        p.parse_event(b.table_map(21, "db", "t", cols, metas))
+        # only column 0 present
+        with pytest.raises(Exception, match="binlog_row_image=FULL"):
+            p.parse_event(b.rows(21, "insert", cols, metas,
+                                 [[7, "x"]],
+                                 present_mask=bytes([0x01])))
+
+    def test_partial_update_after_image_rejected(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        cols = [rowmod.T_LONG, rowmod.T_VARCHAR]
+        metas = [0, 64]
+        p.parse_event(b.table_map(22, "db", "t", cols, metas))
+        with pytest.raises(Exception, match="binlog_row_image=FULL"):
+            p.parse_event(b.rows(22, "update", cols, metas,
+                                 [([7, "a"], [8, "b"])],
+                                 present_mask=bytes([0x01])))
+
+    def test_full_bitmap_still_parses(self):
+        b = EventBuilder()
+        p = make_parser(b)
+        cols = [rowmod.T_LONG, rowmod.T_VARCHAR]
+        metas = [0, 64]
+        p.parse_event(b.table_map(23, "db", "t", cols, metas))
+        e = p.parse_event(b.rows(23, "insert", cols, metas,
+                                 [[7, "ok"]]))
+        assert e.rows.rows[0] == [7, "ok"]
