@@ -158,6 +158,22 @@ class BinlogReader:
 
     def _stream_once(self) -> None:
         conn = self._factory()
+        try:
+            self._stream_with(conn)
+        finally:
+            # explicit close on EVERY exit (EOF, prereq failure, parse
+            # error): relying on refcount GC leaks the socket until the
+            # next reconnect iteration rebinds it, and under a tight
+            # error loop that accumulates fds (reference
+            # binlog_reader_resource_test analog)
+            try:
+                conn.close()
+            except Exception:  # noqa: BLE001 — already tearing down
+                pass
+            if self._conn is conn:
+                self._conn = None
+
+    def _stream_with(self, conn: MysqlConnection) -> None:
         conn.connect()
         self._conn = conn
         self.is_mariadb = conn.is_mariadb

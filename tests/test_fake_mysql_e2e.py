@@ -214,10 +214,8 @@ class TestBinlogStreamOverSocket:
             reader.stop()
 
 
-class TestReplicationScenarios:
-    """Reference e2e/tests/replication + failover breadth over the fake
-    wire server: UUID failover, required_filters enter/leave, PK-change
-    updates, TRUNCATE DDL, and n-gram cache invalidation."""
+class _ReplHelpers:
+    """Shared wait/start helpers for the binlog-over-socket suites."""
 
     def _wait(self, predicate, timeout=20.0):
         t0 = time.time()
@@ -235,6 +233,12 @@ class TestReplicationScenarios:
         reader.start()
         assert self._wait(srv.binlog_started.is_set)
         return reader
+
+
+class TestReplicationScenarios(_ReplHelpers):
+    """Reference e2e/tests/replication + failover breadth over the fake
+    wire server: UUID failover, required_filters enter/leave, PK-change
+    updates, TRUNCATE DDL, and n-gram cache invalidation."""
 
     def test_failover_detected_by_uuid_change(self):
         cfg = make_cfg()
@@ -394,7 +398,7 @@ class TestReplicationScenarios:
             reader.stop()
 
 
-class TestDdlPropagation(TestReplicationScenarios):
+class TestDdlPropagation(_ReplHelpers):
     """ALTER/DROP DDL arriving over the binlog stream (reference
     e2e/tests/ddl/test_alter_table.py + test_ddl_edge_cases.py)."""
 
@@ -466,7 +470,7 @@ class TestDdlPropagation(TestReplicationScenarios):
             reader.stop()
 
 
-class TestStopContract(TestBinlogStreamOverSocket):
+class TestStopContract(_ReplHelpers):
     """BinlogReader.stop() contract (reference
     binlog_reader_stop_contract_test.cpp): synchronous join, no activity
     after return, idempotent, and the NullBinlogReader trivially stops."""
@@ -526,3 +530,37 @@ class TestStopContract(TestBinlogStreamOverSocket):
         r = NullBinlogReader()
         r.stop()  # must not raise, returns immediately
         r.stop()
+
+
+class TestReaderResources(_ReplHelpers):
+    """No fd growth across reconnect cycles (reference
+    binlog_reader_resource_test.cpp analog)."""
+
+    def _open_fds(self):
+        import os
+        return len(os.listdir("/proc/self/fd"))
+
+    def test_fd_stable_across_reconnects(self):
+        cfg = make_cfg()
+        cat = TableCatalog(cfg)
+        proc = BinlogEventProcessor(cat, database="testdb")
+        with make_server() as srv:
+            reader = BinlogReader(cfg.mysql, cfg.replication, proc)
+            reader.mysql_cfg.port = srv.port
+            reader.repl_cfg.reconnect_backoff_min_ms = 10
+            reader.repl_cfg.reconnect_backoff_max_ms = 20
+            reader.start()
+            assert self._wait(srv.binlog_started.is_set)
+            baseline = self._open_fds()
+            b = EventBuilder()
+            for cycle in range(6):
+                srv.binlog_started.clear()
+                srv.push_event(b.fde())
+                srv.end_binlog()   # stream EOF -> reader reconnects
+                assert self._wait(srv.binlog_started.is_set), \
+                    f"no reconnect in cycle {cycle}"
+            # allow a little slack for transient accept/close races
+            assert self._open_fds() <= baseline + 2, \
+                (baseline, self._open_fds())
+            reader.stop()
+            assert reader._conn is None
