@@ -86,12 +86,21 @@ class TcpServer:
                 "path", usock).info()
 
     async def stop(self) -> None:
+        # order matters: stop accepting, CANCEL handlers, then wait.
+        # On Python >= 3.12 Server.wait_closed() blocks until every
+        # connection handler returns — waiting before cancelling hangs
+        # stop() behind idle connections (up to IDLE_TIMEOUT).
         for srv in (self._server, self._unix_server):
             if srv is not None:
                 srv.close()
-                await srv.wait_closed()
-        for t in list(self._conn_tasks):
+        tasks = list(self._conn_tasks)
+        for t in tasks:
             t.cancel()
+        if tasks:
+            await asyncio.gather(*tasks, return_exceptions=True)
+        for srv in (self._server, self._unix_server):
+            if srv is not None:
+                await srv.wait_closed()
         self.executor.shutdown(wait=False)
 
     # ------------------------------------------------------------------

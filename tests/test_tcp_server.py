@@ -104,3 +104,107 @@ def test_tcp_per_connection_debug_state():
             await srv.stop()
 
     asyncio.run(main())
+
+
+def test_tcp_stop_with_active_connections():
+    """stop() must return promptly with connections open and leave no
+    task running (reference tcp_server_lifecycle_test +
+    thread_pool_shutdown_test analogs)."""
+    async def main():
+        srv = await start_server()
+        # open 5 idle connections and one mid-protocol connection
+        conns = []
+        for _ in range(5):
+            conns.append(await asyncio.open_connection("127.0.0.1",
+                                                       srv.port))
+        r, w = await asyncio.open_connection("127.0.0.1", srv.port)
+        w.write(b"SEARCH articles hel")  # partial line, never completed
+        await w.drain()
+        t0 = asyncio.get_event_loop().time()
+        await asyncio.wait_for(srv.stop(), 10)
+        assert asyncio.get_event_loop().time() - t0 < 5.0
+        # all connection tasks wound down
+        for _ in range(50):
+            if not srv._conn_tasks:
+                break
+            await asyncio.sleep(0.05)
+        assert not srv._conn_tasks
+        for rr, ww in conns + [(r, w)]:
+            ww.close()
+
+    asyncio.run(main())
+
+
+def test_tcp_restart_same_port():
+    """A stopped server's port must be immediately rebindable."""
+    async def main():
+        srv = await start_server()
+        port = srv.port
+        assert (await send(port, "COUNT articles hello"))[0] == \
+            "OK COUNT 2"
+        await srv.stop()
+        cfg = load_config_from_dict({**CFG,
+                                     "api": {"tcp": {"bind": "127.0.0.1",
+                                                     "port": port}}})
+        cat = TableCatalog(cfg)
+        cat.resolve("articles").add_row("9", "hello again", {"status": 1})
+        srv2 = TcpServer(ServerCore(cfg, cat), cfg)
+        await srv2.start()
+        try:
+            assert srv2.port == port
+            assert (await send(port, "COUNT articles hello"))[0] == \
+                "OK COUNT 1"
+        finally:
+            await srv2.stop()
+
+    asyncio.run(main())
+
+
+def test_tcp_max_connections_cap():
+    """Connections past api.tcp.max_connections are rejected, and slots
+    free when a connection closes (reference connection_limit_test)."""
+    async def main():
+        cfg_d = {**CFG, "api": {"tcp": {"bind": "127.0.0.1", "port": 0,
+                                        "max_connections": 3}}}
+        cfg = load_config_from_dict(cfg_d)
+        cat = TableCatalog(cfg)
+        cat.resolve("articles").add_row("1", "hello", {"status": 1})
+        srv = TcpServer(ServerCore(cfg, cat), cfg)
+        await srv.start()
+        try:
+            keep = []
+            for _ in range(3):
+                r, w = await asyncio.open_connection("127.0.0.1",
+                                                     srv.port)
+                w.write(b"COUNT articles hello\r\n")
+                await w.drain()
+                assert (await asyncio.wait_for(
+                    r.readline(), 10)).startswith(b"OK")
+                keep.append((r, w))
+            # 4th connection: rejected — server closes immediately, so
+            # the client sees EOF or a reset (reference
+            # connection_limit_test expects recv() <= 0)
+            r4, w4 = await asyncio.open_connection("127.0.0.1", srv.port)
+            try:
+                w4.write(b"COUNT articles hello\r\n")
+                await w4.drain()
+                line = await asyncio.wait_for(r4.readline(), 10)
+                assert line == b"" or line.startswith(b"ERROR")
+            except (ConnectionResetError, BrokenPipeError):
+                pass  # abrupt close also counts as rejection
+            w4.close()
+            # free one slot -> next connection succeeds
+            keep[0][1].close()
+            await asyncio.sleep(0.2)
+            r5, w5 = await asyncio.open_connection("127.0.0.1", srv.port)
+            w5.write(b"COUNT articles hello\r\n")
+            await w5.drain()
+            assert (await asyncio.wait_for(
+                r5.readline(), 10)).startswith(b"OK")
+            w5.close()
+            for rr, ww in keep[1:]:
+                ww.close()
+        finally:
+            await srv.stop()
+
+    asyncio.run(main())
