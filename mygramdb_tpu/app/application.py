@@ -38,6 +38,27 @@ class Application:
         self._stop_event: Optional[asyncio.Event] = None
 
     # ------------------------------------------------------------------
+    def _verify_dump_directory(self) -> None:
+        """Startup dump-directory check (reference application.cpp
+        VerifyDumpDirectory): reject '..' components BEFORE creating
+        anything (canonical checks after creation are too late), create
+        the directory, and require it writable — DUMP SAVE failing at
+        3am is the wrong time to learn about a typo'd path."""
+        import os
+        from ..utils.errors import ConfigError
+        dump_dir = self.config.dump.dir
+        if ".." in dump_dir.split(os.sep):
+            raise ConfigError(
+                f"dump.dir contains a '..' component: {dump_dir!r}")
+        try:
+            os.makedirs(dump_dir, exist_ok=True)
+        except OSError as e:
+            raise ConfigError(
+                f"cannot create dump.dir {dump_dir!r}: {e}") from None
+        if not os.access(dump_dir, os.W_OK):
+            raise ConfigError(f"dump.dir is not writable: {dump_dir!r}")
+
+    # ------------------------------------------------------------------
     @classmethod
     def create(cls, config_path: str, seed_path: Optional[str] = None,
                restore_dump: Optional[str] = None) -> "Application":
@@ -48,6 +69,7 @@ class Application:
     def initialize(self) -> None:
         log = self.config.logging
         configure_logging(log.level, log.format, log.file)
+        self._verify_dump_directory()
         self.catalog = TableCatalog(self.config)
 
         # replication backend (MySQL binlog reader) if configured

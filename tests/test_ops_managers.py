@@ -195,3 +195,72 @@ class TestApplicationLifecycle:
         bad = tmp_path / "bad.yaml"
         bad.write_text("tables: []\n")
         assert main(["--config", str(bad), "--config-test"]) == 1
+
+
+class TestStartupChecks:
+    """Root refusal + dump-directory verification at startup (reference
+    application.cpp CheckRootPrivilege / VerifyDumpDirectory +
+    integration/scripts/root_prevention.sh)."""
+
+    def test_root_refused_without_optout(self, monkeypatch):
+        import os
+        from mygramdb_tpu.app.main import check_root_privilege
+        monkeypatch.delenv("MYGRAM_ALLOW_ROOT", raising=False)
+        monkeypatch.setattr(os, "getuid", lambda: 0)
+        monkeypatch.setattr(os, "geteuid", lambda: 0)
+        assert check_root_privilege() is False
+        assert check_root_privilege(allow_root=True) is True
+        monkeypatch.setenv("MYGRAM_ALLOW_ROOT", "1")
+        assert check_root_privilege() is True
+
+    def test_nonroot_allowed(self, monkeypatch):
+        import os
+        from mygramdb_tpu.app.main import check_root_privilege
+        monkeypatch.delenv("MYGRAM_ALLOW_ROOT", raising=False)
+        monkeypatch.setattr(os, "getuid", lambda: 1000)
+        monkeypatch.setattr(os, "geteuid", lambda: 1000)
+        assert check_root_privilege() is True
+
+    def test_dump_dir_dotdot_rejected(self, tmp_path):
+        import pytest
+        from mygramdb_tpu.app.application import Application
+        from mygramdb_tpu.config import load_config_from_dict
+        from mygramdb_tpu.utils.errors import ConfigError
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t",
+                        "text_source": {"column": "content"}}],
+            "dump": {"dir": str(tmp_path) + "/sub/../escape"},
+        })
+        with pytest.raises(ConfigError, match="'\\.\\.' component"):
+            Application(cfg).initialize()
+
+    def test_dump_dir_created_at_startup(self, tmp_path):
+        from mygramdb_tpu.app.application import Application
+        from mygramdb_tpu.config import load_config_from_dict
+        target = tmp_path / "made" / "at" / "boot"
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t",
+                        "text_source": {"column": "content"}}],
+            "dump": {"dir": str(target)},
+        })
+        Application(cfg).initialize()
+        assert target.is_dir()
+
+    def test_dump_dir_unwritable_rejected(self, tmp_path):
+        import os
+        import pytest
+        if os.geteuid() == 0:
+            pytest.skip("write perms are not enforced for root")
+        from mygramdb_tpu.app.application import Application
+        from mygramdb_tpu.config import load_config_from_dict
+        from mygramdb_tpu.utils.errors import ConfigError
+        ro = tmp_path / "ro"
+        ro.mkdir()
+        ro.chmod(0o500)
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t",
+                        "text_source": {"column": "content"}}],
+            "dump": {"dir": str(ro)},
+        })
+        with pytest.raises(ConfigError, match="not writable"):
+            Application(cfg).initialize()
