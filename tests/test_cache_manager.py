@@ -212,3 +212,55 @@ class TestResultCompression:
         ids = np.arange(1, 9, dtype=np.int32)  # 32 bytes <= 64 floor
         assert qc.insert("k", 8, ids, cost_ms=5.0)
         assert not qc._entries["k"].compressed
+
+
+class TestPaginationFromCache:
+    """LIMIT/OFFSET are excluded from the cache key: one cached result
+    set serves every page, each correctly sliced (reference
+    integration/cache/pagination_test.cpp + count_test.cpp)."""
+
+    def _engine(self):
+        from mygramdb_tpu.catalog import TableCatalog
+        from mygramdb_tpu.config import load_config_from_dict
+        from mygramdb_tpu.server.core import ServerCore
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t",
+                        "text_source": {"column": "content"}}],
+            "memory": {"verify_text": "all"},
+            "cache": {"min_query_cost_ms": 0.0},
+        })
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("t")
+        for i in range(1, 21):
+            ctx.add_row(str(i), f"common text {i}", {})
+        return ServerCore(cfg, cat)
+
+    def test_pages_served_from_one_entry(self):
+        core = self._engine()
+        r1 = core.handle_line("SEARCH t common SORT id ASC LIMIT 5")
+        stats0 = core.cache.cache.stats.hits
+        r2 = core.handle_line(
+            "SEARCH t common SORT id ASC LIMIT 5 OFFSET 5")
+        r3 = core.handle_line("SEARCH t common SORT id ASC LIMIT 5,5")
+        assert core.cache.cache.stats.hits >= stats0 + 1
+        assert r1.split()[3:] == ["1", "2", "3", "4", "5"]
+        assert r2.split()[3:] == ["6", "7", "8", "9", "10"]
+        assert r3 == r2  # LIMIT offset,count == LIMIT+OFFSET
+        # totals identical on every page
+        assert r1.split()[2] == r2.split()[2] == "20"
+
+    def test_sort_direction_from_same_entry(self):
+        core = self._engine()
+        core.handle_line("SEARCH t common SORT id ASC LIMIT 3")
+        r_desc = core.handle_line("SEARCH t common SORT id DESC LIMIT 3")
+        assert r_desc.split()[3:] == ["20", "19", "18"]
+
+    def test_count_and_search_agree(self):
+        core = self._engine()
+        total = int(core.handle_line(
+            "SEARCH t common LIMIT 5").split()[2])
+        count = int(core.handle_line("COUNT t common").split()[2])
+        assert total == count == 20
+        # and cached COUNT stays correct
+        assert int(core.handle_line(
+            "COUNT t common").split()[2]) == 20
