@@ -208,3 +208,42 @@ def test_tcp_max_connections_cap():
             await srv.stop()
 
     asyncio.run(main())
+
+
+def test_flooding_connection_does_not_starve_others():
+    """One connection pipelining a large burst must not starve a
+    concurrent connection's single query (reference
+    reactor_starvation_regression_test analog: one drain per connection
+    per reactor turn)."""
+    async def main():
+        srv = await start_server()
+        try:
+            flood_r, flood_w = await asyncio.open_connection(
+                "127.0.0.1", srv.port)
+            # pipeline a large burst without reading
+            burst = b"SEARCH articles hello\r\n" * 500
+            flood_w.write(burst)
+            await flood_w.drain()
+
+            async def victim():
+                r, w = await asyncio.open_connection("127.0.0.1",
+                                                     srv.port)
+                w.write(b"COUNT articles world\r\n")
+                await w.drain()
+                line = await r.readline()
+                w.close()
+                return line
+
+            line = await asyncio.wait_for(victim(), 15)
+            assert line.startswith(b"OK COUNT")
+            # the flooder still gets all 500 responses
+            got = 0
+            while got < 500:
+                resp = await asyncio.wait_for(flood_r.readline(), 30)
+                assert resp.startswith(b"OK")
+                got += 1
+            flood_w.close()
+        finally:
+            await srv.stop()
+
+    asyncio.run(main())
