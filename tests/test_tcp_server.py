@@ -247,3 +247,63 @@ def test_flooding_connection_does_not_starve_others():
             await srv.stop()
 
     asyncio.run(main())
+
+
+class TestCidrAclSecurity:
+    """Fail-closed CIDR allow-list semantics (reference
+    tests/utils/network_acl_security_test.cpp)."""
+
+    def _acl(self, cidrs):
+        from mygramdb_tpu.server.tcp_server import CidrAcl
+        return CidrAcl(cidrs)
+
+    def test_empty_acl_denies_all(self):
+        acl = self._acl([])
+        for ip in ("127.0.0.1", "10.0.0.1", "8.8.8.8", "::1"):
+            assert not acl.allowed(ip)
+
+    def test_localhost_only(self):
+        acl = self._acl(["127.0.0.0/8"])
+        assert acl.allowed("127.0.0.1")
+        assert acl.allowed("127.255.255.254")
+        assert not acl.allowed("128.0.0.1")
+        assert not acl.allowed("10.0.0.1")
+
+    def test_private_network(self):
+        acl = self._acl(["10.0.0.0/8", "192.168.0.0/16",
+                         "172.16.0.0/12"])
+        assert acl.allowed("10.255.1.2")
+        assert acl.allowed("192.168.44.7")
+        assert acl.allowed("172.16.0.1")
+        assert acl.allowed("172.31.255.255")
+        assert not acl.allowed("172.32.0.1")   # class-B boundary
+        assert not acl.allowed("11.0.0.1")     # class-A boundary
+        assert not acl.allowed("192.169.0.1")
+
+    def test_allow_all(self):
+        acl = self._acl(["0.0.0.0/0"])
+        assert acl.allowed("8.8.8.8")
+        assert acl.allowed("127.0.0.1")
+
+    def test_single_ip(self):
+        acl = self._acl(["203.0.113.7/32"])
+        assert acl.allowed("203.0.113.7")
+        assert not acl.allowed("203.0.113.8")
+
+    def test_invalid_ip_denied(self):
+        acl = self._acl(["0.0.0.0/0"])
+        assert not acl.allowed("not-an-ip")
+        assert not acl.allowed("")
+        assert not acl.allowed("999.999.999.999")
+
+    def test_ipv6(self):
+        acl = self._acl(["::1/128"])
+        assert acl.allowed("::1")
+        assert not acl.allowed("::2")
+        assert not acl.allowed("127.0.0.1")  # v4 not implied by v6 entry
+
+    def test_non_strict_host_bits(self):
+        # host bits set in the config entry must not crash (strict=False)
+        acl = self._acl(["192.168.1.55/24"])
+        assert acl.allowed("192.168.1.200")
+        assert not acl.allowed("192.168.2.1")
