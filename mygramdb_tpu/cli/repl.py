@@ -43,17 +43,30 @@ def _setup_readline() -> None:
     readline.parse_and_bind("tab: complete")
 
 
-def _needs_multiline(line: str) -> bool:
+def _needs_multiline(line: str, debug_on: bool) -> bool:
+    """Blank-line-framed responses the client can't infer from the
+    first-line prefix: HIGHLIGHT snippets and DEBUG-mode search/count
+    blocks (DEBUG ON/OFF themselves answer a single line)."""
     up = line.strip().upper()
-    return "HIGHLIGHT" in up or up.startswith("DEBUG")
+    if "HIGHLIGHT" in up:
+        return True
+    return debug_on and up.startswith(("SEARCH", "COUNT", "FACET"))
 
 
-def run_command(client: MygramClient, line: str) -> int:
+def run_command(client: MygramClient, line: str,
+                state: dict = None) -> int:
+    state = state if state is not None else {}
     try:
-        resp = client.command(line, expect_multiline=_needs_multiline(line))
+        resp = client.command(
+            line, expect_multiline=_needs_multiline(
+                line, state.get("debug", False)))
     except (MygramClientError, OSError) as e:
         print(f"connection error: {e}", file=sys.stderr)
         return 2
+    if resp.startswith("OK DEBUG_ON"):
+        state["debug"] = True
+    elif resp.startswith("OK DEBUG_OFF"):
+        state["debug"] = False
     print(resp)
     return 1 if resp.startswith("ERROR") else 0
 
@@ -88,6 +101,7 @@ def main(argv=None) -> int:
     _setup_readline()
     print("mygram-tpu-cli — type commands, QUIT to exit")
     rc = 0
+    state: dict = {}
     while True:
         try:
             line = input("mygram> ").strip()
@@ -98,7 +112,7 @@ def main(argv=None) -> int:
             continue
         if line.upper() in ("QUIT", "EXIT"):
             break
-        rc = run_command(client, line)
+        rc = run_command(client, line, state)
         if rc == 2:
             break
     client.close()

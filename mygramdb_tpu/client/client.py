@@ -100,13 +100,22 @@ class MygramClient:
                     break
         elif any(first_s.startswith(p) for p in _MULTILINE_BLANK) or \
                 expect_multiline:
+            # blank-line framing; a LEADING blank is the head/body
+            # separator (debug blocks: 'OK RESULTS ...' + blank +
+            # '# DEBUG' body + blank terminator) — terminating on it
+            # would leave the body unread and desync the connection
+            saw_content = False
             while True:
                 nxt = f.readline()
                 if not nxt:
                     break
                 s = nxt.decode("utf-8", "replace").rstrip("\r\n")
                 if s == "":
-                    break
+                    if saw_content:
+                        break
+                    lines.append(s)
+                    continue
+                saw_content = True
                 lines.append(s)
         return "\n".join(lines)
 
