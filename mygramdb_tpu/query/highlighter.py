@@ -28,8 +28,10 @@ def _find_spans(text: str, terms: Sequence[str]) -> List[Tuple[int, int]]:
                 break
             spans.append((i, i + len(term)))
             start = i + len(term)
-    spans.sort()
-    # drop overlapping spans (keep earliest)
+    # same start: keep the LONGEST match (reference
+    # FindMatchPositions_OverlappingSameStartKeepsLongest); later
+    # overlaps drop in favor of the earliest-kept span
+    spans.sort(key=lambda se: (se[0], -se[1]))
     out: List[Tuple[int, int]] = []
     last_end = -1
     for s, e in spans:

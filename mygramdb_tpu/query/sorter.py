@@ -47,8 +47,14 @@ class ResultSorter:
                 return (0, float(v), "")
             return (1, 0.0, str(v))
 
-        nn_sorted = sorted(non_null, key=lambda iv: key(iv[1]), reverse=desc)
-        idx = [i for i, _ in nn_sorted] + nulls
+        # doc id is the tie-breaker, in the SAME direction as the sort
+        # (reference SortByFilterColumnUsesDocIdTieBreaker: ASC ties ->
+        # ascending ids, DESC ties -> descending ids); doc_ids arrive
+        # ascending so the enumerate index orders like the id
+        nn_sorted = sorted(non_null, key=lambda iv: (key(iv[1]), iv[0]),
+                           reverse=desc)
+        idx = [i for i, _ in nn_sorted] + \
+            (nulls[::-1] if desc else nulls)
         ordered = doc_ids[np.asarray(idx, dtype=np.int64)] if idx else doc_ids
         return ResultSorter.paginate(ordered, limit, offset)
 
