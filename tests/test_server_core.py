@@ -694,3 +694,45 @@ class TestSyncReplicationResume:
         assert "started" not in second or "already" in second.lower()
         core.handle_line("SYNC STOP articles")
         core.sync_manager.wait_all(30)
+
+
+class TestProtocolInjection:
+    """Values containing CR/LF/TAB must never break response framing
+    (reference response_formatter_test escaping class)."""
+
+    def _core(self):
+        cfg = load_config_from_dict({
+            "tables": [{"name": "t", "text_source": {"column": "content"},
+                        "filters": [{"name": "cat", "type": "string"}]}],
+            "memory": {"verify_text": "all"}})
+        cat = TableCatalog(cfg)
+        return cat.resolve("t"), ServerCore(cfg, cat)
+
+    def test_get_escapes_control_chars(self):
+        ctx, core = self._core()
+        ctx.add_row("1", "x", {"cat": "line1\r\nOK FAKE\t2"})
+        resp = core.handle_line("GET t 1")
+        assert resp.startswith("OK DOC 1")
+        assert "\r" not in resp[2:] and "\n" not in resp[2:]
+
+    def test_facet_rows_sanitized(self):
+        ctx, core = self._core()
+        ctx.add_row("1", "hello", {"cat": "evil\r\nfake\t42"})
+        ctx.add_row("2", "hello", {"cat": "ok"})
+        resp = core.handle_line("FACET t cat hello")
+        lines = resp.split("\r\n")
+        assert lines[0] == "OK FACET 2"
+        # exactly 2 value rows, each with exactly ONE tab separator
+        rows = [ln for ln in lines[1:] if ln]
+        assert len(rows) == 2
+        for r in rows:
+            assert r.count("\t") == 1
+
+    def test_highlight_snippets_sanitized(self):
+        ctx, core = self._core()
+        ctx.add_row("1", "evil\r\nOK RESULTS 999\r\nxterm here", {})
+        resp = core.handle_line("SEARCH t xterm HIGHLIGHT")
+        lines = [ln for ln in resp.split("\r\n") if ln]
+        assert lines[0].startswith("OK RESULTS 1")
+        assert len(lines) == 2  # one snippet row, framing intact
+        assert "OK RESULTS 999" not in "".join(lines[0:1])
