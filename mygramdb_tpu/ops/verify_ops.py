@@ -356,10 +356,10 @@ def _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
     starts = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
     cols = []
     for j in range(Nn):
-        nl = nlen_ref[0, j]
+        nl = nlen_ref[0, 0, j]
         m = None
         for k in range(cap):
-            val = ndl_ref[0, j * cap + k]
+            val = ndl_ref[0, 0, j * cap + k]
             cmp = jnp.logical_or(k >= nl, rows[:, k:k + win] == val)
             m = cmp if m is None else jnp.logical_and(m, cmp)
         if use_range:
@@ -393,7 +393,7 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
 
         def dma(buf, j, idref):
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(idref[j], 1)],
+                text_ref.at[pl.ds(idref[0, 0, j], 1)],
                 scratch.at[buf, pl.ds(j, 1)], sems.at[buf, j])
 
         def start_all(buf, idref):
@@ -466,16 +466,25 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if padded.dtype == jnp.uint16 else -1
+    # mosaic block rule: the last two block dims must be (8,128)-divisible
+    # OR equal the array dims. Scalar SMEM operands therefore travel as
+    # rank-3 (rows, 1, X) arrays with (1, 1, X) blocks — both trailing
+    # block dims equal the array's, valid for any rows/X.
+    ids3 = ids.reshape(nsteps, 1, R)
+    ndl3 = ndl_i32[:, None, :]
+    nlen3 = nlen_i32[:, None, :]
     return pl.pallas_call(
         _tf_rows_kernel(R, Nn, cap, rowT, sent, use_range),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R,), lambda i: (jnp.minimum(i + 1, nsteps - 1),),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Nn * cap), lambda i: ((i * R) // Kv, 0),
+            pl.BlockSpec((1, 1, R),
+                         lambda i: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Nn), lambda i: ((i * R) // Kv, 0),
+            pl.BlockSpec((1, 1, Nn * cap), lambda i: ((i * R) // Kv, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Nn), lambda i: ((i * R) // Kv, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -484,7 +493,7 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
         scratch_shapes=[pltpu.VMEM((2, R, rowT), padded.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
-    )(ids, ids, ndl_i32, nlen_i32, padded)
+    )(ids3, ids3, ndl3, nlen3, padded)
 
 
 def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
@@ -511,7 +520,7 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
 
         def dma(buf, j, oref):
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(oref[j], rowTk)],
+                text_ref.at[pl.ds(oref[0, 0, j], rowTk)],
                 scratch.at[buf, j], sems.at[buf, j])
 
         def start_all(buf, oref):
@@ -521,7 +530,7 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
         def finish(buf):
             for j in range(R):
                 dma(buf, j, off_ref).wait()
-            lens = jnp.stack([len_ref[j] for j in range(R)])
+            lens = jnp.stack([len_ref[0, 0, j] for j in range(R)])
             compute(scratch[buf], lens, ndl_ref, nlen_ref, out_ref)
 
         even = jnp.equal(jnp.remainder(i, 2), 0)
@@ -574,17 +583,26 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if codepoints.dtype == jnp.uint16 else -1
+    # mosaic block rule (see tf_rows_pallas): scalar SMEM operands travel
+    # rank-3 with (1, 1, X) blocks whose trailing dims equal the array's
+    off3 = off.reshape(nsteps, 1, R)
+    ln3 = ln.reshape(nsteps, 1, R)
+    ndl3 = ndl_i32[:, None, :]
+    nlen3 = nlen_i32[:, None, :]
     return pl.pallas_call(
         _tf_flat_kernel(R, Nn, cap, win, sent, use_range),
         grid=(nsteps,),
         in_specs=[
-            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R,), lambda i: (jnp.minimum(i + 1, nsteps - 1),),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Nn * cap), lambda i: ((i * R) // Kv, 0),
+            pl.BlockSpec((1, 1, R),
+                         lambda i: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Nn), lambda i: ((i * R) // Kv, 0),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Nn * cap), lambda i: ((i * R) // Kv, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Nn), lambda i: ((i * R) // Kv, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -593,7 +611,7 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
         scratch_shapes=[pltpu.VMEM((2, R, win + cap), codepoints.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
-    )(off, off, ln, ndl_i32, nlen_i32, codepoints)
+    )(off3, off3, ln3, ndl3, nlen3, codepoints)
 
 
 def has_self_overlap(term: str) -> bool:
