@@ -30,7 +30,8 @@ def main() -> int:
     print(f"devices: {devs}", flush=True)
 
     rng = np.random.default_rng(7)
-    N, rowT = 64, 128 + NEEDLE_CAP  # padded store rows
+    # rowT must be a 128 multiple (store contract; HBM lane tiling)
+    N, rowT = 64, 256
     Kv, B, Nn, cap = 32, 2, 2, NEEDLE_CAP
     M = B * Kv
     sent = 0xFFFF
@@ -75,8 +76,10 @@ def main() -> int:
         off[i] = pos
         flat_parts.append(padded[i, :lens[i]])
         pos += lens[i]
+    # tail covers the kernel's tile-rounded DMA width (sgk)
     flat = np.concatenate(flat_parts + [
-        np.full(win + cap, sent, dtype=np.uint16)])
+        np.full(((win + cap + 1023) // 1024) * 1024, sent,
+                dtype=np.uint16)])
     for use_range in (False, True) if only in ("", "flat") else ():
         t0 = time.time()
         ref = np.asarray(tf_rows_flat_pallas(

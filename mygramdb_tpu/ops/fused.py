@@ -402,7 +402,9 @@ def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
     if nonoverlap or Kv % _TF_ROWS:
         return False
     if getattr(cp, "ndim", 1) == 2:
-        return cp.shape[1] >= text_store.maxT + NEEDLE_CAP
+        # group-DMA kernel views the matrix as (N//8, 8, rowT)
+        return (cp.shape[1] >= text_store.maxT + NEEDLE_CAP
+                and cp.shape[0] % 8 == 0)
     return bool(getattr(text_store, "flat_padded", False))
 
 

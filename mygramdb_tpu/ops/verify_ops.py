@@ -349,10 +349,15 @@ def bm25_topk_device(codepoints: jax.Array, offsets: jax.Array,
 _TF_ROWS = 16  # candidate rows DMA'd + verified per grid step
 
 
-def _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
+def _window_tf_emit(rows, dl2, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
                     cap: int, win: int, use_range: bool):
     """Shared kernel tail: rows (R, >=win+cap) int32 (sentinel-masked past
-    doc end), dl (R,) int32 doc lengths -> out_ref[...] = [tf | dl]."""
+    doc end), dl2 (R, 1) int32 doc lengths -> out_ref[...] = [tf | dl].
+
+    Everything here stays rank-2: mosaic's vector layout inference has no
+    lowering for 1-D <-> N-D shape casts (e.g. vector<16xi32> ->
+    vector<16x1xi32>), so reductions keep dims and columns concatenate
+    along lanes instead of stacking 1-D vectors."""
     starts = jax.lax.broadcasted_iota(jnp.int32, (R, win), 1)
     cols = []
     for j in range(Nn):
@@ -363,11 +368,10 @@ def _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
             cmp = jnp.logical_or(k >= nl, rows[:, k:k + win] == val)
             m = cmp if m is None else jnp.logical_and(m, cmp)
         if use_range:
-            m = jnp.logical_and(m, starts + nl <= dl[:, None])
-        tf = jnp.sum(m.astype(jnp.int32), axis=1)
+            m = jnp.logical_and(m, starts + nl <= dl2)
+        tf = jnp.sum(m.astype(jnp.int32), axis=1, keepdims=True)
         cols.append(jnp.where(nl == 0, 0, tf))
-    out_ref[...] = jnp.concatenate(
-        [jnp.stack(cols, axis=1), dl[:, None]], axis=1)
+    out_ref[...] = jnp.concatenate(cols + [dl2], axis=1)
 
 
 def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
@@ -377,13 +381,25 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
 
     win = rowT - cap
 
-    def compute(rows_u, ndl_ref, nlen_ref, out_ref):
-        # compares run in int32: u16/u32 tiles upcast once (the u32
-        # sentinel 0xFFFFFFFF wraps to -1; needle values are codepoints
-        # <= 0x10FFFF so they can never alias it)
-        rows = rows_u.astype(jnp.int32)
-        dl = jnp.sum((rows != sentinel).astype(jnp.int32), axis=1)
-        _window_tf_emit(rows, dl, ndl_ref, nlen_ref, out_ref, R, Nn, cap,
+    def compute(scratch, buf, id_at, ndl_ref, nlen_ref, out_ref):
+        # scratch[buf]: (R, 8, rowT) — each candidate's 8-doc tile group;
+        # the target row is selected per candidate by a scalar one-hot
+        # mask+sum over sublanes (mosaic has no dynamic sublane index,
+        # and 1-D vectors don't lower — stay rank-2 throughout). Compares
+        # run in int32: u16/u32 tiles upcast once (the u32 sentinel
+        # 0xFFFFFFFF wraps to -1; needle values are codepoints <=
+        # 0x10FFFF so they can never alias it)
+        parts = []
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        for j in range(R):
+            grp = scratch[buf, j].astype(jnp.int32)  # (8, rowT)
+            hit = sub_iota == jnp.bitwise_and(id_at(j), 7)
+            parts.append(jnp.sum(jnp.where(hit, grp, 0), axis=0,
+                                 keepdims=True))
+        rows = jnp.concatenate(parts, axis=0)  # (R, rowT)
+        dl2 = jnp.sum((rows != sentinel).astype(jnp.int32), axis=1,
+                      keepdims=True)
+        _window_tf_emit(rows, dl2, ndl_ref, nlen_ref, out_ref, R, Nn, cap,
                         win, use_range)
 
     def kern(ids_ref, idsn_ref, ndl_ref, nlen_ref, text_ref, out_ref,
@@ -392,8 +408,13 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
         nsteps = pl.num_programs(0)
 
         def dma(buf, j, idref):
+            # text_ref is the (N//8, 8, rowT) grouped view: slices along
+            # the untiled leading dim lower for any offset; a direct
+            # (1, rowT) row slice of the 2-D padded matrix would violate
+            # the (8, 128) HBM tiling
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(idref[0, 0, j], 1)],
+                text_ref.at[pl.ds(
+                    jax.lax.shift_right_logical(idref[0, 0, j], 3), 1)],
                 scratch.at[buf, pl.ds(j, 1)], sems.at[buf, j])
 
         def start_all(buf, idref):
@@ -405,7 +426,8 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
             # step (ids_ref here == idsn_ref of the step that started them)
             for j in range(R):
                 dma(buf, j, ids_ref).wait()
-            compute(scratch[buf], ndl_ref, nlen_ref, out_ref)
+            compute(scratch, buf, lambda j: ids_ref[0, 0, j],
+                    ndl_ref, nlen_ref, out_ref)
 
         even = jnp.equal(jnp.remainder(i, 2), 0)
 
@@ -462,17 +484,24 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
 
     M = ids.shape[0]
-    rowT = padded.shape[1]
+    N, rowT = padded.shape
+    if N % 8 or rowT % 128:
+        raise ValueError("padded matrix must be (8k, 128m) — the group "
+                         "DMA slices whole (8, rowT) HBM tiles (got %s)"
+                         % str(padded.shape))
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if padded.dtype == jnp.uint16 else -1
     # mosaic block rule: the last two block dims must be (8,128)-divisible
     # OR equal the array dims. Scalar SMEM operands therefore travel as
     # rank-3 (rows, 1, X) arrays with (1, 1, X) blocks — both trailing
-    # block dims equal the array's, valid for any rows/X.
+    # block dims equal the array's, valid for any rows/X. The text matrix
+    # is viewed as (N//8, 8, rowT) 8-doc groups (a free leading-dim split)
+    # so the per-candidate DMA slices its untiled group dim.
     ids3 = ids.reshape(nsteps, 1, R)
     ndl3 = ndl_i32[:, None, :]
     nlen3 = nlen_i32[:, None, :]
+    text3 = padded.reshape(N // 8, 8, rowT)
     return pl.pallas_call(
         _tf_rows_kernel(R, Nn, cap, rowT, sent, use_range),
         grid=(nsteps,),
@@ -490,27 +519,25 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
         ],
         out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, R, rowT), padded.dtype),
+        scratch_shapes=[pltpu.VMEM((2, R, 8, rowT), padded.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
-    )(ids3, ids3, ndl3, nlen3, padded)
+    )(ids3, ids3, ndl3, nlen3, text3)
 
 
-def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
-                    use_range: bool):
+def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sgk: int,
+                    sentinel: int, use_range: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    rowTk = win + cap
-
-    def compute(rows_u, lens, ndl_ref, nlen_ref, out_ref):
+    def compute(rows_u, lens2, ndl_ref, nlen_ref, out_ref):
         rows = rows_u.astype(jnp.int32)
         # flat windows may run into the NEXT doc's text (or the pack's pad
         # tail): mask cells past doc end to the sentinel so they can never
         # match — same semantics as the XLA flat gather's validity mask
-        pos = jax.lax.broadcasted_iota(jnp.int32, (R, rowTk), 1)
-        rows = jnp.where(pos < lens[:, None], rows, sentinel)
-        _window_tf_emit(rows, lens, ndl_ref, nlen_ref, out_ref, R, Nn,
+        pos = jax.lax.broadcasted_iota(jnp.int32, (R, sgk), 1)
+        rows = jnp.where(pos < lens2, rows, sentinel)
+        _window_tf_emit(rows, lens2, ndl_ref, nlen_ref, out_ref, R, Nn,
                         cap, win, use_range)
 
     def kern(off_ref, offn_ref, len_ref, ndl_ref, nlen_ref, text_ref,
@@ -519,8 +546,11 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
         nsteps = pl.num_programs(0)
 
         def dma(buf, j, oref):
+            # sgk (the 1-D HBM tiling unit rounded up from win+cap) keeps
+            # the slice SHAPE tile-aligned; the offset is the doc's pack
+            # position. Cells past the window are masked by `lens`.
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(oref[0, 0, j], rowTk)],
+                text_ref.at[pl.ds(oref[0, 0, j], sgk)],
                 scratch.at[buf, j], sems.at[buf, j])
 
         def start_all(buf, oref):
@@ -530,8 +560,12 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sentinel: int,
         def finish(buf):
             for j in range(R):
                 dma(buf, j, off_ref).wait()
-            lens = jnp.stack([len_ref[0, 0, j] for j in range(R)])
-            compute(scratch[buf], lens, ndl_ref, nlen_ref, out_ref)
+            # (R, 1) doc lengths from SMEM scalars: splat each to (1, 1)
+            # and concatenate sublanes (1-D vectors don't lower)
+            lens2 = jnp.concatenate(
+                [jnp.full((1, 1), len_ref[0, 0, j], jnp.int32)
+                 for j in range(R)], axis=0)
+            compute(scratch[buf], lens2, ndl_ref, nlen_ref, out_ref)
 
         even = jnp.equal(jnp.remainder(i, 2), 0)
 
@@ -583,6 +617,10 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if codepoints.dtype == jnp.uint16 else -1
+    # 1-D HBM memrefs are coarse-tiled (1024 cells for u16); DMA slice
+    # shapes must be tile multiples, so each candidate copies sgk cells
+    # (the FLAT_GATHER_PAD tail keeps the widest copy in bounds)
+    sgk = ((win + cap + 1023) // 1024) * 1024
     # mosaic block rule (see tf_rows_pallas): scalar SMEM operands travel
     # rank-3 with (1, 1, X) blocks whose trailing dims equal the array's
     off3 = off.reshape(nsteps, 1, R)
@@ -590,7 +628,7 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     ndl3 = ndl_i32[:, None, :]
     nlen3 = nlen_i32[:, None, :]
     return pl.pallas_call(
-        _tf_flat_kernel(R, Nn, cap, win, sent, use_range),
+        _tf_flat_kernel(R, Nn, cap, win, sgk, sent, use_range),
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
@@ -608,7 +646,7 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
         ],
         out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, R, win + cap), codepoints.dtype),
+        scratch_shapes=[pltpu.VMEM((2, R, sgk), codepoints.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
     )(off3, off3, ln3, ndl3, nlen3, codepoints)

@@ -32,9 +32,11 @@ _PADDED_BUDGET_BYTES = 11 << 30
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 _U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
 # Flat packs carry this many trailing sentinel cells so the Pallas flat
-# verify kernel can DMA [off, off+win) unconditionally for any window up
-# to the largest maxT bucket (mirrors posting_ops.SLICE_GATHER_PAD).
-FLAT_GATHER_PAD = _MAXT_CHOICES[-1] + NEEDLE_CAP
+# verify kernel can DMA [off, off+sgk) unconditionally for any window up
+# to the largest maxT bucket, where sgk rounds win+cap up to the 1-D HBM
+# tiling unit (1024 cells) — DMA slice shapes must be tile multiples
+# (mirrors posting_ops.SLICE_GATHER_PAD).
+FLAT_GATHER_PAD = ((_MAXT_CHOICES[-1] + NEEDLE_CAP + 1023) // 1024) * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("maxT",))
@@ -46,6 +48,53 @@ def _pad_on_device(flat: jax.Array, offsets: jax.Array, lengths: jax.Array,
     valid = pos < lengths[:, None]
     idx = jnp.clip(jnp.where(valid, idx, 0), 0, flat.shape[0] - 1)
     return jnp.where(valid, flat[idx], sentinel)
+
+
+_PAD_BLOCK_ROWS = 65536
+
+
+@functools.partial(jax.jit, static_argnames=("block", "maxT"),
+                   donate_argnums=(0,))
+def _pad_block_into(out: jax.Array, flat: jax.Array, offsets: jax.Array,
+                    lengths: jax.Array, r0: jax.Array, *, block: int,
+                    maxT: int, sentinel) -> jax.Array:
+    """Write rows [r0, r0+block) of the padded matrix into the donated
+    ``out`` buffer. The whole-matrix `_pad_on_device` materializes an
+    int32 (capacity, maxT) index fusion — 18.6 GB at 4M docs, an HBM OOM
+    even though the uint16 result fits — so large corpora build the
+    matrix block-wise with bounded intermediates."""
+    off_b = jax.lax.dynamic_slice(offsets, (r0,), (block,))
+    len_b = jax.lax.dynamic_slice(lengths, (r0,), (block,))
+    vals = _pad_on_device(flat, off_b, len_b, maxT, sentinel)
+    return jax.lax.dynamic_update_slice(out, vals, (r0, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "maxT", "dtype"))
+def _sentinel_matrix(rows: int, maxT: int, dtype, sentinel) -> jax.Array:
+    return jnp.full((rows, maxT), sentinel, dtype=dtype)
+
+
+def _pad_on_device_blocked(flat: jax.Array, offsets: jax.Array,
+                           lengths: jax.Array, maxT: int, sentinel,
+                           dtype) -> jax.Array:
+    """Blocked padded-matrix build (see _pad_block_into). The tail block
+    re-covers rows already written (r0 clamps to rows-block); recomputing
+    them writes identical values, so the overlap is benign."""
+    rows = offsets.shape[0]
+    if rows <= _PAD_BLOCK_ROWS:
+        return _pad_on_device(flat, offsets, lengths, maxT,
+                              jnp.asarray(sentinel, dtype=dtype))
+    sent = jnp.asarray(sentinel, dtype=dtype)
+    out = _sentinel_matrix(rows, maxT, dtype, sent)
+    block = _PAD_BLOCK_ROWS
+    r0 = 0
+    while r0 < rows:
+        r = min(r0, rows - block)
+        out = _pad_block_into(out, flat, offsets, lengths,
+                              jnp.int32(r), block=block, maxT=maxT,
+                              sentinel=sent)
+        r0 += block
+    return out
 
 
 def _bucket(n: int, buckets) -> int:
@@ -267,6 +316,16 @@ class DeviceTextStore:
         DMA) instead of C*maxT element gathers — order-of-magnitude
         faster at large C. Large corpora keep the compact flat pack."""
         itemsize = np.dtype(self.dtype).itemsize
+        # round the row count up to a multiple of 8: the Pallas fused
+        # verify kernel DMAs (8, rowT) doc GROUPS (single rows of the
+        # (8,128)-tiled HBM matrix are not tile-aligned slices); the pad
+        # rows have length 0 and are never addressed
+        if capacity % 8:
+            pad = 8 - capacity % 8
+            offsets = np.concatenate(
+                [offsets, np.zeros(pad, dtype=offsets.dtype)])
+            lengths = np.concatenate(
+                [lengths, np.zeros(pad, dtype=lengths.dtype)])
         self.lengths_host = lengths  # numpy copy: planners bound candidate
         # text lengths host-side (maxT column-slice buckets) with no pull
         self.offsets = jax.device_put(offsets, device)
@@ -292,9 +351,9 @@ class DeviceTextStore:
             # baked in so the window kernels row-gather a ready tile
             # (no per-dispatch concat pass; see _gather_text_padded)
             flat_dev = jax.device_put(flat, device)
-            self.codepoints = _pad_on_device(
-                flat_dev, self.offsets, self.lengths, rowT,
-                np.asarray(sentinel, dtype=self.dtype))
+            self.codepoints = _pad_on_device_blocked(
+                flat_dev, self.offsets, self.lengths, rowT, sentinel,
+                self.dtype)
             self.codepoints.block_until_ready()
             self.flat_padded = False
             del flat_dev
