@@ -53,18 +53,22 @@ def main() -> int:
 
     only = sys.argv[1] if len(sys.argv) > 1 else ""
     ok = True
-    for use_range in (False, True) if only in ("", "padded") else ():
+    cases = ([(False, 0), (True, 0), (True, 128)]
+             if only in ("", "padded") else [])
+    for use_range, width in cases:
         t0 = time.time()
         ref = np.asarray(tf_rows_pallas(
             jnp.asarray(padded), jnp.asarray(ids), ndl, nlenj, Kv=Kv,
-            Nn=Nn, cap=cap, use_range=use_range, interpret=True))
+            Nn=Nn, cap=cap, use_range=use_range, width=width,
+            interpret=True))
         got = np.asarray(tf_rows_pallas(
             jnp.asarray(padded), jnp.asarray(ids), ndl, nlenj, Kv=Kv,
-            Nn=Nn, cap=cap, use_range=use_range, interpret=False))
+            Nn=Nn, cap=cap, use_range=use_range, width=width,
+            interpret=False))
         match = bool((ref == got).all())
         ok &= match
-        print(f"tf_rows_pallas use_range={use_range}: parity={match} "
-              f"({time.time() - t0:.1f}s)", flush=True)
+        print(f"tf_rows_pallas use_range={use_range} width={width}: "
+              f"parity={match} ({time.time() - t0:.1f}s)", flush=True)
 
     # flat pack: concatenated codepoints + per-doc offsets, with the
     # gather-pad tail the kernel's fixed-width window DMAs read past end
@@ -76,10 +80,11 @@ def main() -> int:
         off[i] = pos
         flat_parts.append(padded[i, :lens[i]])
         pos += lens[i]
-    # tail covers the kernel's tile-rounded DMA width (sgk)
+    # tail covers the kernel's group reads + pads the pack to 1024k cells
+    tail = ((1023 + win + cap + 1023) // 1024) * 1024
+    tail += -(pos + tail) % 1024
     flat = np.concatenate(flat_parts + [
-        np.full(((win + cap + 1023) // 1024) * 1024, sent,
-                dtype=np.uint16)])
+        np.full(tail, sent, dtype=np.uint16)])
     for use_range in (False, True) if only in ("", "flat") else ():
         t0 = time.time()
         ref = np.asarray(tf_rows_flat_pallas(

@@ -684,13 +684,11 @@ class DeviceIndex:
     def verify_maxT(self, text_store, driver_tid: Optional[int]) -> int:
         """Window-tile bucket for the verify: the max stored-text length
         over the driver term's postings bounds every candidate's length.
-        ONLY applies to the flat-pack text layout (fewer element gathers);
-        on the padded row matrix a column-sliced gather is ~10x SLOWER
-        than full-width rows (measured 368 vs 33 ms), so the full row
-        width is always used there."""
-        if getattr(text_store, "codepoints", None) is not None and \
-                text_store.codepoints.ndim == 2:
-            return text_store.maxT
+        Consumers pick what the bound buys them per layout: the flat pack
+        gathers/DMAs only the bucket width; the padded Pallas kernel DMAs
+        a 128-rounded row prefix; the padded XLA gather IGNORES it
+        (column-sliced gathers measured ~10x slower than full rows, see
+        _gather_text_padded) — so a tight bound never hurts there."""
         if driver_tid is None or not hasattr(text_store, "maxT_bucket"):
             return text_store.maxT
         lens_host = getattr(text_store, "lengths_host", None)

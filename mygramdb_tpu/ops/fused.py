@@ -143,10 +143,15 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
         ndl = cast_needles_i32(needles, codepoints.dtype, cap)
         nlen = needle_lens.astype(jnp.int32)
         if codepoints.ndim == 2:
+            # DMA only the row prefix covering the batch's candidate
+            # length bound (maxT bucket): short-doc batches move up to
+            # rowT/W fewer bytes per candidate
+            rowT = codepoints.shape[1]
+            W = min(rowT, ((maxT + cap + 127) // 128) * 128)
             out = tf_rows_pallas(codepoints, safe, ndl, nlen, Kv=Kv,
                                  Nn=Nn, cap=cap,
                                  use_range=bool(score_mode or use_range),
-                                 interpret=ptf_interpret)
+                                 width=W, interpret=ptf_interpret)
         else:
             # flat pack: per-candidate [off, off+maxT+cap) window DMAs
             out = tf_rows_flat_pallas(
@@ -404,8 +409,10 @@ def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
     if getattr(cp, "ndim", 1) == 2:
         # group-DMA kernel views the matrix as (N//8, 8, rowT)
         return (cp.shape[1] >= text_store.maxT + NEEDLE_CAP
-                and cp.shape[0] % 8 == 0)
-    return bool(getattr(text_store, "flat_padded", False))
+                and cp.shape[0] % 8 == 0 and cp.shape[1] % 128 == 0)
+    # flat region-fetch kernel views the pack as (P//1024, 8, 128)
+    return bool(getattr(text_store, "flat_padded", False)
+                and cp.shape[0] % 1024 == 0)
 
 
 def _ptf_interpret() -> bool:

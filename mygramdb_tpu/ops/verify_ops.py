@@ -374,12 +374,17 @@ def _window_tf_emit(rows, dl2, ndl_ref, nlen_ref, out_ref, R: int, Nn: int,
     out_ref[...] = jnp.concatenate(cols + [dl2], axis=1)
 
 
-def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
+def _tf_rows_kernel(R: int, Nn: int, cap: int, W: int, sentinel: int,
                     use_range: bool):
+    # W: DMA'd row width (a 128 multiple <= the physical rowT, chosen
+    # from the batch's maxT bucket) — lane slices [0, W) of the padded
+    # matrix are tile-aligned, so short-doc batches copy a fraction of
+    # the physical row. Docs longer than W-cap never reach this kernel
+    # (the planner's maxT bucket bounds candidate lengths).
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    win = rowT - cap
+    win = W - cap
 
     def compute(scratch, buf, id_at, ndl_ref, nlen_ref, out_ref):
         # scratch[buf]: (R, 8, rowT) — each candidate's 8-doc tile group;
@@ -392,11 +397,11 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
         parts = []
         sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
         for j in range(R):
-            grp = scratch[buf, j].astype(jnp.int32)  # (8, rowT)
+            grp = scratch[buf, j].astype(jnp.int32)  # (8, W)
             hit = sub_iota == jnp.bitwise_and(id_at(j), 7)
             parts.append(jnp.sum(jnp.where(hit, grp, 0), axis=0,
                                  keepdims=True))
-        rows = jnp.concatenate(parts, axis=0)  # (R, rowT)
+        rows = jnp.concatenate(parts, axis=0)  # (R, W)
         dl2 = jnp.sum((rows != sentinel).astype(jnp.int32), axis=1,
                       keepdims=True)
         _window_tf_emit(rows, dl2, ndl_ref, nlen_ref, out_ref, R, Nn, cap,
@@ -411,11 +416,14 @@ def _tf_rows_kernel(R: int, Nn: int, cap: int, rowT: int, sentinel: int,
             # text_ref is the (N//8, 8, rowT) grouped view: slices along
             # the untiled leading dim lower for any offset; a direct
             # (1, rowT) row slice of the 2-D padded matrix would violate
-            # the (8, 128) HBM tiling
+            # the (8, 128) HBM tiling. The lane slice [0, W) is
+            # tile-aligned (W % 128 == 0).
+            g0 = jax.lax.shift_right_logical(idref[0, 0, j], 3)
+            src = (text_ref.at[pl.ds(g0, 1)]
+                   if W == text_ref.shape[2]
+                   else text_ref.at[pl.ds(g0, 1), :, pl.ds(0, W)])
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(
-                    jax.lax.shift_right_logical(idref[0, 0, j], 3), 1)],
-                scratch.at[buf, pl.ds(j, 1)], sems.at[buf, j])
+                src, scratch.at[buf, pl.ds(j, 1)], sems.at[buf, j])
 
         def start_all(buf, idref):
             for j in range(R):
@@ -467,10 +475,11 @@ def cast_needles_i32(needles: jax.Array, dtype, cap: int) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("Kv", "Nn", "cap", "use_range",
-                                             "interpret"))
+                                             "width", "interpret"))
 def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
                    nlen_i32: jax.Array, *, Kv: int, Nn: int, cap: int,
-                   use_range: bool, interpret: bool = False) -> jax.Array:
+                   use_range: bool, width: int = 0,
+                   interpret: bool = False) -> jax.Array:
     """Fused row-gather + TF: -> (M, Nn+1) int32 — per-candidate per-needle
     window match counts (range-masked when use_range) with doc_len in the
     last column.
@@ -479,6 +488,9 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
     doc end, NEEDLE_CAP pad columns baked in); ids: (M,) flattened
     candidate ids, M = B*Kv, Kv % _TF_ROWS == 0, invalid lanes pre-clamped
     to 0; ndl_i32: (B, Nn*cap) via cast_needles_i32; nlen_i32: (B, Nn).
+    width: DMA'd row prefix (128 multiple covering the batch's maxT
+    bucket + cap; 0 = full rows) — every candidate doc length must be
+    <= width - cap.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -489,6 +501,9 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
         raise ValueError("padded matrix must be (8k, 128m) — the group "
                          "DMA slices whole (8, rowT) HBM tiles (got %s)"
                          % str(padded.shape))
+    W = width or rowT
+    if W % 128 or W > rowT or W <= cap:
+        raise ValueError("width must be a 128 multiple in (cap, rowT]")
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if padded.dtype == jnp.uint16 else -1
@@ -503,7 +518,7 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
     nlen3 = nlen_i32[:, None, :]
     text3 = padded.reshape(N // 8, 8, rowT)
     return pl.pallas_call(
-        _tf_rows_kernel(R, Nn, cap, rowT, sent, use_range),
+        _tf_rows_kernel(R, Nn, cap, W, sent, use_range),
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
@@ -519,26 +534,75 @@ def tf_rows_pallas(padded: jax.Array, ids: jax.Array, ndl_i32: jax.Array,
         ],
         out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, R, 8, rowT), padded.dtype),
+        scratch_shapes=[pltpu.VMEM((2, R, 8, W), padded.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
     )(ids3, ids3, ndl3, nlen3, text3)
 
 
-def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sgk: int,
+def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, SG: int,
                     sentinel: int, use_range: bool):
+    # Region-fetch design. A flat pack's 1-D HBM memref is coarse-tiled
+    # (1024 cells) and dynamic slice offsets must be provably
+    # tile-aligned, so per-candidate window DMAs at arbitrary doc offsets
+    # cannot lower. Instead the pack is viewed as (P//1024, 8, 128)
+    # groups; each candidate DMAs the SG whole groups covering
+    # [off, off+win+cap) (the group dim is untiled — any offset lowers),
+    # and the window TF runs over the fetched region in its native
+    # (rows, 128) shape with shifted-lane compares + a relative-position
+    # start mask — no realignment pass, no reshapes below rank 2.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def compute(rows_u, lens2, ndl_ref, nlen_ref, out_ref):
-        rows = rows_u.astype(jnp.int32)
-        # flat windows may run into the NEXT doc's text (or the pack's pad
-        # tail): mask cells past doc end to the sentinel so they can never
-        # match — same semantics as the XLA flat gather's validity mask
-        pos = jax.lax.broadcasted_iota(jnp.int32, (R, sgk), 1)
-        rows = jnp.where(pos < lens2, rows, sentinel)
-        _window_tf_emit(rows, lens2, ndl_ref, nlen_ref, out_ref, R, Nn,
-                        cap, win, use_range)
+    S_tot = SG * 8           # region rows per candidate
+    RS = R * S_tot           # stacked region rows per grid step
+    REG = S_tot * 128        # region cells per candidate
+
+    def scalars_col(vals):
+        """R scalars -> (R*S_tot, 1) with each scalar splat over its
+        candidate's S_tot rows (1-D vectors don't lower; concat stays
+        rank-2)."""
+        return jnp.concatenate(
+            [jnp.full((S_tot, 1), v, jnp.int32) for v in vals], axis=0)
+
+    def compute(region_u, q_col, dl_col, dl_at, ndl_ref, nlen_ref,
+                out_ref):
+        t = region_u.astype(jnp.int32)  # (RS, 128)
+        # cell position relative to each candidate's doc start
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (RS, 128), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (RS, 128), 1)
+        base = (row_i // S_tot) * REG  # start row offset of own region
+        rel = (row_i * 128 + lane_i - base) - q_col
+        t = jnp.where(jnp.logical_and(rel >= 0, rel < dl_col), t, sentinel)
+        # sh[k] = text shifted k cells left in flat order (lane shift
+        # with row carry). Cross-candidate leakage at region boundaries
+        # only reaches start positions the rel-mask already kills.
+        down = jnp.concatenate(
+            [t[1:], jnp.full((1, 128), sentinel, jnp.int32)], axis=0)
+        sh = [t]
+        for k in range(1, cap):
+            sh.append(jnp.concatenate([t[:, k:], down[:, :k]], axis=1))
+        startmask = jnp.logical_and(rel >= 0, rel < win)
+        rows_out = []
+        for j in range(R):
+            cols = []
+            lo, hi = j * S_tot, (j + 1) * S_tot
+            for jn in range(Nn):
+                nl = nlen_ref[0, 0, jn]
+                m = None
+                for k in range(cap):
+                    val = ndl_ref[0, 0, jn * cap + k]
+                    cmp = jnp.logical_or(k >= nl, sh[k] == val)
+                    m = cmp if m is None else jnp.logical_and(m, cmp)
+                m = jnp.logical_and(m, startmask)
+                if use_range:
+                    m = jnp.logical_and(m, rel + nl <= dl_col)
+                tf = jnp.sum(m[lo:hi].astype(jnp.int32))
+                cols.append(jnp.full((1, 1),
+                                     jnp.where(nl == 0, 0, tf), jnp.int32))
+            cols.append(jnp.full((1, 1), dl_at(j), jnp.int32))
+            rows_out.append(jnp.concatenate(cols, axis=1))
+        out_ref[...] = jnp.concatenate(rows_out, axis=0)
 
     def kern(off_ref, offn_ref, len_ref, ndl_ref, nlen_ref, text_ref,
              out_ref, scratch, sems):
@@ -546,11 +610,9 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sgk: int,
         nsteps = pl.num_programs(0)
 
         def dma(buf, j, oref):
-            # sgk (the 1-D HBM tiling unit rounded up from win+cap) keeps
-            # the slice SHAPE tile-aligned; the offset is the doc's pack
-            # position. Cells past the window are masked by `lens`.
+            g0 = jax.lax.shift_right_logical(oref[0, 0, j], 10)
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(oref[0, 0, j], sgk)],
+                text_ref.at[pl.ds(g0, SG)],
                 scratch.at[buf, j], sems.at[buf, j])
 
         def start_all(buf, oref):
@@ -560,12 +622,13 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, sgk: int,
         def finish(buf):
             for j in range(R):
                 dma(buf, j, off_ref).wait()
-            # (R, 1) doc lengths from SMEM scalars: splat each to (1, 1)
-            # and concatenate sublanes (1-D vectors don't lower)
-            lens2 = jnp.concatenate(
-                [jnp.full((1, 1), len_ref[0, 0, j], jnp.int32)
-                 for j in range(R)], axis=0)
-            compute(scratch[buf], lens2, ndl_ref, nlen_ref, out_ref)
+            region = scratch[buf].reshape(RS, 128)
+            q_col = scalars_col(
+                [jnp.bitwise_and(off_ref[0, 0, j], 1023)
+                 for j in range(R)])
+            dl_col = scalars_col([len_ref[0, 0, j] for j in range(R)])
+            compute(region, q_col, dl_col,
+                    lambda j: len_ref[0, 0, j], ndl_ref, nlen_ref, out_ref)
 
         even = jnp.equal(jnp.remainder(i, 2), 0)
 
@@ -599,28 +662,32 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
                         nlen_i32: jax.Array, *, Kv: int, Nn: int, cap: int,
                         win: int, use_range: bool,
                         interpret: bool = False) -> jax.Array:
-    """Flat-pack variant of tf_rows_pallas: candidate text windows stream
-    as [off, off+win+cap) DMA slices from the flat code-point array — no
-    padded matrix needed, and the copy width is the per-batch maxT bucket
-    (often 4-8x narrower than the padded physical row). Serves the
-    verified path at corpus sizes past the padded-layout HBM budget.
+    """Flat-pack variant of tf_rows_pallas: each candidate DMAs the
+    1024-cell groups covering [off, off+win+cap) from the flat code-point
+    array — no padded matrix needed. Serves the verified path at corpus
+    sizes past the padded-layout HBM budget (see _tf_flat_kernel for the
+    region-fetch design forced by the 1-D HBM tiling rules).
 
-    codepoints: (P,) flat pack CARRYING the FLAT_GATHER_PAD sentinel tail
-    (DeviceTextStore.flat_padded); off/ln: (M,) int32 per-candidate pack
-    offsets and doc lengths (invalid lanes pre-clamped to doc 0 = len 0);
+    codepoints: (P,) flat pack, P % 1024 == 0, CARRYING the
+    FLAT_GATHER_PAD sentinel tail (DeviceTextStore.flat_padded); off/ln:
+    (M,) int32 per-candidate pack offsets and doc lengths (invalid lanes
+    pre-clamped to doc 0 = len 0);
     -> (M, Nn+1) int32 [tf | doc_len], like tf_rows_pallas.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     M = off.shape[0]
+    P = codepoints.shape[0]
+    if P % 1024:
+        raise ValueError("flat pack length must be a multiple of 1024 "
+                         "(DeviceTextStore pads it; got %d)" % P)
     R = _TF_ROWS
     nsteps = M // R
     sent = 0xFFFF if codepoints.dtype == jnp.uint16 else -1
-    # 1-D HBM memrefs are coarse-tiled (1024 cells for u16); DMA slice
-    # shapes must be tile multiples, so each candidate copies sgk cells
-    # (the FLAT_GATHER_PAD tail keeps the widest copy in bounds)
-    sgk = ((win + cap + 1023) // 1024) * 1024
+    # groups covering [off, off+win+cap) for any in-group offset q<=1023
+    SG = (1023 + win + cap + 1023) // 1024
+    text3 = codepoints.reshape(P // 1024, 8, 128)
     # mosaic block rule (see tf_rows_pallas): scalar SMEM operands travel
     # rank-3 with (1, 1, X) blocks whose trailing dims equal the array's
     off3 = off.reshape(nsteps, 1, R)
@@ -628,7 +695,7 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     ndl3 = ndl_i32[:, None, :]
     nlen3 = nlen_i32[:, None, :]
     return pl.pallas_call(
-        _tf_flat_kernel(R, Nn, cap, win, sgk, sent, use_range),
+        _tf_flat_kernel(R, Nn, cap, win, SG, sent, use_range),
         grid=(nsteps,),
         in_specs=[
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
@@ -646,10 +713,10 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
         ],
         out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, R, sgk), codepoints.dtype),
+        scratch_shapes=[pltpu.VMEM((2, R, SG, 8, 128), codepoints.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
-    )(off3, off3, ln3, ndl3, nlen3, codepoints)
+    )(off3, off3, ln3, ndl3, nlen3, text3)
 
 
 def has_self_overlap(term: str) -> bool:

@@ -32,11 +32,13 @@ _PADDED_BUDGET_BYTES = 11 << 30
 _MAXT_CHOICES = (256, 512, 1024, 2048, 4096)
 _U16_MAX = 0xFFFF  # BMP ceiling; docs with any cp >= this stay uint32/host
 # Flat packs carry this many trailing sentinel cells so the Pallas flat
-# verify kernel can DMA [off, off+sgk) unconditionally for any window up
-# to the largest maxT bucket, where sgk rounds win+cap up to the 1-D HBM
-# tiling unit (1024 cells) — DMA slice shapes must be tile multiples
-# (mirrors posting_ops.SLICE_GATHER_PAD).
-FLAT_GATHER_PAD = ((_MAXT_CHOICES[-1] + NEEDLE_CAP + 1023) // 1024) * 1024
+# verify kernel can DMA every 1024-cell group covering [off, off+win+cap)
+# unconditionally, for any window up to the largest maxT bucket and any
+# in-group offset (mirrors posting_ops.SLICE_GATHER_PAD). The pack's
+# total length is further padded to a 1024 multiple so it reshapes to
+# the kernel's (P//1024, 8, 128) group view.
+FLAT_GATHER_PAD = ((1023 + _MAXT_CHOICES[-1] + NEEDLE_CAP + 1023)
+                   // 1024) * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("maxT",))
@@ -358,14 +360,16 @@ class DeviceTextStore:
             self.flat_padded = False
             del flat_dev
         else:
-            # sentinel tail: the Pallas flat verify kernel DMAs
-            # [off, off+win) unconditionally (win <= largest maxT bucket
-            # + NEEDLE_CAP); cells past doc end are masked to sentinel
-            # in-kernel from `lengths`, so the tail only needs to keep
-            # the copies in-bounds
+            # sentinel tail: the Pallas flat verify kernel DMAs whole
+            # 1024-cell groups covering [off, off+win+cap) unconditionally
+            # (win <= largest maxT bucket); cells past doc end are masked
+            # to sentinel in-kernel from `lengths`, so the tail only
+            # needs to keep the copies in-bounds. Total length pads to a
+            # 1024 multiple for the kernel's (P//1024, 8, 128) view.
+            tail = FLAT_GATHER_PAD + (-(flat.size + FLAT_GATHER_PAD)
+                                      % 1024)
             self.codepoints = jax.device_put(np.concatenate([
-                flat, np.full(FLAT_GATHER_PAD, sentinel,
-                              dtype=self.dtype)]), device)
+                flat, np.full(tail, sentinel, dtype=self.dtype)]), device)
             self.flat_padded = True
         del flat
 

@@ -1,0 +1,151 @@
+"""Edge cases for the group-DMA fused verify kernels (interpret mode).
+
+The padded kernel DMAs (8, rowT) doc GROUPS and one-hot selects the
+target row in-kernel; the flat kernel DMAs whole 1024-cell groups and
+masks by position relative to the doc start. These tests pin the
+selection/alignment arithmetic at the boundaries the scale benches never
+hit deterministically: every id%8 class, the last row of the matrix,
+docs crossing 1024-cell group boundaries, and docs at the pack edges.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mygramdb_tpu.ops.verify_ops import (_TF_ROWS, cast_needles_i32,
+                                         tf_rows_pallas,
+                                         tf_rows_flat_pallas)
+
+SENT = 0xFFFF
+
+
+def _padded_with_id_codes(N, rowT, cap):
+    """Row i holds the two-cell marker [100+i, 200] then sentinel: the
+    kernel's selected row (and only it) matches needle [100+i, 200]."""
+    padded = np.full((N, rowT), SENT, dtype=np.uint16)
+    for i in range(N):
+        padded[i, 0] = 100 + i
+        padded[i, 1] = 200
+    return padded
+
+
+def test_group_select_every_sublane_and_last_row():
+    N, rowT, cap = 32, 256, 4
+    padded = _padded_with_id_codes(N, rowT, cap)
+    Kv = _TF_ROWS
+    # every id%8 class + the matrix's last row + row 0
+    ids = np.asarray([0, 1, 2, 3, 4, 5, 6, 7,
+                      8, 15, 16, 23, 24, 30, 31, N - 1], dtype=np.int32)
+    B = 1
+    ndl = np.zeros((B, 1, cap), dtype=np.uint32)
+    nlens = np.zeros((B, 1), dtype=np.int32)
+    for probe in range(len(ids)):
+        ndl[0, 0, :2] = [100 + int(ids[probe]), 200]
+        nlens[0, 0] = 2
+        out = np.asarray(tf_rows_pallas(
+            jnp.asarray(padded), jnp.asarray(ids),
+            cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
+            jnp.asarray(nlens), Kv=Kv, Nn=1, cap=cap, use_range=False,
+            interpret=True))
+        # exactly the probed candidate matches; every row reports dl=2
+        assert np.array_equal(out[:, 0], (ids == ids[probe]).astype(int))
+        assert np.array_equal(out[:, 1], np.full(len(ids), 2))
+
+
+def test_flat_region_cross_group_boundary():
+    """Docs deliberately straddling 1024-cell group boundaries: needle
+    matches must count across the boundary and doc-length masking must
+    clip exactly at doc end."""
+    win, cap = 128, 4
+    # doc A: cells [1000, 1060) - inside group 0
+    # doc B: cells [1060, 1090) - starts in group 1's tail... actually
+    # crosses the 1024 boundary (starts at 1060? no: 1060 > 1024).
+    # Construct explicitly: B starts at 1000 (q=1000, crosses into group 1)
+    docs = {
+        1: (1000, 60),   # crosses 1024 at cell 24 of its text
+        2: (2047, 10),   # starts at the last cell of group 1
+        3: (0, 5),       # pack start
+    }
+    P = 8192
+    flat = np.full(P, SENT, dtype=np.uint16)
+    # fill doc cells with a repeating marker pattern [7, 9, 7, 9, ...]
+    for off, ln in docs.values():
+        for k in range(ln):
+            flat[off + k] = 7 if k % 2 == 0 else 9
+    M = _TF_ROWS
+    off = np.zeros(M, dtype=np.int32)
+    ln = np.zeros(M, dtype=np.int32)
+    for lane, (o, l) in enumerate(docs.values()):
+        off[lane] = o
+        ln[lane] = l
+    ndl = np.zeros((1, 1, cap), dtype=np.uint32)
+    ndl[0, 0, :2] = [7, 9]
+    nlens = np.asarray([[2]], dtype=np.int32)
+    out = np.asarray(tf_rows_flat_pallas(
+        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
+        jnp.asarray(nlens), Kv=M, Nn=1, cap=cap, win=win,
+        use_range=False, interpret=True))
+    for lane, (o, l) in enumerate(docs.values()):
+        # "79" occurs at every even offset with room for both cells
+        expect = max(0, (l - 1 + 1) // 2) if l >= 2 else 0
+        assert out[lane, 0] == expect, (lane, o, l)
+        assert out[lane, 1] == l
+    # zero-length lanes (id 0 clamp convention): no matches, dl 0
+    assert np.array_equal(out[len(docs):, 0], np.zeros(M - len(docs)))
+    assert np.array_equal(out[len(docs):, 1], np.zeros(M - len(docs)))
+
+
+def test_flat_region_no_cross_doc_bleed():
+    """A needle equal to [end of doc A + start of doc B] must NOT match:
+    cells outside each doc are sentinel-masked even though both docs'
+    bytes are adjacent in the pack (and inside the fetched region)."""
+    win, cap = 128, 4
+    flat = np.full(4096, SENT, dtype=np.uint16)
+    # A = [11, 12] at 100..102, B = [13, 14] at 102..104 (adjacent)
+    flat[100:102] = [11, 12]
+    flat[102:104] = [13, 14]
+    M = _TF_ROWS
+    off = np.zeros(M, dtype=np.int32)
+    ln = np.zeros(M, dtype=np.int32)
+    off[0], ln[0] = 100, 2
+    off[1], ln[1] = 102, 2
+    ndl = np.zeros((1, 2, cap), dtype=np.uint32)
+    ndl[0, 0, :2] = [12, 13]  # the boundary-straddling bigram
+    ndl[0, 1, :2] = [11, 12]  # doc A itself
+    nlens = np.asarray([[2, 2]], dtype=np.int32)
+    out = np.asarray(tf_rows_flat_pallas(
+        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
+        jnp.asarray(nlens), Kv=M, Nn=2, cap=cap, win=win,
+        use_range=False, interpret=True))
+    assert out[0, 0] == 0  # straddler must not count for doc A
+    assert out[1, 0] == 0  # nor for doc B
+    assert out[0, 1] == 1  # A's own content counts once
+    assert out[1, 1] == 0
+
+
+@pytest.mark.parametrize("use_range", [True, False])
+def test_flat_region_use_range_tail(use_range):
+    """A needle that is a prefix of the doc AND reappears at the very
+    last cell: with use_range only full in-range occurrences count."""
+    win, cap = 128, 4
+    flat = np.full(4096, SENT, dtype=np.uint16)
+    off0, l0 = 511, 6  # straddles q=511 within group 0
+    flat[off0:off0 + l0] = [5, 6, 1, 2, 5, 6]
+    M = _TF_ROWS
+    off = np.zeros(M, dtype=np.int32)
+    ln = np.zeros(M, dtype=np.int32)
+    off[0], ln[0] = off0, l0
+    ndl = np.zeros((1, 1, cap), dtype=np.uint32)
+    ndl[0, 0, :3] = [5, 6, 1]
+    nlens = np.asarray([[3]], dtype=np.int32)
+    out = np.asarray(tf_rows_flat_pallas(
+        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
+        jnp.asarray(nlens), Kv=M, Nn=1, cap=cap, win=win,
+        use_range=use_range, interpret=True))
+    # [5,6,1] occurs at start; the trailing [5,6] can't complete (doc
+    # ends) in either mode — sentinel masking stops it
+    assert out[0, 0] == 1
+    assert out[0, 1] == l0

@@ -68,6 +68,37 @@ def test_kernel_parity_u16(store, use_range):
         assert np.array_equal(out[b * Kv:(b + 1) * Kv, Nn], dl_x), b
 
 
+@pytest.mark.parametrize("use_range", [True, False])
+def test_kernel_parity_width_prefix(store, use_range):
+    """width=W DMAs only a row prefix; when every candidate doc fits in
+    W - cap the counts must equal the full-width kernel's."""
+    st, texts = store
+    rng = np.random.default_rng(11)
+    Kv = 2 * _TF_ROWS
+    cap = needle_cap_bucket(4)
+    rowT = st.codepoints.shape[1]
+    W = 128
+    while W < rowT:
+        short = [d for d, t in texts.items() if len(t) <= W - cap]
+        if len(short) >= Kv:
+            break
+        W += 128
+    ids = np.asarray([short[i % len(short)] for i in range(Kv)],
+                     dtype=np.int32)
+    ndl = np.zeros((1, 2, NEEDLE_CAP), dtype=np.uint32)
+    n, l = DeviceTextStore._pack_needles(["検索", "quick"])
+    ndl[0, :n.shape[0]] = n
+    nlens = np.zeros((1, 2), dtype=np.int32)
+    nlens[0, :l.shape[0]] = l
+    args = (st.codepoints, jnp.asarray(ids),
+            cast_needles_i32(jnp.asarray(ndl), st.codepoints.dtype, cap),
+            jnp.asarray(nlens))
+    kw = dict(Kv=Kv, Nn=2, cap=cap, use_range=use_range, interpret=True)
+    full = np.asarray(tf_rows_pallas(*args, **kw))
+    pref = np.asarray(tf_rows_pallas(*args, width=W, **kw))
+    assert np.array_equal(full, pref)
+
+
 def test_kernel_parity_u32_synthetic():
     """u32 pack: the 0xFFFFFFFF sentinel upcasts to -1 in-kernel and must
     never match; non-BMP codepoints compare exactly."""
