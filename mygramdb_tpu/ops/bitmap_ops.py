@@ -106,6 +106,25 @@ _MAX_ROW_TILE_WORDS = 131072  # cap VMEM per tile at 512KB; wider W splits
 _KOP_MAX = 16  # K-operand kernel bound: 2*(K+2) row tiles of VMEM
 
 
+def _wide_chunk_words(W: int, cap: int = None) -> int:
+    """Largest multiple of PBLOCK that divides W and fits the VMEM row-tile
+    cap. Callers assert W % PBLOCK == 0, so PBLOCK itself always qualifies
+    (worst case: W/PBLOCK grid steps along the width axis)."""
+    cap = cap or _MAX_ROW_TILE_WORDS
+    units = W // PBLOCK
+    best = 1
+    c = 1
+    while c * c <= units:
+        if units % c == 0:
+            if c * PBLOCK <= cap:
+                best = max(best, c)
+            d = units // c
+            if d * PBLOCK <= cap:
+                best = max(best, d)
+        c += 1
+    return best * PBLOCK
+
+
 def _dense_query_kernel(nsteps: int):
     def kern(rows_ref, bm_ref, del_ref, out_ref):
         k = pl.program_id(1)
@@ -217,9 +236,13 @@ def dense_query_pallas(bitmaps: jax.Array, rows: jax.Array,
             interpret=interpret,
         )(rows, bm3, del3).reshape(B, W)
     else:
-        # very wide corpora: split rows into VMEM-sized chunks
-        nblk = W // _MAX_ROW_TILE_WORDS
-        L = _MAX_ROW_TILE_WORDS // 8
+        # very wide corpora: split rows into VMEM-sized chunks. The chunk
+        # must divide W exactly (10M docs: W=313344 is NOT a multiple of
+        # the 131072 cap), so take the largest PBLOCK-multiple divisor
+        # that fits the VMEM tile cap.
+        chunk = _wide_chunk_words(W)
+        nblk = W // chunk
+        L = chunk // 8
         bm4 = bitmaps.reshape(V, nblk, 8, L)
         del4 = deleted.reshape(1, nblk, 8, L)
         grid_spec = pltpu.PrefetchScalarGridSpec(
