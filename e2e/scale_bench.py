@@ -221,24 +221,33 @@ def main() -> int:
         pack_secs = time.time() - t0
         B = min(args.batch, 64)
         ja_q = gen.sample_ja_terms(B * 60)
-        C_LIMIT = 4096     # largest fused candidate bucket
+        # serving routes any driver-df bucket the kernel supports through
+        # the fused path (pipeline falls back only past the LAST bucket);
+        # at 10M docs driver dfs land in the 8k-32k buckets, so capping at
+        # 4096 here starved the bench of every query (and crashed it)
+        C_LIMIT = idx.candidate_buckets[-1]
         Ks, Kd = 8, 8
+        skipped = {"miss": 0, "dense_only": 0, "too_big": 0, "long": 0}
         payload = []   # per-query sparse-driver arrays (+ natural C bucket)
         q_terms = []
         for term in ja_q:
             g = sorted(set(grams_of(term)))
             tids = [built.term_dict.get(x) for x in g]
             if any(t is None for t in tids):
+                skipped["miss"] += 1
                 continue
             dense, sparse = idx.classify(tids)
             if not sparse:
+                skipped["dense_only"] += 1
                 continue  # dense-only CJK terms keep the dense fused path
             sparse = sorted(sparse, key=lambda t: int(idx.lengths[t]))
             dlen = int(idx.lengths[sparse[0]])
             if dlen == 0 or idx.verify_cand_bucket(dlen) > C_LIMIT:
+                skipped["too_big"] += 1
                 continue
             cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
             if cp.size > NEEDLE_CAP:
+                skipped["long"] += 1
                 continue
             sp_off = [int(idx.offsets32[t]) for t in sparse[1:]]
             sp_len = [int(idx.lengths[t]) for t in sparse[1:]]
@@ -316,28 +325,38 @@ def main() -> int:
                 "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
             }
             steps.extend([vstep] * max(1, len(items) * 16 // len(payload)))
-        # mixed-workload throughput: threads draw per-bucket batches in
-        # proportion to the bucket's share of the query stream
-        ex = ThreadPoolExecutor(args.threads)
-        list(ex.map(lambda i: steps[i % len(steps)](i),
-                    range(args.threads)))
-        nb = args.threads * 6
-        t0 = time.perf_counter()
-        list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
-        wall = time.perf_counter() - t0
-        ex.shutdown(wait=False)
-        # stream-weighted single-flight p50 (what one query experiences)
-        wsum = sum(per_bucket[k]["n_queries"] * per_bucket[k][
-            "p50_per_query_us"] for k in per_bucket)
-        wtot = max(sum(per_bucket[k]["n_queries"] for k in per_bucket), 1)
-        res_verified = {
-            "qps": round(nb * B / wall, 1),
-            "p50_per_query_us": round(wsum / wtot, 1),
-            "text_pack_secs": round(pack_secs, 1),
-            "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
-            "buckets": per_bucket, "bucket_hist": bucket_hist,
-            "clipped": n_clipped,
-        }
+        if not steps:
+            # nothing qualified (e.g. every sampled term's driver df is
+            # past the largest kernel bucket) — record why, don't crash
+            res_verified = {"skipped": skipped,
+                            "text_pack_secs": round(pack_secs, 1),
+                            "text_hbm_mb": round(
+                                dev_text.memory_usage() / 1e6, 1)}
+        else:
+            # mixed-workload throughput: threads draw per-bucket batches
+            # in proportion to the bucket's share of the query stream
+            ex = ThreadPoolExecutor(args.threads)
+            list(ex.map(lambda i: steps[i % len(steps)](i),
+                        range(args.threads)))
+            nb = args.threads * 6
+            t0 = time.perf_counter()
+            list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
+            wall = time.perf_counter() - t0
+            ex.shutdown(wait=False)
+            # stream-weighted single-flight p50 (one query's experience)
+            wsum = sum(per_bucket[k]["n_queries"] * per_bucket[k][
+                "p50_per_query_us"] for k in per_bucket)
+            wtot = max(sum(per_bucket[k]["n_queries"]
+                           for k in per_bucket), 1)
+            res_verified = {
+                "qps": round(nb * B / wall, 1),
+                "p50_per_query_us": round(wsum / wtot, 1),
+                "text_pack_secs": round(pack_secs, 1),
+                "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
+                "buckets": per_bucket, "bucket_hist": bucket_hist,
+                "skipped": skipped,
+                "clipped": n_clipped,
+            }
         # verified parity vs sampled texts: counts must equal substring
         # ground truth on the sample intersection (checked per bucket)
         for terms_b, pre, counts, topids, Kv in parity_sets:
