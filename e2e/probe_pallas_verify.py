@@ -87,12 +87,15 @@ def main() -> int:
         np.full(tail, sent, dtype=np.uint16)])
     for use_range in (False, True) if only in ("", "flat") else ():
         t0 = time.time()
+        oi = off[ids]
         ref = np.asarray(tf_rows_flat_pallas(
-            jnp.asarray(flat), jnp.asarray(off[ids]),
+            jnp.asarray(flat), jnp.asarray(oi >> 10),
+            jnp.asarray(oi & 1023),
             jnp.asarray(lens[ids]), ndl, nlenj, Kv=Kv, Nn=Nn, cap=cap,
             win=win, use_range=use_range, interpret=True))
         got = np.asarray(tf_rows_flat_pallas(
-            jnp.asarray(flat), jnp.asarray(off[ids]),
+            jnp.asarray(flat), jnp.asarray(oi >> 10),
+            jnp.asarray(oi & 1023),
             jnp.asarray(lens[ids]), ndl, nlenj, Kv=Kv, Nn=Nn, cap=cap,
             win=win, use_range=use_range, interpret=False))
         match = bool((ref == got).all())

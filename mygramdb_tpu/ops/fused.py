@@ -153,10 +153,13 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
                                  use_range=bool(score_mode or use_range),
                                  width=W, interpret=ptf_interpret)
         else:
-            # flat pack: per-candidate [off, off+maxT+cap) window DMAs
+            # flat pack: per-candidate [off, off+maxT+cap) window DMAs;
+            # offsets travel as a (group, remainder) int32 pair (packs
+            # past 2^31 cells cannot ship flat int32 offsets)
+            off_grp, off_rem = offsets
             out = tf_rows_flat_pallas(
-                codepoints, offsets[safe], lengths[safe], ndl, nlen,
-                Kv=Kv, Nn=Nn, cap=cap, win=maxT,
+                codepoints, off_grp[safe], off_rem[safe], lengths[safe],
+                ndl, nlen, Kv=Kv, Nn=Nn, cap=cap, win=maxT,
                 use_range=bool(score_mode or use_range),
                 interpret=ptf_interpret)
         B = sel_all.shape[0]

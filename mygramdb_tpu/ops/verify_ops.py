@@ -70,17 +70,27 @@ def _gather_text_flat(codepoints, offsets, lengths, cand_ids, maxT,
     """(C, maxT+cap) text window via element gather from the flat pack,
     in the pack's native dtype (uint16 for BMP-only corpora).
     -> (text, doc_len, maxT) — the window width the compare loop should
-    sweep (= maxT here; the padded layout returns its physical width)."""
+    sweep (= maxT here; the padded layout returns its physical width).
+
+    offsets is a (group, remainder) int32 pair in 1024-cell units
+    (DeviceTextStore._upload): a 10M-doc pack crosses 2^31 cells, past
+    int32 flat indexing, so the gather addresses a (P/1024, 1024) view
+    with per-cell (group, lane) coordinates — all math int32-safe."""
+    off_grp, off_rem = offsets
     ids = jnp.maximum(cand_ids, 0)
-    off = offsets[ids]
+    g0 = off_grp[ids]
+    r0 = off_rem[ids]
     doc_len = lengths[ids]
     sent = _sentinel_of(codepoints.dtype)
     pos = jnp.arange(maxT + cap, dtype=jnp.int32)[None, :]
-    idx = off[:, None] + pos
     valid = pos < doc_len[:, None]
-    idx = jnp.where(valid, idx, 0)
-    idx = jnp.minimum(idx, codepoints.shape[0] - 1)
-    text = codepoints[idx]
+    t = r0[:, None] + pos            # < 1024 + maxT + cap
+    g = g0[:, None] + (t >> 10)
+    r = jnp.bitwise_and(t, 1023)
+    cp2 = codepoints.reshape(-1, 1024)
+    g = jnp.minimum(jnp.where(valid, g, 0), cp2.shape[0] - 1)
+    r = jnp.where(valid, r, 0)
+    text = cp2[g, r]
     text = jnp.where(valid, text, jnp.asarray(sent, dtype=codepoints.dtype))
     return text, doc_len, maxT
 
@@ -604,28 +614,27 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, SG: int,
             rows_out.append(jnp.concatenate(cols, axis=1))
         out_ref[...] = jnp.concatenate(rows_out, axis=0)
 
-    def kern(off_ref, offn_ref, len_ref, ndl_ref, nlen_ref, text_ref,
-             out_ref, scratch, sems):
+    def kern(grp_ref, grpn_ref, rem_ref, len_ref, ndl_ref, nlen_ref,
+             text_ref, out_ref, scratch, sems):
+        # offsets arrive pre-split as (group, remainder) int32 pairs —
+        # a 10M-doc pack crosses 2^31 cells, past int32 flat offsets
         i = pl.program_id(0)
         nsteps = pl.num_programs(0)
 
-        def dma(buf, j, oref):
-            g0 = jax.lax.shift_right_logical(oref[0, 0, j], 10)
+        def dma(buf, j, gref):
             return pltpu.make_async_copy(
-                text_ref.at[pl.ds(g0, SG)],
+                text_ref.at[pl.ds(gref[0, 0, j], SG)],
                 scratch.at[buf, j], sems.at[buf, j])
 
-        def start_all(buf, oref):
+        def start_all(buf, gref):
             for j in range(R):
-                dma(buf, j, oref).start()
+                dma(buf, j, gref).start()
 
         def finish(buf):
             for j in range(R):
-                dma(buf, j, off_ref).wait()
+                dma(buf, j, grp_ref).wait()
             region = scratch[buf].reshape(RS, 128)
-            q_col = scalars_col(
-                [jnp.bitwise_and(off_ref[0, 0, j], 1023)
-                 for j in range(R)])
+            q_col = scalars_col([rem_ref[0, 0, j] for j in range(R)])
             dl_col = scalars_col([len_ref[0, 0, j] for j in range(R)])
             compute(region, q_col, dl_col,
                     lambda j: len_ref[0, 0, j], ndl_ref, nlen_ref, out_ref)
@@ -634,15 +643,15 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, SG: int,
 
         @pl.when(i == 0)
         def _():
-            start_all(0, off_ref)
+            start_all(0, grp_ref)
 
         @pl.when(jnp.logical_and(i + 1 < nsteps, even))
         def _():
-            start_all(1, offn_ref)
+            start_all(1, grpn_ref)
 
         @pl.when(jnp.logical_and(i + 1 < nsteps, jnp.logical_not(even)))
         def _():
-            start_all(0, offn_ref)
+            start_all(0, grpn_ref)
 
         @pl.when(even)
         def _():
@@ -657,8 +666,8 @@ def _tf_flat_kernel(R: int, Nn: int, cap: int, win: int, SG: int,
 
 @functools.partial(jax.jit, static_argnames=("Kv", "Nn", "cap", "win",
                                              "use_range", "interpret"))
-def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
-                        ln: jax.Array, ndl_i32: jax.Array,
+def tf_rows_flat_pallas(codepoints: jax.Array, grp: jax.Array,
+                        rem: jax.Array, ln: jax.Array, ndl_i32: jax.Array,
                         nlen_i32: jax.Array, *, Kv: int, Nn: int, cap: int,
                         win: int, use_range: bool,
                         interpret: bool = False) -> jax.Array:
@@ -669,15 +678,17 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     region-fetch design forced by the 1-D HBM tiling rules).
 
     codepoints: (P,) flat pack, P % 1024 == 0, CARRYING the
-    FLAT_GATHER_PAD sentinel tail (DeviceTextStore.flat_padded); off/ln:
-    (M,) int32 per-candidate pack offsets and doc lengths (invalid lanes
-    pre-clamped to doc 0 = len 0);
+    FLAT_GATHER_PAD sentinel tail (DeviceTextStore.flat_padded);
+    grp/rem: (M,) int32 per-candidate pack offsets SPLIT into 1024-cell
+    group + in-group remainder (off = grp*1024 + rem — packs past 2^31
+    cells cannot ship flat int32 offsets); ln: (M,) int32 doc lengths
+    (invalid lanes pre-clamped to doc 0 = len 0);
     -> (M, Nn+1) int32 [tf | doc_len], like tf_rows_pallas.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    M = off.shape[0]
+    M = grp.shape[0]
     P = codepoints.shape[0]
     if P % 1024:
         raise ValueError("flat pack length must be a multiple of 1024 "
@@ -690,7 +701,8 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
     text3 = codepoints.reshape(P // 1024, 8, 128)
     # mosaic block rule (see tf_rows_pallas): scalar SMEM operands travel
     # rank-3 with (1, 1, X) blocks whose trailing dims equal the array's
-    off3 = off.reshape(nsteps, 1, R)
+    grp3 = grp.reshape(nsteps, 1, R)
+    rem3 = rem.reshape(nsteps, 1, R)
     ln3 = ln.reshape(nsteps, 1, R)
     ndl3 = ndl_i32[:, None, :]
     nlen3 = nlen_i32[:, None, :]
@@ -705,6 +717,8 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, Nn * cap), lambda i: ((i * R) // Kv, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, Nn), lambda i: ((i * R) // Kv, 0, 0),
@@ -716,7 +730,7 @@ def tf_rows_flat_pallas(codepoints: jax.Array, off: jax.Array,
         scratch_shapes=[pltpu.VMEM((2, R, SG, 8, 128), codepoints.dtype),
                         pltpu.SemaphoreType.DMA((2, R))],
         interpret=interpret,
-    )(off3, off3, ln3, ndl3, nlen3, text3)
+    )(grp3, grp3, rem3, ln3, ndl3, nlen3, text3)
 
 
 def has_self_overlap(term: str) -> bool:

@@ -222,10 +222,13 @@ class DeviceTextStore:
             obj.maxT = _MAXT_CHOICES[0]
         obj.dtype = np.uint16
         lengths = np.zeros(capacity, dtype=np.int32)
-        offsets = np.zeros(capacity, dtype=np.int32)
+        # int64: at 10M docs the pack crosses 2^31 code points and int32
+        # offsets silently wrap (the device split is group+remainder int32
+        # pairs, see _upload)
+        offsets = np.zeros(capacity, dtype=np.int64)
         m = min(n, capacity - 1)  # frozen rows are doc ids 1..n
         lengths[1:m + 1] = cp_lens[:m]
-        offsets[1:m + 1] = cp_off[:m].astype(np.int32)
+        offsets[1:m + 1] = cp_off[:m]
         obj._overflow = set()
         kill = np.flatnonzero((bad[:m] != 0) | (cp_lens[:m] > obj.maxT)) + 1
         obj._overflow.update(int(d) for d in kill.tolist())
@@ -260,7 +263,7 @@ class DeviceTextStore:
         self.capacity = capacity
         n_total = ids_arr.size
         lengths = np.zeros(capacity, dtype=np.int32)
-        offsets = np.zeros(capacity, dtype=np.int32)
+        offsets = np.zeros(capacity, dtype=np.int64)
         # choose maxT covering ~p99 of lengths (cap 4096)
         if lens_arr.size:
             p99 = int(np.percentile(lens_arr, 99))
@@ -305,7 +308,7 @@ class DeviceTextStore:
         flat = flat.astype(self.dtype, copy=False)
         if not flat.size:
             flat = np.zeros(1, dtype=self.dtype)
-        offsets[ids_arr] = starts.astype(np.int32)
+        offsets[ids_arr] = starts
         lengths[ids_arr] = lens_arr.astype(np.int32)
         self._upload(flat, offsets, lengths, capacity, device, sentinel)
         self.n_packed = int(n_total) - len(self._overflow)
@@ -330,7 +333,16 @@ class DeviceTextStore:
                 [lengths, np.zeros(pad, dtype=lengths.dtype)])
         self.lengths_host = lengths  # numpy copy: planners bound candidate
         # text lengths host-side (maxT column-slice buckets) with no pull
-        self.offsets = jax.device_put(offsets, device)
+        self.offsets_host = offsets.astype(np.int64)  # authoritative
+        # Device offsets travel as (group, remainder) int32 pairs in
+        # 1024-cell units: a >=10M-doc pack crosses 2^31 code points, past
+        # both int32 flat indexing and XLA's s32 scalar-argument range.
+        # All in-kernel math stays int32-safe up to 2^31 GROUPS (2.2T cp).
+        self.offsets = (
+            jax.device_put((self.offsets_host >> 10).astype(np.int32),
+                           device),
+            jax.device_put((self.offsets_host & 1023).astype(np.int32),
+                           device))
         self.lengths = jax.device_put(lengths, device)
         # round the physical row up to a 128-lane multiple: the fused
         # Pallas row-TF kernel DMAs whole rows into VMEM tiles (and the
@@ -344,6 +356,12 @@ class DeviceTextStore:
         import os
         layout = os.environ.get("MYGRAM_TEXT_LAYOUT", "auto")
         fits = capacity * rowT * itemsize <= _PADDED_BUDGET_BYTES
+        # the padded builder scatters from the flat pack with int32 flat
+        # indices — impossible once the pack crosses 2^31 cells; such
+        # corpora MUST keep the group-addressed flat layout
+        fits = fits and flat.size < 2 ** 31
+        if layout == "padded" and flat.size >= 2 ** 31:
+            layout = "flat"
         if layout == "padded" or (layout != "flat" and fits):
             # build the (capacity, maxT + NEEDLE_CAP) padded layout ON
             # DEVICE from the flat pack: host->HBM transfer is the flat
@@ -353,8 +371,10 @@ class DeviceTextStore:
             # baked in so the window kernels row-gather a ready tile
             # (no per-dispatch concat pass; see _gather_text_padded)
             flat_dev = jax.device_put(flat, device)
+            offs32 = jax.device_put(
+                self.offsets_host.astype(np.int32), device)  # < 2^31 here
             self.codepoints = _pad_on_device_blocked(
-                flat_dev, self.offsets, self.lengths, rowT, sentinel,
+                flat_dev, offs32, self.lengths, rowT, sentinel,
                 self.dtype)
             self.codepoints.block_until_ready()
             self.flat_padded = False
@@ -642,4 +662,4 @@ class DeviceTextStore:
 
     def memory_usage(self) -> int:
         return int(self.codepoints.size * self.codepoints.dtype.itemsize
-                   + self.offsets.size * 8)
+                   + self.offsets[0].size * 8)

@@ -264,4 +264,4 @@ class TestU16Packing:
     def test_memory_usage_halved(self):
         st = make_store(TEXTS)
         assert st.memory_usage() == (st.codepoints.size * 2
-                                     + st.offsets.size * 8)
+                                     + st.offsets[0].size * 8)

@@ -48,7 +48,7 @@ def _served_text(store, flat_or_padded, doc_id):
     if cps.ndim == 2:
         row = cps[doc_id][:ln]
     else:
-        off = int(np.asarray(store.offsets)[doc_id])
+        off = int(store.offsets_host[doc_id])
         row = cps[off:off + ln]
     return "".join(chr(int(c)) for c in row)
 

@@ -82,7 +82,8 @@ def test_flat_region_cross_group_boundary():
     ndl[0, 0, :2] = [7, 9]
     nlens = np.asarray([[2]], dtype=np.int32)
     out = np.asarray(tf_rows_flat_pallas(
-        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        jnp.asarray(flat), jnp.asarray(off >> 10), jnp.asarray(off & 1023),
+        jnp.asarray(ln),
         cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
         jnp.asarray(nlens), Kv=M, Nn=1, cap=cap, win=win,
         use_range=False, interpret=True))
@@ -115,7 +116,8 @@ def test_flat_region_no_cross_doc_bleed():
     ndl[0, 1, :2] = [11, 12]  # doc A itself
     nlens = np.asarray([[2, 2]], dtype=np.int32)
     out = np.asarray(tf_rows_flat_pallas(
-        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        jnp.asarray(flat), jnp.asarray(off >> 10), jnp.asarray(off & 1023),
+        jnp.asarray(ln),
         cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
         jnp.asarray(nlens), Kv=M, Nn=2, cap=cap, win=win,
         use_range=False, interpret=True))
@@ -141,7 +143,8 @@ def test_flat_region_use_range_tail(use_range):
     ndl[0, 0, :3] = [5, 6, 1]
     nlens = np.asarray([[3]], dtype=np.int32)
     out = np.asarray(tf_rows_flat_pallas(
-        jnp.asarray(flat), jnp.asarray(off), jnp.asarray(ln),
+        jnp.asarray(flat), jnp.asarray(off >> 10), jnp.asarray(off & 1023),
+        jnp.asarray(ln),
         cast_needles_i32(jnp.asarray(ndl), jnp.uint16, cap),
         jnp.asarray(nlens), Kv=M, Nn=1, cap=cap, win=win,
         use_range=use_range, interpret=True))

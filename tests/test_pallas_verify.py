@@ -170,8 +170,10 @@ def test_flat_kernel_parity_u16(flat_store, use_range):
         ndl[b, :n.shape[0]] = n
         nlens[b, :l.shape[0]] = l
     flat_ids = jnp.asarray(ids.reshape(-1))
+    off_grp, off_rem = st.offsets
     out = np.asarray(tf_rows_flat_pallas(
-        st.codepoints, st.offsets[flat_ids], st.lengths[flat_ids],
+        st.codepoints, off_grp[flat_ids], off_rem[flat_ids],
+        st.lengths[flat_ids],
         cast_needles_i32(jnp.asarray(ndl), st.codepoints.dtype, cap),
         jnp.asarray(nlens), Kv=Kv, Nn=Nn, cap=cap, win=maxT,
         use_range=use_range, interpret=True))
