@@ -228,6 +228,12 @@ def main() -> int:
     if "bench10m" in wanted:
         env = dict(win_env)
         env["MYGRAM_TEXT_LAYOUT"] = "flat"  # padded busts HBM at 10M
+        # the 1.1M A/B winner (xla row gather) does NOT transfer to 10M:
+        # the XLA flat gather materializes (B, Kv, win) int32 windows in
+        # HBM — measured 781M past the 15.75G budget on top of the
+        # resident index+pack — while the pallas flat kernel streams
+        # 1024-cell groups through VMEM scratch
+        env.pop("MYGRAM_DISABLE_PALLAS_VERIFY", None)
         cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "10000000",
                "--verify", "--out", "BENCH_10M.json"]
         if not record("bench10m", run_step("bench10m", cmd, env,
