@@ -153,6 +153,14 @@ def pad_postings(postings):
 
 
 _MEMBER_BLK = 128
+# Candidate-axis chunk for the blocked probe: the block gather
+# (``blocks[bidx]`` -> (C, BLK) int32) cannot fuse into its consumer, so
+# under the callers' vmap (batch x probe-terms rows) its HLO temp is
+# rows * C * BLK * 4 bytes — 8 GB at (64*8 rows, C=32768), the 10M-doc
+# OOM. Scanning candidate chunks keeps one chunk's gather live at a time
+# (rows * CHUNK * BLK * 4 <= 512 MB at 64*8 rows) with the same total
+# work; the rank pass fuses into a reduction either way.
+_MEMBER_CHUNK = 2048
 
 
 @jax.jit
@@ -171,15 +179,24 @@ def membership_sorted(padded: jax.Array, candidates: jax.Array) -> jax.Array:
             return row[pos] == candidates
         return jax.vmap(probe_small)(padded)
     nb = c2 // _MEMBER_BLK
+    C = candidates.shape[0]
 
     def probe(row):
         blocks = row.reshape(nb, _MEMBER_BLK)
         starts = blocks[:, 0]
-        bidx = jnp.sum((starts[None, :] <= candidates[:, None]).astype(
-            jnp.int32), axis=1) - 1
-        bidx = jnp.clip(bidx, 0, nb - 1)
-        mine = blocks[bidx]  # (C, BLK)
-        return jnp.any(mine == candidates[:, None], axis=1)
+
+        def member(cand):
+            bidx = jnp.sum((starts[None, :] <= cand[:, None]).astype(
+                jnp.int32), axis=1) - 1
+            bidx = jnp.clip(bidx, 0, nb - 1)
+            mine = blocks[bidx]  # (chunk, BLK)
+            return jnp.any(mine == cand[:, None], axis=1)
+
+        if C <= _MEMBER_CHUNK or C % _MEMBER_CHUNK:
+            return member(candidates)
+        chunks = candidates.reshape(C // _MEMBER_CHUNK, _MEMBER_CHUNK)
+        _, out = jax.lax.scan(lambda c, ch: (c, member(ch)), 0, chunks)
+        return out.reshape(C)
 
     return jax.vmap(probe)(padded)
 
