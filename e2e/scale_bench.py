@@ -34,6 +34,60 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BASELINE_QPS = 11766.0  # reference concurrent throughput at 1.1M docs
 
 
+def _save_build_cache(stem, key, built, frozen, sample_grams,
+                      sample_texts) -> None:
+    """Checkpoint the HOST side of a scale run (built CSR + frozen doc
+    blobs + parity sample) so TPU retries skip the corpus build. One
+    uncompressed .npz (arrays) + .pkl (term list, sample, key)."""
+    import pickle
+    arrays = {"offsets": built.offsets, "lengths": built.lengths,
+              "postings": built.postings, "pk_blob": frozen.pk_blob,
+              "pk_off": frozen.pk_off}
+    if frozen.txt_blob is not None:
+        arrays["txt_blob"] = frozen.txt_blob
+        arrays["txt_off"] = frozen.txt_off
+        arrays["cp_lens"] = frozen.cp_lens
+    tmp = stem + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, stem + ".npz")
+    with open(stem + ".pkl.tmp", "wb") as fh:
+        pickle.dump({"key": key, "terms": built.term_dict.terms(),
+                     "max_doc_id": built.max_doc_id,
+                     "n_docs": built.n_docs, "n": frozen.n,
+                     "sample_grams": sample_grams,
+                     "sample_texts": sample_texts}, fh, protocol=4)
+    os.replace(stem + ".pkl.tmp", stem + ".pkl")
+    print("# build cache saved: %s.{npz,pkl}" % stem, file=sys.stderr)
+
+
+def _load_build_cache(stem, key):
+    """-> (BuiltIndex, FrozenDocs, sample_grams, sample_texts) or None."""
+    import pickle
+    from mygramdb_tpu.index.builder import BuiltIndex
+    from mygramdb_tpu.index.term_dict import TermDict
+    from mygramdb_tpu.storage.frozen_docs import FrozenDocs
+    if not (os.path.exists(stem + ".npz") and os.path.exists(stem + ".pkl")):
+        return None
+    with open(stem + ".pkl", "rb") as fh:
+        meta = pickle.load(fh)
+    if meta.get("key") != key:
+        print("# build cache key mismatch (%r != %r): rebuilding"
+              % (meta.get("key"), key), file=sys.stderr)
+        return None
+    z = np.load(stem + ".npz")
+    td = TermDict()
+    for t in meta["terms"]:
+        td.get_or_add(t)
+    built = BuiltIndex(td, z["offsets"], z["lengths"], z["postings"],
+                       int(meta["max_doc_id"]), int(meta["n_docs"]))
+    frozen = FrozenDocs(
+        int(meta["n"]), z["pk_blob"], z["pk_off"],
+        z["txt_blob"] if "txt_blob" in z else None,
+        z["txt_off"] if "txt_off" in z else None,
+        z["cp_lens"] if "cp_lens" in z else None)
+    return built, frozen, meta["sample_grams"], meta["sample_texts"]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_100_000)
@@ -51,6 +105,12 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="store texts and bench the fused verified path "
                          "(CJK + verify_text north-star workload)")
+    ap.add_argument("--build-cache", type=str, default="",
+                    help="path stem for a host build checkpoint: load the "
+                         "built index + frozen docs from it when present "
+                         "(skipping the multi-minute corpus build on "
+                         "retries — a 10M attempt re-paid ~7 min per run, "
+                         "r3 verdict weak #1), else build and save first")
     args = ap.parse_args()
 
     import jax
@@ -76,30 +136,48 @@ def main() -> int:
     def norm(t):
         return textproc.normalize_text(t, True, "keep", True)
 
-    b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
-                     cross_boundary_ngrams=True)
-    fb = FrozenDocBuilder(store_texts=args.verify)
-    sample_texts = {}
+    cache_key = {"docs": args.docs, "ja_ratio": args.ja_ratio,
+                 "seed": args.seed, "sample": args.sample,
+                 "verify": bool(args.verify)}
+    loaded = (_load_build_cache(args.build_cache, cache_key)
+              if args.build_cache else None)
     t0 = time.time()
-    n_done = 0
-    for batch in gen.batches(10_000):
-        normed = [(did, norm(text)) for did, text in batch]
-        b.add_batch(normed)
-        fb.append([str(did) for did, _ in normed],
-                  [nt for _, nt in normed] if args.verify else
-                  [""] * len(normed))
-        for did, nt in normed:
-            if did in sample_ids:
-                sample_grams[did] = frozenset(b.shred(nt))
-                sample_texts[did] = nt
-        n_done += len(batch)
-        if n_done % 100_000 == 0:
-            rate = n_done / (time.time() - t0)
-            print(f"# built {n_done}/{args.docs} ({rate:.0f} docs/s)",
-                  file=sys.stderr)
-    built = b.finalize()
-    doc_store = DocumentStore.from_frozen(fb, args.verify, True,
-                                          str(args.docs))
+    if loaded is not None:
+        built, frozen, sample_grams, sample_texts = loaded
+        print("# build cache hit: %s" % args.build_cache, file=sys.stderr)
+
+        class _PreBuilt:  # DocumentStore.from_frozen only calls .build()
+            def build(self):
+                return frozen
+        doc_store = DocumentStore.from_frozen(_PreBuilt(), args.verify,
+                                              True, str(args.docs))
+    else:
+        b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
+                         cross_boundary_ngrams=True)
+        fb = FrozenDocBuilder(store_texts=args.verify)
+        sample_texts = {}
+        n_done = 0
+        for batch in gen.batches(10_000):
+            normed = [(did, norm(text)) for did, text in batch]
+            b.add_batch(normed)
+            fb.append([str(did) for did, _ in normed],
+                      [nt for _, nt in normed] if args.verify else
+                      [""] * len(normed))
+            for did, nt in normed:
+                if did in sample_ids:
+                    sample_grams[did] = frozenset(b.shred(nt))
+                    sample_texts[did] = nt
+            n_done += len(batch)
+            if n_done % 100_000 == 0:
+                rate = n_done / (time.time() - t0)
+                print(f"# built {n_done}/{args.docs} ({rate:.0f} docs/s)",
+                      file=sys.stderr)
+        built = b.finalize()
+        doc_store = DocumentStore.from_frozen(fb, args.verify, True,
+                                              str(args.docs))
+        if args.build_cache:
+            _save_build_cache(args.build_cache, cache_key, built,
+                              doc_store.frozen, sample_grams, sample_texts)
     build_secs = time.time() - t0
     host_rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 

@@ -41,8 +41,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-STATE_PATH = os.path.join(REPO, "RUNBOOK_r3.json")
+STATE_PATH = os.path.join(REPO, os.environ.get("MYGRAM_RUNBOOK_STATE",
+                                               "RUNBOOK_r4.json"))
 LOG_DIR = os.path.join(REPO, "e2e", "runbook_logs")
+CACHE_DIR = os.path.join(REPO, "e2e", "build_cache")
 
 AB_VARIANTS = [
     # (name, env overrides) — order cheapest-risk first: auto is the
@@ -234,8 +236,12 @@ def main() -> int:
         # resident index+pack — while the pallas flat kernel streams
         # 1024-cell groups through VMEM scratch
         env.pop("MYGRAM_DISABLE_PALLAS_VERIFY", None)
+        # host build checkpoint: a failed attempt re-pays seconds of
+        # cache load instead of ~5 min of corpus build (r3 weak #1)
+        os.makedirs(CACHE_DIR, exist_ok=True)
         cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "10000000",
-               "--verify", "--out", "BENCH_10M.json"]
+               "--verify", "--out", "BENCH_10M.json",
+               "--build-cache", os.path.join(CACHE_DIR, "c10m")]
         if not record("bench10m", run_step("bench10m", cmd, env,
                                            args.budget_10m)):
             return 2

@@ -1042,8 +1042,16 @@ class DeviceIndex:
         dense_rows = [self.ones_row]
         for opts in (opts_all, opts_top):
             self._dense_and_path(dense_rows, [], [], [], opts)
-        # sparse path: fabricate a driver over the first posting slice
-        if self.postings.shape[0] > 0:
+        # sparse path: fabricate a driver over the first posting slice.
+        # On a mesh the replicated CSR is None (sharded layout) — warm the
+        # shard_map sparse program through the sharded path instead; the
+        # old unconditional .shape dereference crashed here and the
+        # best-effort catch in app startup swallowed it, so multi-chip
+        # serving started cold (r3 verdict weak #7).
+        have_csr = (self.postings is not None
+                    and self.postings.shape[0] > 0) or \
+                   (self.postings_sh is not None)
+        if have_csr:
             tid = int(np.argmax(self.lengths > 0)) \
                 if bool((self.lengths > 0).any()) else None
             if tid is not None and self.dense_row[tid] < 0:

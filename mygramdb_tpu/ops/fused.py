@@ -410,7 +410,16 @@ def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
     if nonoverlap or Kv % _TF_ROWS:
         return False
     if getattr(cp, "ndim", 1) == 2:
-        # group-DMA kernel views the matrix as (N//8, 8, rowT)
+        # Padded layout: the XLA full-row gather WINS the measured A/B at
+        # this scale (r3 runbook: 5.6k QPS xla vs 4.5k pallas at 1.1M —
+        # the group-DMA kernel moves 8x the bytes selecting one row per
+        # (8, rowT) group), so the scale crossover is automatic: padded
+        # corpora (<= the padded HBM budget) take the XLA gather; flat
+        # corpora (10M+, where the XLA gather's HBM window materialization
+        # OOMs) take the Pallas region-fetch kernel. Opt back in with
+        # MYGRAM_FORCE_PALLAS_VERIFY=1 for A/B runs.
+        if os.environ.get("MYGRAM_FORCE_PALLAS_VERIFY") != "1":
+            return False
         return (cp.shape[1] >= text_store.maxT + NEEDLE_CAP
                 and cp.shape[0] % 8 == 0 and cp.shape[1] % 128 == 0)
     # flat region-fetch kernel views the pack as (P//1024, 8, 128)

@@ -192,11 +192,23 @@ def membership_sorted(padded: jax.Array, candidates: jax.Array) -> jax.Array:
             mine = blocks[bidx]  # (chunk, BLK)
             return jnp.any(mine == cand[:, None], axis=1)
 
-        if C <= _MEMBER_CHUNK or C % _MEMBER_CHUNK:
+        if C <= _MEMBER_CHUNK:
             return member(candidates)
-        chunks = candidates.reshape(C // _MEMBER_CHUNK, _MEMBER_CHUNK)
+        # ceil-div chunking: pad the candidate axis so a user-configured
+        # bucket that is not a multiple of _MEMBER_CHUNK (e.g. 3072) still
+        # takes the chunked path — the unchunked (C, BLK) gather is the
+        # exact OOM this scan exists to avoid. Pad probes are SENTINEL
+        # (sorts after any doc id) and their outputs are sliced off.
+        n_chunks = (C + _MEMBER_CHUNK - 1) // _MEMBER_CHUNK
+        Cp = n_chunks * _MEMBER_CHUNK
+        cand_p = candidates
+        if Cp != C:
+            cand_p = jnp.concatenate(
+                [candidates,
+                 jnp.full((Cp - C,), SENTINEL, dtype=candidates.dtype)])
+        chunks = cand_p.reshape(n_chunks, _MEMBER_CHUNK)
         _, out = jax.lax.scan(lambda c, ch: (c, member(ch)), 0, chunks)
-        return out.reshape(C)
+        return out.reshape(Cp)[:C]
 
     return jax.vmap(probe)(padded)
 
