@@ -251,7 +251,7 @@ def main() -> int:
                 "headline", [py, "-u", "bench.py"], {}, 30 * 60)):
             return 2
 
-    print("runbook complete; state in RUNBOOK_r3.json", flush=True)
+    print("runbook complete; state file written (see MYGRAM_RUNBOOK_STATE)", flush=True)
     return 0
 
 
