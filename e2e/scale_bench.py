@@ -47,6 +47,11 @@ def _save_build_cache(stem, key, built, frozen, sample_grams,
         arrays["txt_blob"] = frozen.txt_blob
         arrays["txt_off"] = frozen.txt_off
         arrays["cp_lens"] = frozen.cp_lens
+    if built.positional is not None:
+        arrays["occ_cnt"] = built.positional.occ_cnt
+        arrays["occ_pos"] = built.positional.occ_pos
+        arrays["occ_base"] = built.positional.occ_base
+        arrays["occ_len"] = built.positional.occ_len
     tmp = stem + ".tmp.npz"
     np.savez(tmp, **arrays)
     os.replace(tmp, stem + ".npz")
@@ -54,6 +59,9 @@ def _save_build_cache(stem, key, built, frozen, sample_grams,
         pickle.dump({"key": key, "terms": built.term_dict.terms(),
                      "max_doc_id": built.max_doc_id,
                      "n_docs": built.n_docs, "n": frozen.n,
+                     "pos_overflow": sorted(
+                         built.positional.overflow_docs)
+                     if built.positional is not None else [],
                      "sample_grams": sample_grams,
                      "sample_texts": sample_texts}, fh, protocol=4)
     os.replace(stem + ".pkl.tmp", stem + ".pkl")
@@ -78,8 +86,15 @@ def _load_build_cache(stem, key):
     td = TermDict()
     for t in meta["terms"]:
         td.get_or_add(t)
+    positional = None
+    if "occ_cnt" in z:
+        from mygramdb_tpu.index.positional import PositionalPostings
+        positional = PositionalPostings(
+            z["occ_cnt"], z["occ_pos"], z["occ_base"], z["occ_len"],
+            set(meta.get("pos_overflow", ())))
     built = BuiltIndex(td, z["offsets"], z["lengths"], z["postings"],
-                       int(meta["max_doc_id"]), int(meta["n_docs"]))
+                       int(meta["max_doc_id"]), int(meta["n_docs"]),
+                       positional)
     frozen = FrozenDocs(
         int(meta["n"]), z["pk_blob"], z["pk_off"],
         z["txt_blob"] if "txt_blob" in z else None,
@@ -105,6 +120,10 @@ def main() -> int:
     ap.add_argument("--verify", action="store_true",
                     help="store texts and bench the fused verified path "
                          "(CJK + verify_text north-star workload)")
+    ap.add_argument("--positional", action="store_true",
+                    help="with --verify: also build the positional "
+                         "occurrence index and bench the gather-free "
+                         "verified path (ja_cjk_verified_pos)")
     ap.add_argument("--build-cache", type=str, default="",
                     help="path stem for a host build checkpoint: load the "
                          "built index + frozen docs from it when present "
@@ -138,7 +157,8 @@ def main() -> int:
 
     cache_key = {"docs": args.docs, "ja_ratio": args.ja_ratio,
                  "seed": args.seed, "sample": args.sample,
-                 "verify": bool(args.verify)}
+                 "verify": bool(args.verify),
+                 "positional": bool(args.positional)}
     loaded = (_load_build_cache(args.build_cache, cache_key)
               if args.build_cache else None)
     t0 = time.time()
@@ -153,7 +173,8 @@ def main() -> int:
                                               True, str(args.docs))
     else:
         b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
-                         cross_boundary_ngrams=True)
+                         cross_boundary_ngrams=True,
+                         collect_positions=args.positional)
         fb = FrozenDocBuilder(store_texts=args.verify)
         sample_texts = {}
         n_done = 0
@@ -452,6 +473,119 @@ def main() -> int:
                         verify_parity_fail += 1
                         break
 
+    # ---------------- positional verified path ----------------
+    # (gather-free verify: anchored occurrence probes instead of text
+    # window scans — ops/positional_ops.py; benched alongside the text
+    # path so the runbook records the A/B)
+    res_pos = None
+    pos_parity_fail = 0
+    if args.verify and args.positional and idx.positional is not None:
+        from mygramdb_tpu.ops.positional_ops import positional_verify_batch
+        from mygramdb_tpu.utils.textproc import query_gram_offsets
+        dl = np.zeros(idx.n_docs_capacity, dtype=np.int32)
+        fr = doc_store.frozen
+        if fr is not None and fr.cp_lens is not None:
+            m = min(fr.n, idx.n_docs_capacity - 1)
+            dl[1:m + 1] = fr.cp_lens[:m]
+        idx.set_positional_doc_lengths(dl)
+        B = min(args.batch, 64)
+        groups = {}
+        p_skip = {"miss": 0, "uncovered": 0, "no_bucket": 0}
+        for term in gen.sample_ja_terms(B * 60):
+            nt = norm(term)
+            pairs, covered = query_gram_offsets(nt, 2, 1, True)
+            if not covered or not pairs:
+                p_skip["uncovered"] += 1
+                continue
+            tid_offsets = []
+            ok = True
+            for g, off in pairs:
+                tid = built.term_dict.get(g)
+                if tid is None:
+                    ok = False
+                    break
+                tid_offsets.append((tid, off))
+            if not ok:
+                p_skip["miss"] += 1
+                continue
+            plan = idx.plan_positional(tid_offsets)
+            if plan is None:
+                p_skip["no_bucket"] += 1
+                continue
+            key = (plan["C"], plan["Co"], plan["C2"], plan["Co2"],
+                   plan["G"])
+            groups.setdefault(key, []).append((plan, nt))
+            if sum(len(v) for v in groups.values()) >= B * 8:
+                break
+        per_bucket = {}
+        steps = []
+        parity_sets = []
+        n_q = sum(len(v) for v in groups.values())
+        for key, items in sorted(groups.items()):
+            rep = [items[i % len(items)] for i in range(B)]
+            plans = [p for p, _ in rep]
+
+            def mk(plans=plans):
+                def pstep(_):
+                    return positional_verify_batch(
+                        idx.postings, idx.positional.occ_cnt,
+                        idx.positional.occ_pos8, idx.deleted,
+                        idx.positional.doc_len_pad, plans, 128,
+                        idx.n_words, True)
+                return pstep
+            pstep = mk()
+            _pre, counts, topids = pstep(0)
+            parity_sets.append(([t for _, t in rep], counts, topids))
+            pstep(0)
+            lat = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                pstep(0)
+                lat.append(time.perf_counter() - t0)
+            lat.sort()
+            per_bucket[str(key)] = {
+                "n_queries": len(items),
+                "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
+                "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6,
+                                          1),
+            }
+            steps.extend([pstep] * max(1, len(items) * 16 // max(n_q, 1)))
+        if steps:
+            ex = ThreadPoolExecutor(args.threads)
+            list(ex.map(lambda i: steps[i % len(steps)](i),
+                        range(args.threads)))
+            nb = args.threads * 6
+            t0 = time.perf_counter()
+            list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
+            wall = time.perf_counter() - t0
+            ex.shutdown(wait=False)
+            wsum = sum(per_bucket[k]["n_queries"] *
+                       per_bucket[k]["p50_per_query_us"]
+                       for k in per_bucket)
+            wtot = max(sum(per_bucket[k]["n_queries"]
+                           for k in per_bucket), 1)
+            res_pos = {
+                "qps": round(nb * B / wall, 1),
+                "p50_per_query_us": round(wsum / wtot, 1),
+                "occ_hbm_mb": round(
+                    idx.positional.memory_usage() / 1e6, 1),
+                "buckets": per_bucket,
+                "skipped": p_skip,
+            }
+        else:
+            res_pos = {"skipped": p_skip}
+        # parity vs sampled texts (same rule as the text verified path)
+        for terms_b, counts, topids in parity_sets:
+            for qi in range(min(30, len(terms_b))):
+                term = terms_b[qi]
+                got_top = set(int(x) for x in topids[qi] if x >= 0)
+                expected = {d for d, tx in sample_texts.items()
+                            if term in tx}
+                for d in expected:
+                    if int(counts[qi]) <= 128 and d not in got_top:
+                        pos_parity_fail += 1
+                        break
+
     # ---------------- sampled brute-force parity ----------------
     parity_fail = 0
     parity_n = 0
@@ -514,6 +648,8 @@ def main() -> int:
             "parity_failures": parity_fail,
             "ja_cjk_verified": res_verified,
             "verify_parity_failures": verify_parity_fail,
+            "ja_cjk_verified_pos": res_pos,
+            "pos_verify_parity_failures": pos_parity_fail,
             "backend": jax.default_backend(),
         },
     }

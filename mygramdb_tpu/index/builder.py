@@ -30,6 +30,9 @@ class BuiltIndex:
     postings: np.ndarray   # (P,) int32 doc ids, sorted per term
     max_doc_id: int        # largest doc id present (0 if empty)
     n_docs: int            # live document count
+    positional: Optional["PositionalPostings"] = None  # occurrence index
+    # (index/positional.py) — present when the builder collected gram
+    # positions; powers the gather-free verified search
 
     @property
     def n_terms(self) -> int:
@@ -48,11 +51,20 @@ class IndexBuilder:
 
     def __init__(self, ngram_size: int = 2, kanji_ngram_size: int = 1,
                  cross_boundary_ngrams: bool = True,
-                 term_dict: Optional[TermDict] = None):
+                 term_dict: Optional[TermDict] = None,
+                 collect_positions: bool = False):
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
         self.term_dict = term_dict or TermDict()
+        # collect_positions: keep one entry PER GRAM OCCURRENCE (with its
+        # in-doc position) instead of per-doc-deduped pairs; finalize()
+        # then also emits the positional occurrence index
+        # (index/positional.py) powering the gather-free verified search
+        self.collect_positions = collect_positions
+        self._pos_chunks: List[np.ndarray] = []   # uint16, parallel tids
+        self._cur_pos: List[int] = []
+        self._pos_overflow: set = set()
         self._tid_chunks: List[np.ndarray] = []
         # doc ids repeat once per gram of the doc (~100x at CJK scale), so
         # chunks keep them run-length encoded: (run_ids int32, run_counts
@@ -92,6 +104,17 @@ class IndexBuilder:
                 self._native_usable():
             self._add_document_native(doc_id, normalized_text)
             return
+        if self.collect_positions:
+            from .positional import POS_CAP
+            pairs, _cov = textproc.query_gram_offsets(
+                normalized_text, self.ngram_size, self.kanji_ngram_size,
+                self.cross_boundary)
+            if pairs and pairs[-1][1] > POS_CAP:
+                self._pos_overflow.add(doc_id)
+            tids = [self.term_dict.get_or_add(g) for g, _ in pairs]
+            self._record(doc_id, tids,
+                         [min(o, POS_CAP) for _, o in pairs])
+            return
         grams = set(self.shred(normalized_text))
         self._record(doc_id,
                      [self.term_dict.get_or_add(g) for g in grams])
@@ -106,6 +129,15 @@ class IndexBuilder:
             self.add_document(doc_id, text)
             return
         starts, lens, hashes = out
+        if self.collect_positions:
+            from .positional import POS_CAP
+            tids = self._resolve_tids(native.to_cp(text), starts, lens,
+                                      hashes)
+            if starts.size and int(starts[-1]) > POS_CAP:
+                self._pos_overflow.add(doc_id)
+            self._record(doc_id, tids.tolist(),
+                         np.minimum(starts, POS_CAP).tolist())
+            return
         # hybrid_ngrams emits every position: dedupe per doc first
         uniq, first_idx = np.unique(hashes, return_index=True)
         tids = self._resolve_tids(native.to_cp(text), starts[first_idx],
@@ -157,9 +189,12 @@ class IndexBuilder:
             tid_of_uniq[j] = tid
         return tid_of_uniq[inverse]
 
-    def _record(self, doc_id: int, tids: List[int]) -> None:
+    def _record(self, doc_id: int, tids: List[int],
+                pos: Optional[List[int]] = None) -> None:
         self._cur_tids.extend(tids)
         self._cur_docs.extend([doc_id] * len(tids))
+        if pos is not None:
+            self._cur_pos.extend(pos)
         self._n_docs += 1
         self._max_doc_id = max(self._max_doc_id, doc_id)
         if len(self._cur_tids) >= _CHUNK:
@@ -180,7 +215,9 @@ class IndexBuilder:
         if self._native_usable():
             out = None
             from .. import native
-            out = native.shred_batch(
+            shred = (native.shred_batch_all if self.collect_positions
+                     else native.shred_batch)
+            out = shred(
                 [t for _, t in items],
                 self.ngram_size if self.ngram_size > 0 else 2,
                 self.kanji_ngram_size, self.cross_boundary)
@@ -198,6 +235,25 @@ class IndexBuilder:
         self._doc_chunks.append(
             (np.asarray([d for d, _ in items], dtype=np.int32),
              counts.astype(np.int64)))
+        if self.collect_positions:
+            from .positional import POS_CAP
+            # starts index the batch-flat buffer; doc-relative position =
+            # start - its doc's flat offset
+            doc_len = np.asarray([len(t) for _, t in items],
+                                 dtype=np.int64)
+            doc_off = np.zeros(len(items), dtype=np.int64)
+            np.cumsum(doc_len[:-1], out=doc_off[1:])
+            rel = starts.astype(np.int64) - np.repeat(
+                doc_off, counts.astype(np.int64))
+            over = rel > POS_CAP
+            if over.any():
+                docs_arr = np.repeat(
+                    np.asarray([d for d, _ in items], dtype=np.int64),
+                    counts.astype(np.int64))
+                self._pos_overflow.update(
+                    int(d) for d in np.unique(docs_arr[over]).tolist())
+                np.minimum(rel, POS_CAP, out=rel)
+            self._pos_chunks.append(rel.astype(np.uint16))
         self._n_docs += len(items)
         if items:
             self._max_doc_id = max(self._max_doc_id,
@@ -215,6 +271,10 @@ class IndexBuilder:
             run_counts = np.diff(
                 np.concatenate([starts, [docs.size]])).astype(np.int64)
             self._doc_chunks.append((run_ids, run_counts))
+            if self.collect_positions:
+                self._pos_chunks.append(
+                    np.asarray(self._cur_pos, dtype=np.uint16))
+                self._cur_pos = []
             self._cur_tids = []
             self._cur_docs = []
 
@@ -239,6 +299,8 @@ class IndexBuilder:
                               np.zeros(V, dtype=np.int32),
                               np.zeros(0, dtype=np.int32),
                               self._max_doc_id, self._n_docs)
+        if self.collect_positions:
+            return self._finalize_positions(V)
         # One sorted segment: order by (term, doc). Loaders feed doc ids
         # in ascending order, so the common case is a single STABLE
         # counting-sort grouping pass by term (docs stay sorted inside
@@ -290,6 +352,48 @@ class IndexBuilder:
         return BuiltIndex(self.term_dict, offsets, lengths,
                           docs.astype(np.int32), self._max_doc_id,
                           self._n_docs)
+
+    def _finalize_positions(self, V: int) -> BuiltIndex:
+        """Occurrence-stream finalize: deduped doc CSR + positional
+        occurrence index in one pass (native two-pass scatter when
+        available and the doc stream is ascending; numpy lexsort
+        fallback otherwise)."""
+        from .. import native
+        from .positional import finalize_with_positions_np
+        if self._chunks_doc_sorted():
+            chunks = [(t, ids, cnts, p) for t, (ids, cnts), p
+                      in zip(self._tid_chunks, self._doc_chunks,
+                             self._pos_chunks)]
+            out = native.pos_finalize_chunked(chunks, V)
+            if out is not None:
+                postings, lengths, occ_cnt, occ_pos, occ_base, occ_len = out
+                from .positional import PositionalPostings
+                self._tid_chunks = []
+                self._doc_chunks = []
+                self._pos_chunks = []
+                offsets = np.zeros(V, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=offsets[1:])
+                positional = PositionalPostings(
+                    occ_cnt, occ_pos, occ_base, occ_len,
+                    set(self._pos_overflow))
+                return BuiltIndex(self.term_dict, offsets, lengths,
+                                  postings, self._max_doc_id,
+                                  self._n_docs, positional)
+        tids = np.concatenate(self._tid_chunks)
+        docs = np.concatenate([np.repeat(ids, cnts)
+                               for ids, cnts in self._doc_chunks])
+        pos = (np.concatenate(self._pos_chunks) if self._pos_chunks
+               else np.zeros(0, dtype=np.uint16))
+        self._tid_chunks = []
+        self._doc_chunks = []
+        self._pos_chunks = []
+        postings, lengths, positional = finalize_with_positions_np(
+            tids, docs, pos, V)
+        positional.overflow_docs = set(self._pos_overflow)
+        offsets = np.zeros(V, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        return BuiltIndex(self.term_dict, offsets, lengths, postings,
+                          self._max_doc_id, self._n_docs, positional)
 
     def _dedup_build(self, postings: np.ndarray, lengths: np.ndarray,
                      V: int) -> BuiltIndex:

@@ -288,6 +288,27 @@ class DeviceIndex:
             np.full(self.n_words, 0xFFFFFFFF, dtype=np.uint32), del_target)
         self._del_lock = threading.Lock()
         self.batcher = None  # optional MicroBatcher (server attaches)
+        # positional occurrence index (index/positional.py): present when
+        # the builder collected gram positions; powers the gather-free
+        # verified search. Single-chip only for now (the occ arrays are
+        # not doc-range sharded yet).
+        self.positional = None
+        if built.positional is not None and self.postings is not None:
+            from .positional import DevicePositional
+            self.positional = DevicePositional(
+                built.positional, self.n_docs_capacity, device=device)
+
+    def set_positional_doc_lengths(self, doc_len) -> None:
+        """Upload per-doc normalized-text lengths (BM25 norm for the
+        positional score mode). doc_len: (n+1,) int32-like indexed by doc
+        id (or None to keep zeros)."""
+        if self.positional is None or doc_len is None:
+            return
+        cap128 = self.positional.doc_len_pad.shape[0]
+        dl = np.zeros(cap128, dtype=np.int32)
+        n = min(len(doc_len), self.n_docs_capacity)
+        dl[:n] = np.asarray(doc_len[:n], dtype=np.int32)
+        self.positional.doc_len_pad = jax.device_put(dl, self._device)
 
     # ------------------------------------------------------------------
     def _build_sharded_csr(self, built: BuiltIndex) -> None:
@@ -838,6 +859,89 @@ class DeviceIndex:
         scores = (out[3][0] if score_mode
                   else np.zeros(ids.shape[1], dtype=np.float32))
         return int(count[0]), ids[0], scores, int(pre[0])
+
+    # ------------------------------------------------------------------
+    # Positional verified search (gather-free; ops/positional_ops.py)
+    # ------------------------------------------------------------------
+    def plan_positional(self, tid_offsets) -> Optional[dict]:
+        """Plan a single-term positional verified search.
+
+        tid_offsets: [(tid, in-term offset)] — one entry PER GRAM
+        PLACEMENT (from textproc.query_gram_offsets, which also decides
+        coverage; the caller must only plan covered terms). Returns the
+        per-query plan dict the batched kernel consumes, or None when
+        the shape does not fit a device bucket (caller falls back to the
+        text-window verify)."""
+        pp = self.positional
+        if pp is None or pp.overflow or not tid_offsets:
+            return None
+        from .positional import (C_BUCKETS, CO_BUCKETS, C2_BUCKETS,
+                                 CO2_BUCKETS, G_BUCKETS, _bucket)
+        dfs = [int(self.lengths[t]) for t, _ in tid_offsets]
+        if any(d == 0 for d in dfs):
+            return None  # empty AND; caller handles via estimated_size
+        di = int(np.argmin(dfs))
+        d_tid, d_term_off = tid_offsets[di]
+        C = _bucket(dfs[di], C_BUCKETS)
+        Co = _bucket(max(int(pp.occ_len[d_tid]), 1), CO_BUCKETS)
+        probes = [(t, o - d_term_off)
+                  for j, (t, o) in enumerate(tid_offsets) if j != di]
+        G = _bucket(max(len(probes), 1), G_BUCKETS)
+        C2 = _bucket(max([1] + [int(self.lengths[t])
+                                for t, _ in probes]), C2_BUCKETS)
+        Co2 = _bucket(max([1] + [max(int(pp.occ_len[t]), 1)
+                                 for t, _ in probes]), CO2_BUCKETS)
+        if None in (C, Co, G, C2, Co2):
+            return None
+        p_off = [int(self.offsets32[t]) for t, _ in probes]
+        p_len = [int(self.lengths[t]) for t, _ in probes]
+        p_base8 = [int(pp.occ_base8[t]) for t, _ in probes]
+        p_olen = [int(pp.occ_len[t]) for t, _ in probes]
+        p_delta = [int(d) for _, d in probes]
+        p_valid = [True] * len(probes)
+        while len(p_off) < G:
+            p_off.append(0)
+            p_len.append(0)
+            p_base8.append(0)
+            p_olen.append(0)
+            p_delta.append(0)
+            p_valid.append(False)
+        return {"d_off": int(self.offsets32[d_tid]), "d_len": dfs[di],
+                "d_base8": int(pp.occ_base8[d_tid]),
+                "d_olen": int(pp.occ_len[d_tid]),
+                "p_off": p_off, "p_len": p_len, "p_base8": p_base8,
+                "p_olen": p_olen, "p_delta": p_delta, "p_valid": p_valid,
+                "C": C, "Co": Co, "C2": C2, "Co2": Co2, "G": G}
+
+    def search_verified_positional(self, plan: dict, limit_b: int,
+                                   descending: bool,
+                                   score_mode: bool = False,
+                                   idf: float = 0.0, k1: float = 1.2,
+                                   b: float = 0.75, avgdl: float = 1.0,
+                                   require_match: bool = True,
+                                   force_probes: bool = False,
+                                   extra_words=()):
+        """Single-query positional verified search (batch-of-one; the
+        micro-batcher groups concurrent plans by bucket tuple). Returns
+        (total, ids, scores, pre) like search_and_verified."""
+        from ..ops.positional_ops import positional_verify_batch
+        pp = self.positional
+        n = min(limit_b, plan["Co"])
+        extra = (self._pack_extra(list(extra_words))
+                 if extra_words else None)
+        out = positional_verify_batch(
+            self.postings, pp.occ_cnt, pp.occ_pos8, self.deleted,
+            pp.doc_len_pad, [plan], n, self.n_words, descending,
+            score_mode=score_mode,
+            idf=np.asarray([[idf]], dtype=np.float32), k1=k1, b=b,
+            avgdl=avgdl, require_match=require_match,
+            use_doc_probes=force_probes, extra=extra)
+        if score_mode:
+            pre, count, ids, scores = out
+            return int(count[0]), ids[0], scores[0], int(pre[0])
+        pre, count, ids = out
+        return (int(count[0]), ids[0],
+                np.zeros(ids.shape[1], dtype=np.float32), int(pre[0]))
 
     # ------------------------------------------------------------------
     # Boolean-AST device evaluation

@@ -1,0 +1,168 @@
+"""Positional occurrence index: host finalize + device store.
+
+For every (term, doc) posting of the CSR index this stores the POSITIONS
+at which the gram occurs in the doc's normalized text, enabling exact
+substring verification by anchored position probes instead of text
+window scans (see ops/positional_ops.py for the query-side design and
+the parity argument). The reference has no equivalent — it re-scans
+stored text per candidate (search_pipeline.h:159-190); this is a
+beyond-reference axis that makes verify_text cost O(occurrences moved)
+instead of O(candidates x text bytes).
+
+Layout:
+  occ_cnt  (P,)  uint16 — occurrences per posting, parallel to the CSR
+                  postings array (same per-term offsets/lengths)
+  occ_pos  (O8,) uint16 — positions grouped by (term, doc, pos) in CSR
+                  order; every TERM's region starts 8-aligned (pad cells
+                  are 0xFFFF) so device row addressing stays int32-safe
+                  past 2^31 total occurrences (10M-doc corpora)
+  occ_base (V,)  int64  — aligned region start per term
+  occ_len  (V,)  int64  — real (unpadded) occurrences per term
+
+Positions are uint16; documents longer than POS_CAP code points land in
+``overflow_docs`` and disqualify the positional path for the segment
+(the text/host verify paths still cover them) — real corpora cap far
+below this.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Set, Tuple
+
+import numpy as np
+
+POS_CAP = 65534          # uint16 minus the 0xFFFF pad sentinel
+POS_PAD = 0xFFFF
+
+
+@dataclass
+class PositionalPostings:
+    """Host-side finalize product (travels with BuiltIndex)."""
+    occ_cnt: np.ndarray    # (P,) uint16
+    occ_pos: np.ndarray    # (O8,) uint16, 8-aligned term regions
+    occ_base: np.ndarray   # (V,) int64 aligned region starts
+    occ_len: np.ndarray    # (V,) int64 occurrences per term
+    overflow_docs: Set[int] = field(default_factory=set)
+
+    @property
+    def n_occurrences(self) -> int:
+        return int(self.occ_len.sum())
+
+    def nbytes(self) -> int:
+        return int(self.occ_cnt.nbytes + self.occ_pos.nbytes)
+
+    def term_occurrences(self, tid: int, offsets: np.ndarray,
+                         lengths: np.ndarray, postings: np.ndarray
+                         ) -> List[Tuple[int, np.ndarray]]:
+        """[(doc, positions)] for one term (tests / host fallback)."""
+        o = int(offsets[tid])
+        ln = int(lengths[tid])
+        docs = postings[o:o + ln]
+        cnts = self.occ_cnt[o:o + ln].astype(np.int64)
+        starts = np.zeros(ln, dtype=np.int64)
+        if ln:
+            np.cumsum(cnts[:-1], out=starts[1:])
+        base = int(self.occ_base[tid])
+        return [(int(d), self.occ_pos[base + s:base + s + c].astype(
+            np.int32)) for d, s, c in zip(docs, starts, cnts)]
+
+
+# shape buckets for the positional verify programs (each combination is
+# one XLA program; cold compiles on tunneled backends cost minutes, so
+# the lists stay SHORT — CJK serving traffic lands in the first 1-2)
+C_BUCKETS = (512, 4096, 32768)          # driver df
+CO_BUCKETS = (1024, 8192, 65536)        # driver occurrences
+C2_BUCKETS = (4096, 65536)              # probe df
+CO2_BUCKETS = (16384, 131072)           # probe occurrences
+G_BUCKETS = (2, 4, 8)                   # probe grams per term
+
+
+def _bucket(n: int, buckets) -> Optional[int]:
+    for b in buckets:
+        if n <= b:
+            return b
+    return None
+
+
+class DevicePositional:
+    """HBM-resident occurrence index for one immutable segment.
+
+    occ_cnt rides the CSR offsets (same d_off/d_len as postings); occ_pos
+    is addressed by 8-aligned term regions (int32-safe past 2^31 total
+    occurrences). doc_len powers the BM25 norm in score mode."""
+
+    def __init__(self, pp: PositionalPostings, capacity: int,
+                 doc_len: Optional[np.ndarray] = None, device=None):
+        import jax
+        from ..ops.positional_ops import OCC_GATHER_PAD
+        from ..ops.posting_ops import SLICE_GATHER_PAD
+        cnt = np.concatenate([
+            pp.occ_cnt,
+            np.zeros(SLICE_GATHER_PAD + 8, dtype=np.uint16)])
+        self.occ_cnt = jax.device_put(cnt, device)
+        opos = pp.occ_pos
+        tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % 8)
+        opos = np.concatenate([
+            opos, np.full(tail, POS_PAD, dtype=np.uint16)])
+        self.occ_pos8 = jax.device_put(opos.reshape(-1, 8), device)
+        self.occ_base8 = (pp.occ_base >> 3).astype(np.int32)  # host
+        self.occ_len = pp.occ_len                              # host int64
+        cap128 = ((capacity + 127) // 128) * 128
+        dl = np.zeros(cap128, dtype=np.int32)
+        if doc_len is not None:
+            n = min(doc_len.shape[0], capacity)
+            dl[:n] = doc_len[:n]
+        self.doc_len_pad = jax.device_put(dl, device)
+        self.overflow = set(pp.overflow_docs)
+
+    def memory_usage(self) -> int:
+        return int(self.occ_cnt.size * 2 + self.occ_pos8.size * 2 +
+                   self.doc_len_pad.size * 4)
+
+
+def finalize_with_positions_np(tids: np.ndarray, docs: np.ndarray,
+                               pos: np.ndarray, V: int
+                               ) -> Tuple[np.ndarray, np.ndarray,
+                                          PositionalPostings]:
+    """Vectorized numpy finalize of a full occurrence stream: returns the
+    deduped doc CSR AND the positional arrays, both derived from one
+    lexsort (the native chunked two-pass scatter covers 10M-scale
+    builds; this is the fallback and the test oracle).
+
+    tids/docs: (E,) int32 one entry PER OCCURRENCE; pos: (E,) uint16
+    in-doc positions. -> (postings int32, lengths int32, positional)."""
+    E = tids.size
+    if E == 0:
+        return (np.zeros(0, dtype=np.int32), np.zeros(V, dtype=np.int32),
+                PositionalPostings(
+                    np.zeros(0, dtype=np.uint16),
+                    np.full(8, POS_PAD, dtype=np.uint16),
+                    np.zeros(V, dtype=np.int64),
+                    np.zeros(V, dtype=np.int64)))
+    order = np.lexsort((pos, docs, tids))
+    st = tids[order]
+    sd = docs[order]
+    sp = pos[order]
+    del order
+    occ_len = np.bincount(st, minlength=V).astype(np.int64)
+    aligned = (occ_len + 7) & ~np.int64(7)
+    occ_base = np.zeros(V, dtype=np.int64)
+    np.cumsum(aligned[:-1], out=occ_base[1:])
+    O8 = int(aligned.sum())
+    occ_pos = np.full(max(O8, 8), POS_PAD, dtype=np.uint16)
+    starts = np.zeros(V, dtype=np.int64)
+    np.cumsum(occ_len[:-1], out=starts[1:])
+    idx_in_term = np.arange(E, dtype=np.int64) - starts[st]
+    occ_pos[occ_base[st] + idx_in_term] = sp
+    # posting groups: (term, doc) changes; group order IS CSR order
+    # (term asc, doc asc within term after the lexsort)
+    newp = np.empty(E, dtype=bool)
+    newp[0] = True
+    np.logical_or(st[1:] != st[:-1], sd[1:] != sd[:-1], out=newp[1:])
+    postings = sd[newp].astype(np.int32)
+    lengths = np.bincount(st[newp], minlength=V).astype(np.int32)
+    bounds = np.flatnonzero(newp)
+    occ_cnt = np.diff(np.concatenate([bounds, [E]])).astype(np.uint16)
+    return postings, lengths, PositionalPostings(occ_cnt, occ_pos,
+                                                 occ_base, occ_len)

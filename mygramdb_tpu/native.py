@@ -146,6 +146,24 @@ def _load() -> Optional[ctypes.CDLL]:
     except AttributeError:  # stale .so without the hash-table entry points
         pass
     try:
+        lib.mg_shred_batch_all.restype = ctypes.c_int64
+        lib.mg_shred_batch_all.argtypes = [_c_u32p, _c_i64p, _c_i32p,
+                                           ctypes.c_int64, ctypes.c_int32,
+                                           ctypes.c_int32, ctypes.c_int32,
+                                           _c_i32p, _c_i32p, _c_u64p,
+                                           _c_i32p]
+        lib.mg_pos_hist.restype = None
+        lib.mg_pos_hist.argtypes = [_c_i32p, _c_i32p, _c_i64p,
+                                    ctypes.c_int64, _c_i64p, _c_i64p,
+                                    _c_i32p]
+        lib.mg_scatter_pos.restype = None
+        lib.mg_scatter_pos.argtypes = [_c_i32p, _c_i32p, _c_i64p,
+                                       ctypes.c_int64, _c_u16p, _c_i64p,
+                                       _c_i64p, _c_i32p, _c_i32p, _c_u16p,
+                                       _c_u16p]
+    except AttributeError:  # stale .so without the positional entry points
+        pass
+    try:
         lib.mg_utf8_decode_u16.restype = ctypes.c_int64
         lib.mg_utf8_decode_u16.argtypes = [_c_u8p, _c_i64p, _c_i64p,
                                            ctypes.c_int64, _c_u16p,
@@ -437,6 +455,92 @@ def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
         1 if cross_boundary else 0, _ptr(starts, _c_i32p),
         _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
     return flat, starts[:total], lens[:total], hashes[:total], counts
+
+
+def shred_batch_all(texts, ascii_n: int, kanji_n: int,
+                    cross_boundary: bool):
+    """Shred a batch WITHOUT dedup: one (start, len, hash) entry per gram
+    OCCURRENCE in (doc, position) order — the positional-index input.
+    -> (flat_cps, starts, lens, hashes, doc_counts) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_shred_batch_all"):
+        return None
+    n_docs = len(texts)
+    if n_docs == 0:
+        z32 = np.zeros(0, dtype=np.int32)
+        return (np.zeros(0, dtype=np.uint32), z32, z32,
+                np.zeros(0, dtype=np.uint64), z32)
+    flat = np.frombuffer("".join(texts).encode("utf-32-le"),
+                         dtype=np.uint32)
+    doc_len = np.asarray([len(t) for t in texts], dtype=np.int32)
+    doc_off = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(doc_len[:-1], out=doc_off[1:])
+    cap = max(int(flat.size), 1)
+    starts = np.empty(cap, dtype=np.int32)
+    lens = np.empty(cap, dtype=np.int32)
+    hashes = np.empty(cap, dtype=np.uint64)
+    counts = np.empty(n_docs, dtype=np.int32)
+    total = lib.mg_shred_batch_all(
+        _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+        _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+        1 if cross_boundary else 0, _ptr(starts, _c_i32p),
+        _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    return flat, starts[:total], lens[:total], hashes[:total], counts
+
+
+def pos_finalize_chunked(chunks, V: int):
+    """Two-pass positional finalize over occurrence chunks (the native
+    analog of positional.finalize_positions_np, chunk-streaming so the
+    concatenated occurrence stream never materializes).
+
+    chunks: iterable of (tids int32 (E_c,), doc_ids int32 (D_c,),
+    doc_counts int64 (D_c,), pos uint16 (E_c,)) in stream order.
+    Returns (postings int32, lengths int32, occ_cnt uint16,
+    occ_pos uint16 8-aligned regions, occ_base int64, occ_len int64)
+    or None when the native entry points are unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_pos_hist"):
+        return None
+    Vp = max(V, 1)
+    occ_counts = np.zeros(Vp, dtype=np.int64)
+    uniq_counts = np.zeros(Vp, dtype=np.int64)
+    last_doc = np.full(Vp, -1, dtype=np.int32)
+    for tids, doc_ids, doc_counts, _pos in chunks:
+        tids = np.ascontiguousarray(tids, dtype=np.int32)
+        doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)
+        doc_counts = np.ascontiguousarray(doc_counts, dtype=np.int64)
+        lib.mg_pos_hist(_ptr(tids, _c_i32p), _ptr(doc_ids, _c_i32p),
+                        _ptr(doc_counts, _c_i64p), doc_ids.size,
+                        _ptr(occ_counts, _c_i64p),
+                        _ptr(uniq_counts, _c_i64p),
+                        _ptr(last_doc, _c_i32p))
+    P = int(uniq_counts.sum())
+    aligned = (occ_counts + 7) & ~np.int64(7)
+    occ_base = np.zeros(Vp, dtype=np.int64)
+    np.cumsum(aligned[:-1], out=occ_base[1:])
+    O8 = int(aligned.sum())
+    doc_cursors = np.zeros(Vp, dtype=np.int64)
+    np.cumsum(uniq_counts[:-1], out=doc_cursors[1:])
+    occ_cursors = occ_base.copy()
+    last_doc.fill(-1)
+    postings = np.empty(max(P, 1), dtype=np.int32)
+    occ_cnt = np.zeros(max(P, 1), dtype=np.uint16)
+    occ_pos = np.full(max(O8, 8), 0xFFFF, dtype=np.uint16)
+    for tids, doc_ids, doc_counts, pos in chunks:
+        tids = np.ascontiguousarray(tids, dtype=np.int32)
+        doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)
+        doc_counts = np.ascontiguousarray(doc_counts, dtype=np.int64)
+        pos = np.ascontiguousarray(pos, dtype=np.uint16)
+        lib.mg_scatter_pos(_ptr(tids, _c_i32p), _ptr(doc_ids, _c_i32p),
+                           _ptr(doc_counts, _c_i64p), doc_ids.size,
+                           _ptr(pos, _c_u16p), _ptr(doc_cursors, _c_i64p),
+                           _ptr(occ_cursors, _c_i64p),
+                           _ptr(last_doc, _c_i32p),
+                           _ptr(postings, _c_i32p),
+                           _ptr(occ_cnt, _c_u16p), _ptr(occ_pos, _c_u16p))
+    lengths = uniq_counts.astype(np.int32)[:V]
+    return (postings[:P], lengths, occ_cnt[:P], occ_pos,
+            occ_base[:V], occ_counts[:V])
 
 
 class HashToTid:

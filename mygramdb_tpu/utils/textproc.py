@@ -267,6 +267,55 @@ def generate_query_ngrams(normalized: str, ngram_size: int,
     return generate_ngrams(normalized, ngram_size)
 
 
+def query_gram_offsets(normalized: str, ngram_size: int,
+                       kanji_ngram_size: int,
+                       cross_boundary_ngrams: bool = True
+                       ) -> Tuple[List[Tuple[str, int]], bool]:
+    """Query grams WITH their in-term start offsets, plus a coverage flag.
+
+    -> ([(gram, offset)], covered). ``covered`` is True when the union of
+    the gram spans is every position of the term — the condition under
+    which anchored per-gram position equality pins every code point, so
+    positional verification (ops/positional_ops.py) is EXACTLY substring
+    containment. Terms with coverage gaps (e.g. a trailing non-CJK char
+    that starts no gram, like "漢a") must keep the text post-filter —
+    the same gap rule as pipeline._coverage_requires_text_check.
+
+    Emission rules mirror generate_query_ngrams exactly: same grams, in
+    position order, one per emitting position (repeated grams appear once
+    per position — the positional probe needs every placement)."""
+    n_cp = len(normalized)
+    out: List[Tuple[str, int]] = []
+    covered = [False] * n_cp
+    if n_cp == 0:
+        return out, False
+    if kanji_ngram_size > 0 or ngram_size == 0:
+        ascii_n = ngram_size if ngram_size > 0 else 2
+        kanji_n = kanji_ngram_size if kanji_ngram_size > 0 else 1
+        flags = [_is_cjk(ord(c)) for c in normalized]
+        for i in range(n_cp):
+            n = kanji_n if flags[i] else ascii_n
+            if i + n > n_cp:
+                continue
+            if not cross_boundary_ngrams and n > 1 and any(
+                    flags[i + j] != flags[i] for j in range(1, n)):
+                continue
+            out.append((normalized[i:i + n], i))
+            for j in range(i, i + n):
+                covered[j] = True
+    else:
+        n = ngram_size
+        if n == 1:
+            out = [(c, i) for i, c in enumerate(normalized)]
+            covered = [True] * n_cp
+        elif n_cp >= n:
+            for i in range(n_cp - n + 1):
+                out.append((normalized[i:i + n], i))
+                for j in range(i, i + n):
+                    covered[j] = True
+    return out, all(covered)
+
+
 def format_bytes(num: int) -> str:
     units = ["B", "KB", "MB", "GB", "TB"]
     if num == 0:

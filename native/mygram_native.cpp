@@ -329,6 +329,103 @@ int64_t mg_shred_batch(const uint32_t* cps, const int64_t* doc_off,
   return total;
 }
 
+// Batched hybrid shred WITHOUT dedup: one entry per gram OCCURRENCE, in
+// document order then position order — the positional-index build input
+// (index/positional.py). Same emission rules as mg_shred_batch; per-doc
+// counts are occurrence counts. Capacity = sum of doc lengths.
+int64_t mg_shred_batch_all(const uint32_t* cps, const int64_t* doc_off,
+                           const int32_t* doc_len, int64_t n_docs,
+                           int32_t ascii_n, int32_t kanji_n,
+                           int32_t cross_boundary, int32_t* out_start,
+                           int32_t* out_len, uint64_t* out_hash,
+                           int32_t* out_doc_counts) {
+  if (ascii_n <= 0 || kanji_n <= 0) return 0;
+  int64_t total = 0;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint32_t* t = cps + doc_off[d];
+    const int64_t n = doc_len[d];
+    int32_t dcount = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      bool start_cjk = is_cjk_ideograph(t[i]);
+      int32_t size = start_cjk ? kanji_n : ascii_n;
+      if (i + size > n) continue;
+      if (!cross_boundary && size > 1) {
+        bool crossed = false;
+        for (int32_t j = 1; j < size; ++j) {
+          if (is_cjk_ideograph(t[i + j]) != start_cjk) {
+            crossed = true;
+            break;
+          }
+        }
+        if (crossed) continue;
+      }
+      out_start[total] = static_cast<int32_t>(doc_off[d] + i);
+      out_len[total] = size;
+      out_hash[total] = gram_hash(t + i, size);
+      ++total;
+      ++dcount;
+    }
+    out_doc_counts[d] = dcount;
+  }
+  return total;
+}
+
+// ---------------------------------------------------------------------------
+// Positional finalize, pass A: per-term occurrence + unique-doc histograms
+// over one occurrence chunk. last_doc (V,) persists across chunks (stream
+// order keeps the counting sort stable); initialize to -1 before chunk 0.
+// ---------------------------------------------------------------------------
+void mg_pos_hist(const int32_t* tids, const int32_t* doc_ids,
+                 const int64_t* doc_counts, int64_t n_rle,
+                 int64_t* occ_counts, int64_t* uniq_counts,
+                 int32_t* last_doc) {
+  int64_t k = 0;
+  for (int64_t j = 0; j < n_rle; ++j) {
+    const int32_t d = doc_ids[j];
+    const int64_t c = doc_counts[j];
+    for (int64_t i = 0; i < c; ++i, ++k) {
+      const int32_t t = tids[k];
+      occ_counts[t]++;
+      if (last_doc[t] != d) {
+        uniq_counts[t]++;
+        last_doc[t] = d;
+      }
+    }
+  }
+}
+
+// Positional finalize, pass B: scatter one chunk into the CSR + occurrence
+// arrays. doc_cursors: per-term write position into out_postings/out_occ_cnt
+// (init = exclusive prefix sum of uniq_counts); occ_cursors: per-term write
+// position into out_occ_pos (init = the 8-ALIGNED region starts); last_doc:
+// (V,) re-initialized to -1 before chunk 0 (pass B tracks its own). Emits
+// the DEDUPED doc CSR, per-posting occurrence counts, and the grouped
+// position stream in one pass — no separate dedup step.
+void mg_scatter_pos(const int32_t* tids, const int32_t* doc_ids,
+                    const int64_t* doc_counts, int64_t n_rle,
+                    const uint16_t* pos, int64_t* doc_cursors,
+                    int64_t* occ_cursors, int32_t* last_doc,
+                    int32_t* out_postings, uint16_t* out_occ_cnt,
+                    uint16_t* out_occ_pos) {
+  int64_t k = 0;
+  for (int64_t j = 0; j < n_rle; ++j) {
+    const int32_t d = doc_ids[j];
+    const int64_t c = doc_counts[j];
+    for (int64_t i = 0; i < c; ++i, ++k) {
+      const int32_t t = tids[k];
+      if (last_doc[t] != d) {
+        out_postings[doc_cursors[t]] = d;
+        out_occ_cnt[doc_cursors[t]] = 1;
+        doc_cursors[t]++;
+        last_doc[t] = d;
+      } else {
+        out_occ_cnt[doc_cursors[t] - 1]++;
+      }
+      out_occ_pos[occ_cursors[t]++] = pos[k];
+    }
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Persistent gram-hash -> term-id table (reference: Index's term hash map,
 // index.cpp:79-115). The builder's per-batch np.unique over ALL gram hashes
