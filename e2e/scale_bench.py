@@ -528,7 +528,7 @@ def main() -> int:
             def mk(plans=plans):
                 def pstep(_):
                     return positional_verify_batch(
-                        idx.postings, idx.positional.occ_cnt,
+                        idx.postings, idx.positional.occ_doc8,
                         idx.positional.occ_pos8, idx.deleted,
                         idx.positional.doc_len_pad, plans, 128,
                         idx.n_words, True)

@@ -296,8 +296,9 @@ class _ColumnarLoad:
         from .storage.frozen_docs import FrozenDocBuilder
         self.ctx = ctx
         t = ctx.table_cfg
-        self.builder = IndexBuilder(t.ngram_size, t.kanji_ngram_size,
-                                    t.cross_boundary_ngrams)
+        self.builder = IndexBuilder(
+            t.ngram_size, t.kanji_ngram_size, t.cross_boundary_ngrams,
+            collect_positions=ctx.config.device.positional_verify)
         store_texts = ctx.doc_store.stores_texts
         self.fbuilder = FrozenDocBuilder(store_texts)
         self.filter_index = ctx._make_filter_index()
@@ -369,6 +370,21 @@ class _ColumnarLoad:
         ds.filters_source = fi.values_of
         return ds
 
+    @staticmethod
+    def _attach_positional_lengths(new_index, new_store) -> None:
+        """Doc lengths power the BM25 norm on the positional score path;
+        sourced from the frozen columnar store's codepoint lengths."""
+        dev = getattr(new_index, "device", None)
+        if dev is None or dev.positional is None:
+            return
+        fr = new_store.frozen
+        if fr is None or fr.cp_lens is None:
+            return
+        dl = np.zeros(dev.n_docs_capacity, dtype=np.int32)
+        m = min(int(fr.n), dev.n_docs_capacity - 1)
+        dl[1:m + 1] = fr.cp_lens[:m]
+        dev.set_positional_doc_lengths(dl)
+
 
 class BulkLoad(_ColumnarLoad):
     """Accumulates an initial snapshot into a sorted-segment builder
@@ -388,6 +404,7 @@ class BulkLoad(_ColumnarLoad):
         built = self.builder.finalize()
         new_index = self.ctx._make_index(built)
         new_store = self.build_doc_store()
+        self._attach_positional_lengths(new_index, new_store)
         with self.ctx._write_lock:
             self.ctx._swap_seq += 1
             self.ctx.index = new_index
@@ -416,6 +433,7 @@ class StagingRebuild(_ColumnarLoad):
         built = self.builder.finalize()
         new_index = self.ctx._make_index(built)
         new_store = self.build_doc_store()
+        self._attach_positional_lengths(new_index, new_store)
         with self.ctx._write_lock:
             self.ctx._swap_seq += 1  # odd: swap in flight
             self.ctx.index = new_index

@@ -237,6 +237,11 @@ class DeviceConfig:
     enable: bool = True
     platform: str = "auto"  # auto|tpu|cpu
     mesh_shards: int = 1    # >1: shard the doc axis over this many chips
+    # build the positional occurrence index at bulk load/SYNC: verify_text
+    # queries with full gram coverage then verify by anchored position
+    # probes instead of text window scans (index/positional.py) — faster
+    # at scale, costs ~6 bytes of HBM per gram occurrence
+    positional_verify: bool = False
     dense_df_ratio: float = 0.01
     max_dense_terms: int = 8192
     doc_block: int = 1024

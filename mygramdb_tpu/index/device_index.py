@@ -296,7 +296,9 @@ class DeviceIndex:
         if built.positional is not None and self.postings is not None:
             from .positional import DevicePositional
             self.positional = DevicePositional(
-                built.positional, self.n_docs_capacity, device=device)
+                built.positional, self.n_docs_capacity, device=device,
+                postings=built.postings, offsets=built.offsets,
+                lengths=built.lengths)
 
     def set_positional_doc_lengths(self, doc_len) -> None:
         """Upload per-doc normalized-text lengths (BM25 norm for the
@@ -927,10 +929,15 @@ class DeviceIndex:
         from ..ops.positional_ops import positional_verify_batch
         pp = self.positional
         n = min(limit_b, plan["Co"])
+        if self.batcher is not None:
+            return self.batcher.submit_positional(
+                plan, n, descending, score_mode=score_mode, idf=idf,
+                k1=k1, b=b, avgdl=avgdl, require_match=require_match,
+                use_doc_probes=force_probes, extra=tuple(extra_words))
         extra = (self._pack_extra(list(extra_words))
                  if extra_words else None)
         out = positional_verify_batch(
-            self.postings, pp.occ_cnt, pp.occ_pos8, self.deleted,
+            self.postings, pp.occ_doc8, pp.occ_pos8, self.deleted,
             pp.doc_len_pad, [plan], n, self.n_words, descending,
             score_mode=score_mode,
             idf=np.asarray([[idf]], dtype=np.float32), k1=k1, b=b,

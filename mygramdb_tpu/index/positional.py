@@ -93,21 +93,45 @@ class DevicePositional:
     occurrences). doc_len powers the BM25 norm in score mode."""
 
     def __init__(self, pp: PositionalPostings, capacity: int,
-                 doc_len: Optional[np.ndarray] = None, device=None):
+                 doc_len: Optional[np.ndarray] = None, device=None,
+                 postings: Optional[np.ndarray] = None,
+                 offsets: Optional[np.ndarray] = None,
+                 lengths: Optional[np.ndarray] = None):
         import jax
         from ..ops.positional_ops import OCC_GATHER_PAD
-        from ..ops.posting_ops import SLICE_GATHER_PAD
-        cnt = np.concatenate([
-            pp.occ_cnt,
-            np.zeros(SLICE_GATHER_PAD + 8, dtype=np.uint16)])
-        self.occ_cnt = jax.device_put(cnt, device)
         opos = pp.occ_pos
         tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % 8)
         opos = np.concatenate([
             opos, np.full(tail, POS_PAD, dtype=np.uint16)])
         self.occ_pos8 = jax.device_put(opos.reshape(-1, 8), device)
+        # per-occurrence DOC ids, same aligned layout as occ_pos: the
+        # kernel's probe pair lists and driver anchors become plain slice
+        # gathers with zero expansion work (the rank-based expansion of
+        # the doc ids from the CSR measured O(occ * df/128) per query
+        # lane and dominated the batch). Expanded host-side from the CSR
+        # (postings repeated by occ_cnt into the aligned regions).
+        odoc = np.full(opos.size, int(2 ** 31 - 1), dtype=np.int32)
+        if postings is not None and pp.occ_cnt.size == postings.size \
+                and postings.size:
+            cnt64 = pp.occ_cnt.astype(np.int64)
+            occ_prefix = np.cumsum(pp.occ_len) - pp.occ_len
+            run = np.cumsum(cnt64) - cnt64  # global unaligned occ prefix
+            V = pp.occ_len.shape[0]
+            term_of = np.repeat(np.arange(V, dtype=np.int64),
+                                lengths.astype(np.int64))
+            start = pp.occ_base[term_of] + (run - occ_prefix[term_of])
+            del term_of, run
+            idx = np.repeat(start, cnt64) + (
+                np.arange(int(cnt64.sum()), dtype=np.int64) -
+                np.repeat(np.cumsum(cnt64) - cnt64, cnt64))
+            del start
+            odoc[idx] = np.repeat(postings, cnt64)
+            del idx
+        self.occ_doc8 = jax.device_put(odoc.reshape(-1, 8), device)
+        del odoc
         self.occ_base8 = (pp.occ_base >> 3).astype(np.int32)  # host
         self.occ_len = pp.occ_len                              # host int64
+        self.occ_cnt_host = pp.occ_cnt                         # host/debug
         cap128 = ((capacity + 127) // 128) * 128
         dl = np.zeros(cap128, dtype=np.int32)
         if doc_len is not None:
@@ -117,7 +141,7 @@ class DevicePositional:
         self.overflow = set(pp.overflow_docs)
 
     def memory_usage(self) -> int:
-        return int(self.occ_cnt.size * 2 + self.occ_pos8.size * 2 +
+        return int(self.occ_doc8.size * 4 + self.occ_pos8.size * 2 +
                    self.doc_len_pad.size * 4)
 
 

@@ -77,12 +77,13 @@ def gather_slices_u16(arr: jax.Array, offsets: jax.Array,
 @functools.partial(jax.jit, static_argnames=("bucket", "fill"))
 def gather_rows_u16(arr8: jax.Array, base8: jax.Array, lengths: jax.Array,
                     bucket: int, fill: int = -1) -> jax.Array:
-    """Row-aligned u16 slice gather for arrays past 2^31 cells.
+    """Row-aligned slice gather for arrays past 2^31 cells.
 
-    arr8: the occurrence-position array VIEWED as (O8//8, 8) — every
-    term's region starts at an 8-aligned offset (the positional finalize
-    pads regions), so base8 = region_start // 8 stays int32 up to 2^34
-    cells. -> (K, bucket) int32, entries >= length -> `fill`."""
+    arr8: an occurrence array VIEWED as (O8//8, 8) (uint16 positions or
+    int32 doc ids) — every term's region starts at an 8-aligned offset
+    (the positional finalize pads regions), so base8 = region_start // 8
+    stays int32 up to 2^34 cells. -> (K, bucket) int32, entries >=
+    length -> `fill`."""
     rows = bucket // 8
     pos = jnp.arange(bucket, dtype=jnp.int32)
 
@@ -156,24 +157,56 @@ def blocked_rank_le(sorted_vals: jax.Array, queries: jax.Array) -> jax.Array:
     return _chunked(rank, queries)
 
 
+def _pair_le(ad, ap, bd, bp):
+    """Lexicographic (ad, ap) <= (bd, bp) elementwise."""
+    return jnp.logical_or(ad < bd, jnp.logical_and(ad == bd, ap <= bp))
+
+
+# super-block fan-in for the hierarchical rank: one super = _SUPER blocks
+_SUPER = 128
+
+
 def membership_pairs(pair_doc: jax.Array, pair_pos: jax.Array,
                      q_doc: jax.Array, q_pos: jax.Array) -> jax.Array:
     """(q_doc, q_pos) in the lexicographically-sorted (pair_doc, pair_pos)
     list -> (N,) bool. Pairs are unique ((term, doc, pos) occurrences);
     pads carry pair_doc = I32_MAX. Two parallel int32 arrays stand in for
-    the composite key TPUs cannot pack into one int32 at 10M-doc scale."""
+    the composite key TPUs cannot pack into one int32 at 10M-doc scale.
+
+    Block ranking is HIERARCHICAL past 256 blocks: rank among super-block
+    minima (one per _SUPER blocks), row-gather that super's block-minima
+    tile, rank within, then compare inside the final block — O(supers +
+    3*BLK) per query instead of O(blocks), which is what keeps 512k-pair
+    probe lists servable (the flat scan measured linear in list length)."""
     bd = pair_doc.reshape(-1, BLK)
     bp = pair_pos.reshape(-1, BLK)
     sd = bd[:, 0]
     sp = bp[:, 0]
     nb = bd.shape[0]
+    hier = nb >= 256 and nb % _SUPER == 0
+    if hier:
+        sd2 = sd.reshape(-1, _SUPER)    # (ns, SUPER) block minima tiles
+        sp2 = sp.reshape(-1, _SUPER)
+        ssd = sd2[:, 0]                 # super minima
+        ssp = sp2[:, 0]
 
     def member(qd, qp):
-        le = jnp.logical_or(
-            sd[None, :] < qd[:, None],
-            jnp.logical_and(sd[None, :] == qd[:, None],
-                            sp[None, :] <= qp[:, None]))
-        bidx = jnp.clip(jnp.sum(le.astype(jnp.int32), axis=1) - 1, 0, nb - 1)
+        if hier:
+            sle = _pair_le(ssd[None, :], ssp[None, :],
+                           qd[:, None], qp[:, None])
+            sidx = jnp.clip(jnp.sum(sle.astype(jnp.int32), axis=1) - 1,
+                            0, sd2.shape[0] - 1)
+            msd = sd2[sidx]             # (chunk, SUPER) row gathers
+            msp = sp2[sidx]
+            ble = _pair_le(msd, msp, qd[:, None], qp[:, None])
+            bin_ = jnp.clip(jnp.sum(ble.astype(jnp.int32), axis=1) - 1,
+                            0, _SUPER - 1)
+            bidx = jnp.clip(sidx * _SUPER + bin_, 0, nb - 1)
+        else:
+            le = _pair_le(sd[None, :], sp[None, :],
+                          qd[:, None], qp[:, None])
+            bidx = jnp.clip(jnp.sum(le.astype(jnp.int32), axis=1) - 1,
+                            0, nb - 1)
         md = bd[bidx]                                  # row gathers
         mp = bp[bidx]
         return jnp.any(jnp.logical_and(md == qd[:, None],
@@ -214,29 +247,11 @@ def segmented_cumsum(values: jax.Array, seg_start: jax.Array) -> jax.Array:
 # The fused positional verified search
 # ---------------------------------------------------------------------------
 
-def _occ_expand(slice_docs, cnt, olen, Co):
-    """Map occurrence index -> (candidate index, candidate doc id).
-
-    slice_docs (C,) int32 (SENTINEL pads), cnt (C,) int32 (0 pads),
-    olen scalar. run[c] = first occurrence index of candidate c; the
-    occurrence's candidate = rank of its index among runs (blocked rank —
-    no scatter, no gather)."""
-    C = slice_docs.shape[0]
-    run = jnp.cumsum(cnt) - cnt
-    run = jnp.where(slice_docs != SENTINEL, run, I32_MAX)
-    i_vec = jnp.arange(Co, dtype=jnp.int32)
-    a_idx = blocked_rank_le(run, i_vec) - 1
-    a_idx = jnp.clip(a_idx, 0, C - 1)
-    a_doc = blocked_take(slice_docs, a_idx)
-    valid = i_vec < olen
-    return a_idx, jnp.where(valid, a_doc, SENTINEL), valid
-
-
 @functools.partial(jax.jit, static_argnames=(
     "C", "Co", "C2", "Co2", "G", "n", "n_words", "descending",
     "score_mode", "require_match", "use_doc_probes", "has_extra"))
 def positional_verify_topn_batch(
-        postings, occ_cnt, occ_pos8, deleted, extra, doc_len_pad,
+        postings, occ_doc8, occ_pos8, deleted, extra, doc_len_pad,
         d_off, d_len, d_base8, d_olen,
         p_off, p_len, p_base8, p_olen, p_delta, p_valid,
         idf, k1, b, avgdl,
@@ -253,16 +268,22 @@ def positional_verify_topn_batch(
     (doc, anchor + delta_g). Anchors surviving all probes are exact
     term occurrences; per-candidate anchor counts are the term TF.
 
+    The occurrence stream ships BOTH parallel arrays per entry — doc id
+    (occ_doc8) and position (occ_pos8) — so driver anchors and probe
+    pair lists are plain contiguous slice gathers with zero expansion
+    work (the v1 rank-based expansion measured O(Co2 * C2/BLK) per lane
+    and dominated the batch).
+
     Inputs (B-batched):
-      postings (P+pad,) int32 CSR doc ids; occ_cnt (P+pad,) uint16
-      occurrences per posting (parallel to postings); occ_pos8
-      (O8//8, 8) uint16 occurrence positions (8-aligned term regions);
-      deleted (W,) uint32 tombstones; extra (F, W) uint32 AND-filter
-      rows; doc_len_pad (cap128,) int32 doc lengths (128-padded).
-      d_off/d_len (B,) driver CSR slice; d_base8/d_olen (B,) driver
-      occurrence region; p_* (B, G) probe equivalents; p_delta (B, G)
-      int32 anchor-relative offsets; p_valid (B, G) bool.
-      idf (B, G?) — (B, 1) float32 single-term IDF row (score mode).
+      postings (P+pad,) int32 CSR doc ids (pre/use_doc_probes only);
+      occ_doc8 (O8//8, 8) int32 occurrence doc ids; occ_pos8 (O8//8, 8)
+      uint16 occurrence positions (8-aligned term regions); deleted (W,)
+      uint32 tombstones; extra (F, W) uint32 AND-filter rows;
+      doc_len_pad (cap128,) int32 doc lengths (128-padded).
+      d_off/d_len (B,) driver CSR slice (pre only); d_base8/d_olen (B,)
+      driver occurrence region; p_* (B, G) probe equivalents; p_delta
+      (B, G) int32 anchor-relative offsets; p_valid (B, G) bool.
+      idf — (B, 1) float32 single-term IDF row (score mode).
 
     Returns packed (B, 3+n[+n]) int32:
       [pre | verified_count | ok_flag | ids (n) | scores bitcast (n)]
@@ -275,41 +296,58 @@ def positional_verify_topn_batch(
 
     B = d_off.shape[0]
     # ---- batch-level contiguous gathers (outside the vmap) ----
-    cands_all = gather_slices(postings, d_off, d_len, C)          # (B, C)
-    dcnt_all = gather_slices_u16(occ_cnt, d_off, d_len, C, fill=0)
+    adoc_all = gather_rows_u16(occ_doc8, d_base8, d_olen, Co,
+                               fill=int(SENTINEL))
     dpos_all = gather_rows_u16(occ_pos8, d_base8, d_olen, Co, fill=-1)
-    psl_all = gather_slices(postings, p_off.reshape(B * G),
-                            p_len.reshape(B * G), C2
-                            ).reshape(B, G, C2)
-    pcnt_all = gather_slices_u16(occ_cnt, p_off.reshape(B * G),
-                                 p_len.reshape(B * G), C2,
-                                 fill=0).reshape(B, G, C2)
+    pdoc_all = gather_rows_u16(occ_doc8, p_base8.reshape(B * G),
+                               p_olen.reshape(B * G), Co2,
+                               fill=int(I32_MAX)).reshape(B, G, Co2)
     ppos_all = gather_rows_u16(occ_pos8, p_base8.reshape(B * G),
                                p_olen.reshape(B * G), Co2,
                                fill=-1).reshape(B, G, Co2)
+    if use_doc_probes:
+        cands_all = gather_slices(postings, d_off, d_len, C)      # (B, C)
+        psl_all = gather_slices(postings, p_off.reshape(B * G),
+                                p_len.reshape(B * G), C2
+                                ).reshape(B, G, C2)
+    else:
+        cands_all = jnp.zeros((B, 8), dtype=jnp.int32)
+        psl_all = jnp.zeros((B, G, 8), dtype=jnp.int32)
 
-    def one(cands, dcnt, dpos, dlen, dolen, psl, pcnt, ppos, polen,
+    def one(cands, a_doc, dpos, dolen, psl, pdoc, ppos,
             pdelta, pvalid, idf_row):
-        _, a_doc, a_valid = _occ_expand(cands, dcnt, dolen, Co)
+        i_vec = jnp.arange(Co, dtype=jnp.int32)
+        a_valid = i_vec < dolen
+        a_doc = jnp.where(a_valid, a_doc, SENTINEL)
         anchor_ok = a_valid
-        pre_mask = cands != SENTINEL
+        if use_doc_probes:
+            pre_mask = cands != SENTINEL
+            # pre = the reference's SearchAnd().size() (live gram-AND
+            # count, the single-term BM25 df) — exclude tombstones like
+            # the text path's probe mask does
+            cclip = jnp.clip(jnp.where(pre_mask, cands, 0), 0,
+                             n_words * 32 - 1)
+            pre_mask = jnp.logical_and(
+                pre_mask, jnp.logical_not(bit_member(deleted, cclip)))
         for g in range(G):
-            # probe occurrence stream -> (doc, pos) sorted pair list
-            p_aidx, p_adoc, _ = _occ_expand(psl[g], pcnt[g], polen[g], Co2)
             target = jnp.where(dpos >= 0, dpos + pdelta[g], -1)
-            hit = membership_pairs(p_adoc, ppos[g], a_doc, target)
+            hit = membership_pairs(pdoc[g], ppos[g], a_doc, target)
             anchor_ok = jnp.logical_and(
                 anchor_ok, jnp.where(pvalid[g], hit, True))
             if use_doc_probes:
                 dochit = membership_sorted(psl[g][None], cands)[0]
                 pre_mask = jnp.logical_and(
                     pre_mask, jnp.where(pvalid[g], dochit, True))
-        pre = jnp.sum(pre_mask.astype(jnp.int32))
         # segment reduce in anchor space (segments = candidates)
-        i_vec = jnp.arange(Co, dtype=jnp.int32)
         prev_doc = jnp.concatenate(
             [jnp.full((1,), -2, jnp.int32), a_doc[:-1]])
         seg_start = jnp.logical_and(a_valid, a_doc != prev_doc)
+        if use_doc_probes:
+            pre = jnp.sum(pre_mask.astype(jnp.int32))
+        else:
+            # probeless pre = driver df (the raw candidate bound, like
+            # the probeless text path's mask count)
+            pre = jnp.sum(seg_start.astype(jnp.int32))
         tf_in = segmented_cumsum(anchor_ok.astype(jnp.int32), seg_start)
         next_doc = jnp.concatenate(
             [a_doc[1:], jnp.full((1,), -2, jnp.int32)])
@@ -342,8 +380,8 @@ def positional_verify_topn_batch(
         return pre, count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
 
     pre, count, ids, scores = jax.vmap(one)(
-        cands_all, dcnt_all, dpos_all, d_len, d_olen,
-        psl_all, pcnt_all, ppos_all, p_olen, p_delta, p_valid, idf)
+        cands_all, adoc_all, dpos_all, d_olen,
+        psl_all, pdoc_all, ppos_all, p_delta, p_valid, idf)
     cols = [pre[:, None], count[:, None],
             jnp.ones((B, 1), dtype=jnp.int32), ids]
     if score_mode:
@@ -351,7 +389,7 @@ def positional_verify_topn_batch(
     return jnp.concatenate(cols, axis=1)
 
 
-def positional_verify_batch(postings, occ_cnt, occ_pos8, deleted,
+def positional_verify_batch(postings, occ_doc8, occ_pos8, deleted,
                             doc_len_pad, plans, n: int, n_words: int,
                             descending: bool, score_mode: bool = False,
                             idf=None, k1: float = 1.2, b: float = 0.75,
@@ -384,7 +422,7 @@ def positional_verify_batch(postings, occ_cnt, occ_pos8, deleted,
         extra = jnp.zeros((1, 1), dtype=jnp.uint32)
     runtime.dispatches.bump()
     arr = np.asarray(positional_verify_topn_batch(
-        postings, occ_cnt, occ_pos8, deleted, extra, doc_len_pad,
+        postings, occ_doc8, occ_pos8, deleted, extra, doc_len_pad,
         jnp.asarray(d_off), jnp.asarray(d_len), jnp.asarray(d_base8),
         jnp.asarray(d_olen), jnp.asarray(p_off), jnp.asarray(p_len),
         jnp.asarray(p_base8), jnp.asarray(p_olen), jnp.asarray(p_delta),

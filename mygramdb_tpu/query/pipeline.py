@@ -265,7 +265,8 @@ class SearchPipeline:
                 for ti in terms:
                     dbg.ngrams_used.extend(ti.grams)
                 dbg.final_results = total
-                dbg.optimization_used = "device_fused_verify"
+                dbg.optimization_used = (dbg.optimization_used or
+                                         "device_fused_verify")
                 dbg.limit_applied = query.limit
                 dbg.offset_applied = query.offset
                 self._finish_dbg(dbg, t_start)
@@ -567,12 +568,18 @@ class SearchPipeline:
         # dense or sparse driver: one dispatch, batched when possible;
         # None => no fused shape / match set exceeded the verify width
         try:
-            out_sv = device.search_and_verified(
-                tids, dev_text, ndl_p, nlens_p, n_b, desc,
-                score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
-                b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
-                nonoverlap=nonoverlap, require_match=require_match,
-                force_probes=force_probes, extra_words=extra)
+            out_sv = self._try_positional_verified(
+                query, terms, index, device, n_b, desc, score_mode, idf,
+                nonoverlap, require_match, force_probes, extra)
+            if out_sv is not None:
+                dbg.optimization_used = "device_positional_verify"
+            else:
+                out_sv = device.search_and_verified(
+                    tids, dev_text, ndl_p, nlens_p, n_b, desc,
+                    score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
+                    b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
+                    nonoverlap=nonoverlap, require_match=require_match,
+                    force_probes=force_probes, extra_words=extra)
         except Exception:
             if extra:
                 return None  # raced a segment swap; exact path re-runs
@@ -593,6 +600,41 @@ class SearchPipeline:
                 page_scores = page_scores * BM25Scorer.compute_idf(
                     self.sn.bm25.doc_count, pre)
         return total, page.astype(np.int32), page_scores, terms
+
+    def _try_positional_verified(self, query, terms, index, device, n_b,
+                                 desc, score_mode, idf, nonoverlap,
+                                 require_match, force_probes, extra):
+        """Positional verified fast path: single covered term over the
+        occurrence index (ops/positional_ops.py) — anchored position
+        probes instead of text gathers. Returns the search_and_verified
+        tuple, or None to fall through to the text-window fused path.
+
+        nonoverlap excluded: positional TF is the all-positions count;
+        the reference's greedy non-overlapping count for self-overlapping
+        score terms stays on the text path (verify_ops semantics)."""
+        if len(terms) != 1 or device.positional is None or \
+                device.positional.overflow or (score_mode and nonoverlap):
+            return None
+        t_cfg = self.ctx.table_cfg
+        pairs, covered = textproc.query_gram_offsets(
+            terms[0].normalized, t_cfg.ngram_size, t_cfg.kanji_ngram_size,
+            t_cfg.cross_boundary_ngrams)
+        if not covered or not pairs:
+            return None
+        tids_g = index.query_tids([g for g, _ in pairs])
+        if tids_g is None:
+            return None
+        plan = device.plan_positional(
+            list(zip(tids_g, (o for _, o in pairs))))
+        if plan is None:
+            return None
+        idf0 = float(idf[0]) if (score_mode and idf is not None) else 0.0
+        return device.search_verified_positional(
+            plan, n_b, desc, score_mode=score_mode, idf=idf0,
+            k1=self.cfg.bm25.k1, b=self.cfg.bm25.b,
+            avgdl=self.sn.bm25.avg_doc_length,
+            require_match=require_match, force_probes=force_probes,
+            extra_words=extra)
 
     # ------------------------------------------------------------------
     # Top-N fast path (reference search_pipeline.h:348-367 shortcut,

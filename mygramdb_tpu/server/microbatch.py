@@ -175,6 +175,64 @@ class MicroBatcher:
             return None
         return req.total, req.ids, req.scores, req.pre
 
+    def submit_positional(self, plan: dict, n: int, descending: bool,
+                          score_mode: bool = False, idf: float = 0.0,
+                          k1: float = 1.2, b: float = 0.75,
+                          avgdl: float = 1.0, require_match: bool = True,
+                          use_doc_probes: bool = False, extra=()):
+        """Blocking submit of a positional verified search (anchored
+        occurrence probes; ops/positional_ops.py). Queries batch with
+        peers sharing the plan's shape-bucket tuple and filter identity.
+        Returns (total, ids, scores, pre) — never clips."""
+        req = _Request(rows=[], sparse={"plan": plan, "idf": idf,
+                                        "extra": extra})
+        key = ("pos", plan["C"], plan["Co"], plan["C2"], plan["Co2"],
+               plan["G"], n, descending, score_mode, require_match,
+               use_doc_probes, round(k1, 6), round(b, 6),
+               round(avgdl, 3), tuple(id(x) for x in extra))
+        self._enqueue(key, req)
+        return req.total, req.ids, req.scores, req.pre
+
+    def _execute_positional(self, q: List[_Request], key: tuple) -> None:
+        from ..ops.positional_ops import positional_verify_batch
+        idx = self.idx
+        (_, C, Co, C2, Co2, G, n, descending, score_mode, require_match,
+         use_doc_probes, k1, b_, avgdl, _eids) = key
+        pp = idx.positional
+        # pad to a bucketed batch width with inert plans (zero-length
+        # driver slices produce count 0) so compile shapes stay bounded
+        B = len(q)
+        B_pad = self._pad_b(B)
+        dead = {"d_off": 0, "d_len": 0, "d_base8": 0, "d_olen": 0,
+                "p_off": [0] * G, "p_len": [0] * G, "p_base8": [0] * G,
+                "p_olen": [0] * G, "p_delta": [0] * G,
+                "p_valid": [False] * G,
+                "C": C, "Co": Co, "C2": C2, "Co2": Co2, "G": G}
+        plans = [r.sparse["plan"] for r in q] + [dead] * (B_pad - B)
+        idf = np.zeros((B_pad, 1), dtype=np.float32)
+        for i, r in enumerate(q):
+            idf[i, 0] = r.sparse.get("idf") or 0.0
+        extra_rows = list((q[0].sparse or {}).get("extra", ()))
+        out = positional_verify_batch(
+            idx.postings, pp.occ_doc8, pp.occ_pos8, idx.deleted,
+            pp.doc_len_pad, plans, n, idx.n_words, descending,
+            score_mode=score_mode, idf=idf, k1=k1, b=b_, avgdl=avgdl,
+            require_match=require_match, use_doc_probes=use_doc_probes,
+            extra=(idx._pack_extra(extra_rows) if extra_rows else None))
+        if score_mode:
+            pre, count, ids, scores = out
+        else:
+            pre, count, ids = out
+            scores = None
+        self.batches_executed += 1
+        self.queries_batched += B
+        for i, r in enumerate(q):
+            r.pre = int(pre[i])
+            r.total = int(count[i])
+            r.ids = ids[i]
+            r.scores = scores[i] if scores is not None else None
+            r.event.set()
+
     def submit_sparse(self, d_off: int, d_len: int,
                       sp_off: List[int], sp_len: List[int],
                       sp_inv: List[bool],
@@ -212,6 +270,8 @@ class MicroBatcher:
                     self._execute_fused_verify(q, key)
                 elif key[0] == "fusedsv":
                     self._execute_fused_sparse_verify(q, key)
+                elif key[0] == "pos":
+                    self._execute_positional(q, key)
                 else:
                     self._execute_sparse(q, key)
         except BaseException as e:  # noqa: BLE001 — propagate to waiters

@@ -1,0 +1,133 @@
+"""Dispatch-count contracts for every fast path (r3 verdict weak #8).
+
+On tunneled TPU backends each device dispatch costs a network RTT, so
+the per-query dispatch count IS the engine's latency structure. The e2e
+gate suite bounds it on hardware (e2e/scenarios.json max_dispatches);
+these unit assertions enforce the same 1-dispatch contracts on every
+pytest run so a structural regression fails here, not on the next
+tunnel session. Reference latency bar: search_pipeline.cpp one-pass
+execution (no per-stage round trips).
+"""
+
+import numpy as np
+import pytest
+
+from mygramdb_tpu.catalog import TableCatalog
+from mygramdb_tpu.config import load_config_from_dict
+from mygramdb_tpu.ops import runtime
+from mygramdb_tpu.query import QueryParser
+from mygramdb_tpu.query.pipeline import SearchPipeline
+
+CFG = {
+    "tables": [{
+        "name": "articles",
+        "text_source": {"column": "content"},
+        "filters": [{"name": "status", "type": "int",
+                     "bitmap_index": True}],
+    }],
+    "memory": {"verify_text": "all"},
+    "device": {"positional_verify": True},
+}
+
+P = QueryParser()
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    """Compacted steady state via bulk load (the fused fast paths require
+    no delta overlay), with the positional index enabled."""
+    cfg = load_config_from_dict(CFG)
+    cat = TableCatalog(cfg)
+    ctx = cat.resolve("articles")
+    bulk = ctx.begin_bulk_load()
+    rows = [(str(i), t, {"status": i % 3})
+            for i, t in enumerate([
+                "the quick brown fox jumps over the lazy dog",
+                "quick silver lining in the clouds",
+                "日本語の全文検索エンジンです",
+                "東京タワーは日本の有名な観光地です",
+                "brown bears eat quick snacks",
+                "foxes and dogs are friends",
+                "quick 日本 mixed content",
+                "the lazy afternoon sun",
+            ], start=1)]
+    bulk.add_batch(rows)
+    bulk.finish()
+    ctx._rebuild_device_text()
+    return SearchPipeline(ctx, cfg)
+
+
+def dispatches_of(pipe, line, warm=True):
+    q = P.parse(line)
+    if warm:
+        pipe.execute(q)  # compile + populate row caches
+    before = runtime.dispatches.count
+    out = pipe.execute(q)
+    assert out.success, out.error
+    return runtime.dispatches.count - before, out
+
+
+def test_topn_search_is_one_dispatch(pipe):
+    n, out = dispatches_of(pipe, "SEARCH articles quick SORT id DESC LIMIT 5")
+    assert n == 1, n
+    assert out.total >= 3
+
+
+def test_count_is_one_dispatch(pipe):
+    n, out = dispatches_of(pipe, "COUNT articles quick")
+    assert n == 1, n
+    assert out.total >= 3
+
+
+def test_filter_eq_search_is_one_dispatch(pipe):
+    n, out = dispatches_of(
+        pipe, "SEARCH articles quick FILTER status = 1 LIMIT 10")
+    assert n == 1, n
+
+
+def test_verified_cjk_search_is_one_dispatch(pipe):
+    # verify_text=all forces the substring check; the fused (or
+    # positional) path must keep it ONE dispatch
+    n, out = dispatches_of(pipe, "SEARCH articles 日本 LIMIT 10")
+    assert n == 1, n
+    assert out.total == 3
+
+
+def test_bm25_score_sort_is_one_dispatch(pipe):
+    n, out = dispatches_of(
+        pipe, "SEARCH articles quick SORT _score DESC LIMIT 5")
+    assert n == 1, n
+    assert out.total >= 3
+
+
+def test_verified_filter_combo_is_one_dispatch(pipe):
+    n, out = dispatches_of(
+        pipe, "SEARCH articles 日本 FILTER status = 1 LIMIT 10")
+    assert n == 1, n
+
+
+def test_pipeline_routes_cjk_to_positional(pipe):
+    """End-to-end routing assertion: the pipeline's debug label must say
+    the positional engine answered (not the text-window fused path)."""
+    n, out = dispatches_of(pipe, "SEARCH articles 東京 LIMIT 10")
+    assert n == 1, n
+    assert out.total == 1
+    assert out.debug.optimization_used == "device_positional_verify", \
+        out.debug.optimization_used
+
+
+def test_positional_path_served_the_cjk_query(pipe):
+    """The covered single-term CJK query must route through the
+    positional engine when the index carries it (no silent text-path
+    fallback)."""
+    dev = pipe.ctx.index.device
+    assert dev.positional is not None
+    from mygramdb_tpu.utils.textproc import query_gram_offsets
+    pairs, covered = query_gram_offsets("日本", 2, 1, True)
+    assert covered
+    tids = pipe.ctx.index.query_tids([g for g, _ in pairs])
+    plan = dev.plan_positional(list(zip(tids, (o for _, o in pairs))))
+    assert plan is not None
+    total, ids, _s, _p = dev.search_verified_positional(
+        plan, 128, True)
+    assert total == 3
