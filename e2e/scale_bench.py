@@ -159,6 +159,10 @@ def main() -> int:
                  "seed": args.seed, "sample": args.sample,
                  "verify": bool(args.verify),
                  "positional": bool(args.positional)}
+    if args.positional:
+        # occ-region alignment is baked into the cached arrays
+        from mygramdb_tpu.index.positional import OCC_ALIGN
+        cache_key["occ_align"] = OCC_ALIGN
     loaded = (_load_build_cache(args.build_cache, cache_key)
               if args.build_cache else None)
     t0 = time.time()

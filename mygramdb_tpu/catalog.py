@@ -74,7 +74,15 @@ class TableContext:
             max_dense_terms=cfg.device.max_dense_terms,
             candidate_buckets=tuple(cfg.device.candidate_buckets),
             microbatch=microbatch,
-            mesh_shards=cfg.device.mesh_shards)
+            mesh_shards=cfg.device.mesh_shards,
+            collect_positions=cfg.device.positional_verify,
+            text_provider=self._doc_text)
+
+    def _doc_text(self, doc_id: int):
+        """Normalized text read-through for the index's positional
+        compaction (resolves the live doc_store at call time — restore
+        swaps replace the store object)."""
+        return self.doc_store.text(doc_id)
 
     def _make_filter_index(self) -> FilterIndex:
         fi = FilterIndex()
@@ -170,6 +178,11 @@ class TableContext:
 
     def optimize(self) -> None:
         self.index.optimize()
+        dev = self.index.device
+        if dev is not None and dev.positional is not None:
+            # compaction built a fresh DevicePositional with zero doc
+            # lengths; re-attach the BM25 norm row
+            dev.set_positional_doc_lengths(self.bm25.doc_length_array())
         self._rebuild_device_text()
 
     def _rebuild_device_text(self) -> None:
@@ -222,40 +235,39 @@ class TableContext:
                 n_docs=built.n_docs,
                 doc_store_state=self.doc_store.state(),
                 filter_state=self.filter_index.state(),
-                bm25_state=self.bm25.state())
+                bm25_state=self.bm25.state(),
+                positional_state=(built.positional.state()
+                                  if built.positional is not None
+                                  else None))
 
     def restore_from_state(self, ts) -> None:
         """Validate-then-apply swap (reference ReplaceWithLoaded,
         index.h:243-249)."""
         from .index.builder import BuiltIndex
         from .index.term_dict import TermDict
-        from .index.delta import MutableIndex
         from .storage.document_store import DocumentStore
         from .storage.filter_index import FilterIndex
         td = TermDict.from_state(ts.terms)
+        positional = None
+        if ts.positional_state is not None:
+            from .index.positional import PositionalPostings
+            positional = PositionalPostings.from_state(ts.positional_state)
         built = BuiltIndex(td, ts.offsets.astype(np.int64),
                            ts.lengths.astype(np.int32),
                            ts.postings.astype(np.int32),
-                           int(ts.max_doc_id), int(ts.n_docs))
-        t = self.table_cfg
-        microbatch = None
-        if self.config.device.enable and \
-                self.config.device.microbatch_size > 1:
-            microbatch = (self.config.device.microbatch_size,
-                          self.config.device.microbatch_window_us)
-        new_index = MutableIndex(
-            built, ngram_size=t.ngram_size,
-            kanji_ngram_size=t.kanji_ngram_size,
-            cross_boundary_ngrams=t.cross_boundary_ngrams,
-            dense_df_ratio=self.config.device.dense_df_ratio,
-            max_dense_terms=self.config.device.max_dense_terms,
-            candidate_buckets=tuple(self.config.device.candidate_buckets),
-            microbatch=microbatch,
-            mesh_shards=self.config.device.mesh_shards)
+                           int(ts.max_doc_id), int(ts.n_docs),
+                           positional=positional)
+        new_index = self._make_index(built)
         new_store = DocumentStore.from_state(ts.doc_store_state)
         new_filters = FilterIndex.from_state(ts.filter_state)
         from .query.bm25 import BM25Stats as _BM25
         new_bm25 = _BM25.from_state(ts.bm25_state)
+        dev = getattr(new_index, "device", None)
+        if dev is not None and dev.positional is not None:
+            # BM25 norm lengths for the positional score path (the dump's
+            # flat doc-length array is doc-id-indexed, same as the device
+            # doc_len row)
+            dev.set_positional_doc_lengths(new_bm25.doc_length_array())
         with self._write_lock:
             self._swap_seq += 1  # odd: swap in flight
             self.index = new_index

@@ -95,10 +95,21 @@ class MutableIndex:
                  dense_df_ratio: float = 0.01, max_dense_terms: int = 8192,
                  candidate_buckets=(2048, 65536),
                  microbatch: Optional[Tuple[int, int]] = None,
-                 mesh_shards: int = 1):
+                 mesh_shards: int = 1, collect_positions: bool = False,
+                 text_provider=None):
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
+        # positional lifecycle: when the table runs with
+        # device.positional_verify, optimize() re-derives the occurrence
+        # index for the compacted segment — surviving device occurrences
+        # are expanded from the old segment and delta docs re-shredded
+        # with positions via text_provider (doc id -> normalized text, the
+        # catalog's doc_store read-through). Without it the positional
+        # index would silently vanish at the first compaction and the
+        # verified fast path would fall back to text-window scans.
+        self._collect_positions = collect_positions
+        self._text_provider = text_provider
         self._dense_df_ratio = dense_df_ratio
         self._max_dense_terms = max_dense_terms
         self._candidate_buckets = candidate_buckets
@@ -452,39 +463,46 @@ class MutableIndex:
 
     def _optimize_build_and_swap(self, built, V, frozen, tombs_at_snap,
                                  n_docs_snap, device_doc_max) -> None:
-            tids_rep = np.repeat(
-                np.arange(built.lengths.shape[0], dtype=np.int64),
-                built.lengths)
-            docs = built.postings.astype(np.int64)
             dead = set(tombs_at_snap)
             dead.update(d for d in frozen.doc_terms if d <= device_doc_max)
-            if dead:
-                dead_arr = np.asarray(sorted(dead), dtype=np.int64)
-                keep = ~np.isin(docs, dead_arr)
-                tids_rep = tids_rep[keep]
-                docs = docs[keep]
-            extra_t: List[int] = []
-            extra_d: List[int] = []
-            for d, ts in frozen.doc_terms.items():
-                if d in tombs_at_snap:
-                    continue
-                extra_t.extend(ts)
-                extra_d.extend([d] * len(ts))
-            if extra_t:
-                tids_rep = np.concatenate(
-                    [tids_rep, np.asarray(extra_t, dtype=np.int64)])
-                docs = np.concatenate(
-                    [docs, np.asarray(extra_d, dtype=np.int64)])
-            order = np.lexsort((docs, tids_rep))
-            tids_rep = tids_rep[order]
-            docs = docs[order]
-            lengths = np.bincount(tids_rep, minlength=V).astype(np.int32)
-            offsets = np.zeros(V, dtype=np.int64)
-            np.cumsum(lengths[:-1], out=offsets[1:])
-            max_doc = int(docs.max()) if docs.size else 0
-            new_built = BuiltIndex(self.term_dict, offsets, lengths,
-                                   docs.astype(np.int32), max_doc,
-                                   n_docs_snap)
+            new_built = None
+            if self._collect_positions and self._text_provider is not None \
+                    and (built.positional is not None
+                         or built.postings.size == 0):
+                new_built = self._compact_with_positions(
+                    built, frozen, tombs_at_snap, dead, n_docs_snap)
+            if new_built is None:
+                tids_rep = np.repeat(
+                    np.arange(built.lengths.shape[0], dtype=np.int64),
+                    built.lengths)
+                docs = built.postings.astype(np.int64)
+                if dead:
+                    dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+                    keep = ~np.isin(docs, dead_arr)
+                    tids_rep = tids_rep[keep]
+                    docs = docs[keep]
+                extra_t: List[int] = []
+                extra_d: List[int] = []
+                for d, ts in frozen.doc_terms.items():
+                    if d in tombs_at_snap:
+                        continue
+                    extra_t.extend(ts)
+                    extra_d.extend([d] * len(ts))
+                if extra_t:
+                    tids_rep = np.concatenate(
+                        [tids_rep, np.asarray(extra_t, dtype=np.int64)])
+                    docs = np.concatenate(
+                        [docs, np.asarray(extra_d, dtype=np.int64)])
+                order = np.lexsort((docs, tids_rep))
+                tids_rep = tids_rep[order]
+                docs = docs[order]
+                lengths = np.bincount(tids_rep, minlength=V).astype(np.int32)
+                offsets = np.zeros(V, dtype=np.int64)
+                np.cumsum(lengths[:-1], out=offsets[1:])
+                max_doc = int(docs.max()) if docs.size else 0
+                new_built = BuiltIndex(self.term_dict, offsets, lengths,
+                                       docs.astype(np.int32), max_doc,
+                                       n_docs_snap)
             new_device = self._build_device(new_built)
 
             # --- swap (brief lock) + fixup for concurrent mutations ---
@@ -503,6 +521,92 @@ class MutableIndex:
                     self.device.mark_deleted(sorted(fix))
                 # self._n_docs stays live-maintained by add/remove
                 self.version += 1
+
+    def _compact_with_positions(self, built, frozen, tombs_at_snap,
+                                dead, n_docs_snap):
+        """Occurrence-stream compaction: the positional analog of the
+        (term, doc) pair merge. Surviving device occurrences are expanded
+        from the old segment's aligned regions (vectorized, same
+        addressing as DevicePositional), delta docs are re-shredded WITH
+        positions from their stored normalized text, and one positional
+        finalize emits both the deduped CSR and the new occurrence index.
+        Returns None (-> plain pair merge, positional dropped) when any
+        delta doc's text is unavailable. Transient cost is O(occurrences)
+        host memory — the same class as the initial positional build."""
+        from .positional import POS_CAP, finalize_with_positions_np
+        from ..utils import textproc
+        pp = built.positional
+        # --- delta docs: re-shred with positions ---
+        dt: List[int] = []
+        dd: List[int] = []
+        dp: List[int] = []
+        over_new: set = set()
+        get = self.term_dict.get
+        get_or_add = self.term_dict.get_or_add
+        for d, _ts in frozen.doc_terms.items():
+            if d in tombs_at_snap:
+                continue
+            text = self._text_provider(d)
+            if text is None:
+                return None  # no text -> positions unrecoverable
+            pairs, _cov = textproc.query_gram_offsets(
+                text, self.ngram_size, self.kanji_ngram_size,
+                self.cross_boundary)
+            if pairs and pairs[-1][1] > POS_CAP:
+                over_new.add(d)
+            for g, o in pairs:
+                tid = get(g)
+                dt.append(tid if tid is not None else get_or_add(g))
+                dd.append(d)
+                dp.append(min(o, POS_CAP))
+        # --- surviving device occurrences: expand aligned regions ---
+        if pp is not None and built.postings.size:
+            lengths64 = built.lengths.astype(np.int64)
+            t_post = np.repeat(
+                np.arange(built.lengths.shape[0], dtype=np.int64),
+                lengths64)
+            cnt64 = pp.occ_cnt.astype(np.int64)  # parallel to postings
+            occ_prefix = np.cumsum(pp.occ_len) - pp.occ_len
+            run = np.cumsum(cnt64) - cnt64       # global unaligned prefix
+            start = pp.occ_base[t_post] + (run - occ_prefix[t_post])
+            E = int(cnt64.sum())
+            idx = np.repeat(start, cnt64) + (
+                np.arange(E, dtype=np.int64) - np.repeat(run, cnt64))
+            del start, run
+            tids_occ = np.repeat(t_post, cnt64).astype(np.int32)
+            del t_post
+            docs_occ = np.repeat(built.postings, cnt64)
+            pos_occ = pp.occ_pos[idx]
+            del idx
+            if dead:
+                dead_arr = np.asarray(sorted(dead), dtype=np.int64)
+                keep = ~np.isin(docs_occ, dead_arr)
+                tids_occ = tids_occ[keep]
+                docs_occ = docs_occ[keep]
+                pos_occ = pos_occ[keep]
+                del keep
+        else:
+            tids_occ = np.zeros(0, dtype=np.int32)
+            docs_occ = np.zeros(0, dtype=np.int32)
+            pos_occ = np.zeros(0, dtype=np.uint16)
+        if dt:
+            tids_occ = np.concatenate(
+                [tids_occ, np.asarray(dt, dtype=np.int32)])
+            docs_occ = np.concatenate(
+                [docs_occ, np.asarray(dd, dtype=np.int32)])
+            pos_occ = np.concatenate(
+                [pos_occ, np.asarray(dp, dtype=np.uint16)])
+        V2 = len(self.term_dict)  # >= snapshot V if the shred added grams
+        postings, lengths, positional = finalize_with_positions_np(
+            tids_occ, docs_occ, pos_occ, V2)
+        positional.overflow_docs = \
+            (set(pp.overflow_docs) - dead if pp is not None else set()) \
+            | over_new
+        offsets = np.zeros(V2, dtype=np.int64)
+        np.cumsum(lengths[:-1], out=offsets[1:])
+        max_doc = int(docs_occ.max()) if docs_occ.size else 0
+        return BuiltIndex(self.term_dict, offsets, lengths, postings,
+                          max_doc, n_docs_snap, positional)
 
     # ------------------------------------------------------------------
     def dirty_doc_ids(self):

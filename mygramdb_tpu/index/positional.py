@@ -12,10 +12,13 @@ instead of O(candidates x text bytes).
 Layout:
   occ_cnt  (P,)  uint16 — occurrences per posting, parallel to the CSR
                   postings array (same per-term offsets/lengths)
-  occ_pos  (O8,) uint16 — positions grouped by (term, doc, pos) in CSR
-                  order; every TERM's region starts 8-aligned (pad cells
-                  are 0xFFFF) so device row addressing stays int32-safe
-                  past 2^31 total occurrences (10M-doc corpora)
+  occ_pos  (O,)  uint16 — positions grouped by (term, doc, pos) in CSR
+                  order; every TERM's region starts 128-aligned (pad
+                  cells are 0xFFFF): the device arrays view as
+                  (O//128, 128) — lane-width rows that tile with zero
+                  padding (8-cell rows cost a 16x tiled relayout copy on
+                  TPU) and keep row addressing int32-safe past 2^31
+                  total occurrences (10M-doc corpora)
   occ_base (V,)  int64  — aligned region start per term
   occ_len  (V,)  int64  — real (unpadded) occurrences per term
 
@@ -34,6 +37,7 @@ import numpy as np
 
 POS_CAP = 65534          # uint16 minus the 0xFFFF pad sentinel
 POS_PAD = 0xFFFF
+OCC_ALIGN = 128          # term-region alignment (device lane width)
 
 
 @dataclass
@@ -51,6 +55,29 @@ class PositionalPostings:
 
     def nbytes(self) -> int:
         return int(self.occ_cnt.nbytes + self.occ_pos.nbytes)
+
+    def state(self) -> dict:
+        """Msgpack-able form for the dump TABLE section
+        (storage/dump.py TableState.positional_state)."""
+        from ..storage.dump import _pack_array
+        return {"align": OCC_ALIGN,
+                "occ_cnt": _pack_array(self.occ_cnt),
+                "occ_pos": _pack_array(self.occ_pos),
+                "occ_base": _pack_array(self.occ_base),
+                "occ_len": _pack_array(self.occ_len),
+                "overflow": sorted(self.overflow_docs)}
+
+    @classmethod
+    def from_state(cls, d: dict) -> Optional["PositionalPostings"]:
+        """None when the dump's region alignment predates the current
+        device layout — the restored table serves through the text path
+        until the next SYNC/optimize rebuilds positions."""
+        if d.get("align", 8) != OCC_ALIGN:
+            return None
+        from ..storage.dump import _unpack_array
+        return cls(_unpack_array(d["occ_cnt"]), _unpack_array(d["occ_pos"]),
+                   _unpack_array(d["occ_base"]), _unpack_array(d["occ_len"]),
+                   set(d.get("overflow", ())))
 
     def term_occurrences(self, tid: int, offsets: np.ndarray,
                          lengths: np.ndarray, postings: np.ndarray
@@ -100,10 +127,10 @@ class DevicePositional:
         import jax
         from ..ops.positional_ops import OCC_GATHER_PAD
         opos = pp.occ_pos
-        tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % 8)
+        tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % OCC_ALIGN)
         opos = np.concatenate([
             opos, np.full(tail, POS_PAD, dtype=np.uint16)])
-        self.occ_pos8 = jax.device_put(opos.reshape(-1, 8), device)
+        self.occ_pos8 = jax.device_put(opos.reshape(-1, OCC_ALIGN), device)
         # per-occurrence DOC ids, same aligned layout as occ_pos: the
         # kernel's probe pair lists and driver anchors become plain slice
         # gathers with zero expansion work (the rank-based expansion of
@@ -127,9 +154,9 @@ class DevicePositional:
             del start
             odoc[idx] = np.repeat(postings, cnt64)
             del idx
-        self.occ_doc8 = jax.device_put(odoc.reshape(-1, 8), device)
+        self.occ_doc8 = jax.device_put(odoc.reshape(-1, OCC_ALIGN), device)
         del odoc
-        self.occ_base8 = (pp.occ_base >> 3).astype(np.int32)  # host
+        self.occ_base8 = (pp.occ_base // OCC_ALIGN).astype(np.int32)  # host
         self.occ_len = pp.occ_len                              # host int64
         self.occ_cnt_host = pp.occ_cnt                         # host/debug
         cap128 = ((capacity + 127) // 128) * 128
@@ -161,7 +188,7 @@ def finalize_with_positions_np(tids: np.ndarray, docs: np.ndarray,
         return (np.zeros(0, dtype=np.int32), np.zeros(V, dtype=np.int32),
                 PositionalPostings(
                     np.zeros(0, dtype=np.uint16),
-                    np.full(8, POS_PAD, dtype=np.uint16),
+                    np.full(OCC_ALIGN, POS_PAD, dtype=np.uint16),
                     np.zeros(V, dtype=np.int64),
                     np.zeros(V, dtype=np.int64)))
     order = np.lexsort((pos, docs, tids))
@@ -170,11 +197,11 @@ def finalize_with_positions_np(tids: np.ndarray, docs: np.ndarray,
     sp = pos[order]
     del order
     occ_len = np.bincount(st, minlength=V).astype(np.int64)
-    aligned = (occ_len + 7) & ~np.int64(7)
+    aligned = (occ_len + OCC_ALIGN - 1) & ~np.int64(OCC_ALIGN - 1)
     occ_base = np.zeros(V, dtype=np.int64)
     np.cumsum(aligned[:-1], out=occ_base[1:])
     O8 = int(aligned.sum())
-    occ_pos = np.full(max(O8, 8), POS_PAD, dtype=np.uint16)
+    occ_pos = np.full(max(O8, OCC_ALIGN), POS_PAD, dtype=np.uint16)
     starts = np.zeros(V, dtype=np.int64)
     np.cumsum(occ_len[:-1], out=starts[1:])
     idx_in_term = np.arange(E, dtype=np.int64) - starts[st]

@@ -496,8 +496,9 @@ def pos_finalize_chunked(chunks, V: int):
     chunks: iterable of (tids int32 (E_c,), doc_ids int32 (D_c,),
     doc_counts int64 (D_c,), pos uint16 (E_c,)) in stream order.
     Returns (postings int32, lengths int32, occ_cnt uint16,
-    occ_pos uint16 8-aligned regions, occ_base int64, occ_len int64)
-    or None when the native entry points are unavailable."""
+    occ_pos uint16 OCC_ALIGN-aligned regions, occ_base int64,
+    occ_len int64) or None when the native entry points are
+    unavailable."""
     lib = _load()
     if lib is None or not hasattr(lib, "mg_pos_hist"):
         return None
@@ -514,8 +515,9 @@ def pos_finalize_chunked(chunks, V: int):
                         _ptr(occ_counts, _c_i64p),
                         _ptr(uniq_counts, _c_i64p),
                         _ptr(last_doc, _c_i32p))
+    from .index.positional import OCC_ALIGN
     P = int(uniq_counts.sum())
-    aligned = (occ_counts + 7) & ~np.int64(7)
+    aligned = (occ_counts + OCC_ALIGN - 1) & ~np.int64(OCC_ALIGN - 1)
     occ_base = np.zeros(Vp, dtype=np.int64)
     np.cumsum(aligned[:-1], out=occ_base[1:])
     O8 = int(aligned.sum())
@@ -525,7 +527,7 @@ def pos_finalize_chunked(chunks, V: int):
     last_doc.fill(-1)
     postings = np.empty(max(P, 1), dtype=np.int32)
     occ_cnt = np.zeros(max(P, 1), dtype=np.uint16)
-    occ_pos = np.full(max(O8, 8), 0xFFFF, dtype=np.uint16)
+    occ_pos = np.full(max(O8, OCC_ALIGN), 0xFFFF, dtype=np.uint16)
     for tids, doc_ids, doc_counts, pos in chunks:
         tids = np.ascontiguousarray(tids, dtype=np.int32)
         doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int32)

@@ -46,9 +46,17 @@ from .posting_ops import SENTINEL, _MEMBER_CHUNK, gather_slices
 BLK = 128
 I32_MAX = jnp.int32(2 ** 31 - 1)
 
-# occ_pos / occ_cnt device arrays must carry this many trailing pad cells
+# occ_pos / occ_doc device arrays must carry this many trailing pad cells
 # (slice DMAs read [off, off+bucket) unconditionally, like SLICE_GATHER_PAD)
-OCC_GATHER_PAD = 131072 + 8
+OCC_GATHER_PAD = 131072 + 128
+
+# occurrence term regions are 128-cell aligned and the device arrays are
+# viewed as (O//128, 128): the minor dim IS the TPU lane width, so the
+# arrays live tiled with ZERO padding and the row slice gather needs no
+# relayout. The first occ_doc build used 8-cell rows — XLA materialized a
+# T(8,128)-tiled copy of the whole (N, 8) int32 array (16x padding,
+# 15.8 GB at 1.1M docs: the r4 OOM).
+OCC_ROW = 128
 
 
 # ---------------------------------------------------------------------------
@@ -79,17 +87,18 @@ def gather_rows_u16(arr8: jax.Array, base8: jax.Array, lengths: jax.Array,
                     bucket: int, fill: int = -1) -> jax.Array:
     """Row-aligned slice gather for arrays past 2^31 cells.
 
-    arr8: an occurrence array VIEWED as (O8//8, 8) (uint16 positions or
-    int32 doc ids) — every term's region starts at an 8-aligned offset
-    (the positional finalize pads regions), so base8 = region_start // 8
-    stays int32 up to 2^34 cells. -> (K, bucket) int32, entries >=
+    arr8: an occurrence array VIEWED as (O//128, 128) (uint16 positions
+    or int32 doc ids; lane-width minor dim — tiled with zero padding, no
+    relayout copy) — every term's region starts at a 128-aligned offset
+    (the positional finalize pads regions), so base8 = start // 128
+    stays int32 up to 2^38 cells. -> (K, bucket) int32, entries >=
     length -> `fill`."""
-    rows = bucket // 8
+    rows = bucket // OCC_ROW
     pos = jnp.arange(bucket, dtype=jnp.int32)
 
     def step(_, bl):
         b8, ln = bl
-        sl = jax.lax.dynamic_slice(arr8, (b8, 0), (rows, 8))
+        sl = jax.lax.dynamic_slice(arr8, (b8, 0), (rows, OCC_ROW))
         sl = sl.reshape(bucket).astype(jnp.int32)
         return _, jnp.where(pos < ln, sl, fill)
 
@@ -276,8 +285,8 @@ def positional_verify_topn_batch(
 
     Inputs (B-batched):
       postings (P+pad,) int32 CSR doc ids (pre/use_doc_probes only);
-      occ_doc8 (O8//8, 8) int32 occurrence doc ids; occ_pos8 (O8//8, 8)
-      uint16 occurrence positions (8-aligned term regions); deleted (W,)
+      occ_doc8 (O//128, 128) int32 occurrence doc ids; occ_pos8
+      (O//128, 128) uint16 positions (128-aligned term regions); deleted (W,)
       uint32 tombstones; extra (F, W) uint32 AND-filter rows;
       doc_len_pad (cap128,) int32 doc lengths (128-padded).
       d_off/d_len (B,) driver CSR slice (pre only); d_base8/d_olen (B,)

@@ -95,6 +95,12 @@ class BM25Stats:
             return v if v >= 0 else 0
         return 0
 
+    def doc_length_array(self) -> np.ndarray:
+        """Doc-id-indexed lengths, absents clipped to 0 — the device
+        positional index's BM25-norm row (catalog restore/optimize)."""
+        with self._lock:
+            return np.maximum(self._arr[:self._hi], 0)
+
     def state(self) -> Dict:
         with self._lock:
             return {"doc_len_arr": self._arr[:self._hi].tobytes()}

@@ -98,6 +98,12 @@ class TableState:
     doc_store_state: Dict[str, Any]
     filter_state: Dict[str, Any]
     bm25_state: Dict[str, Any]
+    # optional positional occurrence index (index/positional.py): packed
+    # occ_cnt/occ_pos/occ_base/occ_len arrays + overflow doc list. Absent
+    # in dumps written without device.positional_verify (loads as None —
+    # the restored table serves through the text verify path until the
+    # next SYNC rebuilds positions)
+    positional_state: Optional[Dict[str, Any]] = None
 
 
 @dataclass
@@ -138,6 +144,8 @@ def save_dump(path: str, config_dict: Dict[str, Any],
                     "doc_store": ts.doc_store_state,
                     "filters": ts.filter_state,
                     "bm25": ts.bm25_state,
+                    **({"positional": ts.positional_state}
+                       if ts.positional_state is not None else {}),
                 }, use_bin_type=True)
                 crcs.append(_write_section(f, SEC_TABLE, payload))
             repl = msgpack.packb({"gtid": gtid}, use_bin_type=True)
@@ -212,7 +220,8 @@ def load_dump(path: str):
                     postings=_unpack_array(d["postings"]),
                     max_doc_id=d["max_doc_id"], n_docs=d["n_docs"],
                     doc_store_state=d["doc_store"],
-                    filter_state=d["filters"], bm25_state=d["bm25"])
+                    filter_state=d["filters"], bm25_state=d["bm25"],
+                    positional_state=d.get("positional"))
                 tables.append(ts)
                 info.tables.append({"name": ts.name, "docs": ts.n_docs,
                                     "terms": len(ts.terms),

@@ -60,6 +60,11 @@ class _Column:
         self.present = np.zeros(_GROW, dtype=bool)
         self.value_bitmaps: Dict[Any, np.ndarray] = {}
         self._dev_bitmaps: Dict[Any, Any] = {}
+        # device mirrors of computed (op, value) word rows (range/NE/NULL
+        # filters); ANY mutation of the column evicts them all — unlike EQ
+        # rows there is no per-value invalidation cheap enough to be worth
+        # tracking
+        self._dev_range: Dict[Any, Any] = {}
         self.n_words = 0
 
     def _grow(self, doc_id: int) -> None:
@@ -101,6 +106,8 @@ class _Column:
     def set(self, doc_id: int, value: Any) -> None:
         value = self._apply_bucket(value)
         self._grow(doc_id)
+        if self._dev_range:
+            self._dev_range.clear()
         old = self.get(doc_id)
         if self.bitmap_index and self.present[doc_id] and old != value:
             bm = self.value_bitmaps.get(self._bm_key(old))
@@ -141,6 +148,8 @@ class _Column:
     def unset(self, doc_id: int) -> None:
         if doc_id >= self.present.shape[0] or not self.present[doc_id]:
             return
+        if self._dev_range:
+            self._dev_range.clear()
         if self.bitmap_index:
             old = self.get(doc_id)
             bm = self.value_bitmaps.get(self._bm_key(old))
@@ -388,6 +397,101 @@ class FilterIndex:
             dev = jax.device_put(host, device)
             col._dev_bitmaps.setdefault(key, {})[n_words] = dev
             return dev
+
+    _CMP_OPS = (">", ">=", "<", "<=", "!=", "=", "IS NULL", "IS NOT NULL")
+
+    def cmp_bitmap_device(self, column: str, op: str, value: Any,
+                          n_words: int, device=None):
+        """Device word row for (column OP value) over doc ids
+        [0, 32*n_words) — the range/NE/NULL analog of eq_bitmap_device,
+        so ``FILTER col > v`` rides the device fast paths as an extra AND
+        row instead of forcing full id materialization + a host mask
+        (reference treats non-EQ as per-doc fallback,
+        search_pipeline.cpp:785-793, but pays no network hop per id; we
+        must not either). Computed host-side from the typed column
+        (vectorized compare, packed little-endian to match the doc-id bit
+        layout), uploaded once and cached per (op, value, width); any
+        column mutation evicts the cache (set/unset clear _dev_range).
+        None => unsupported (plain string columns compare per-doc in
+        Python — the host path keeps those) or unparseable value."""
+        col = self._columns.get(column)
+        if col is None or op not in self._CMP_OPS:
+            return None
+        if op == "=" and col.bitmap_index:
+            return self.eq_bitmap_device(column, value, n_words, device)
+        if not (col.numeric or col.dict_compress) and \
+                op not in ("IS NULL", "IS NOT NULL"):
+            return None
+        try:
+            key = (op, None if value is None else col._bm_key(value),
+                   n_words)
+        except (TypeError, ValueError):
+            return None
+        with self._lock:
+            cached = col._dev_range.get(key)
+            if cached is not None:
+                return cached
+            row = self._host_cmp_row(col, op, value, n_words)
+            if row is None:
+                return None
+            import jax
+            dev = jax.device_put(row, device)
+            col._dev_range[key] = dev
+            return dev
+
+    @staticmethod
+    def _host_cmp_row(col: FilterColumn, op: str, value: Any,
+                      n_words: int) -> Optional[np.ndarray]:
+        """(n_words,) uint32 with bit (d & 31) of word (d >> 5) set when
+        doc d matches — same semantics as col.match_mask (presence
+        guard; NE true only for present docs; NULL true beyond the
+        column's grown size)."""
+        n_bits = n_words * 32
+        size = min(col.present.shape[0], n_bits)
+        mask = np.zeros(n_bits, dtype=bool)
+        if op == "IS NULL":
+            mask[:size] = ~col.present[:size]
+            mask[size:] = True
+        elif op == "IS NOT NULL":
+            mask[:size] = col.present[:size]
+        elif col.numeric:
+            try:
+                cmp = float(value) if isinstance(value, str) \
+                    else col._to_num(value)
+            except (TypeError, ValueError):
+                return None
+            vals = col.values[:size]
+            with np.errstate(invalid="ignore"):
+                if op == "=":
+                    m = vals == cmp
+                elif op == "!=":
+                    m = vals != cmp
+                elif op == ">":
+                    m = vals > cmp
+                elif op == ">=":
+                    m = vals >= cmp
+                elif op == "<":
+                    m = vals < cmp
+                else:
+                    m = vals <= cmp
+            mask[:size] = m & col.present[:size]
+        else:  # dict-compressed strings: compare the (small) dictionary
+            sval = str(value)
+            codes = col.values[:size]
+            if op == "=":
+                m = codes == col._dict.get(sval, -2)
+            elif op == "!=":
+                m = codes != col._dict.get(sval, -2)
+            else:
+                ok = np.asarray(
+                    [i for i, s in enumerate(col._rev)
+                     if (op == ">" and s > sval)
+                     or (op == ">=" and s >= sval)
+                     or (op == "<" and s < sval)
+                     or (op == "<=" and s <= sval)], dtype=np.int32)
+                m = np.isin(codes, ok)
+            mask[:size] = m & col.present[:size]
+        return np.packbits(mask, bitorder="little").view(np.uint32)
 
     _INT_TYPES = ("int", "uint", "bigint", "bool", "datetime", "date",
                   "time", "timestamp", "tinyint", "smallint")

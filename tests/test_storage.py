@@ -135,6 +135,38 @@ class TestFilterIndex:
         assert b1 == [3, 4]
         assert b2 == [1, 2]
 
+    def test_cmp_row_parity_with_match_mask(self):
+        """cmp_bitmap_device's packed row == match_mask over every doc id
+        for all ops x columns (numeric, dict-compressed, NULL probes)."""
+        fi = self.make()
+        fi.add_column("tag", "string", dict_compress=True)
+        for d, t in [(1, "x"), (2, "y"), (3, "x")]:
+            fi.update_document(d, {"tag": t})
+        n_words = 4
+        ids = np.arange(n_words * 32, dtype=np.int64)
+        cases = [("status", op, v) for op in ("=", "!=", ">", ">=", "<",
+                                              "<=") for v in (0, 1, 2)]
+        cases += [("score", op, v) for op in (">", "<=", "!=")
+                  for v in (0.5, 1.5, 99)]
+        cases += [("score", "IS NULL", None), ("score", "IS NOT NULL",
+                                               None)]
+        cases += [("tag", op, v) for op in ("=", "!=", ">", "<=")
+                  for v in ("x", "y")]
+        for colname, op, v in cases:
+            dev = fi.cmp_bitmap_device(colname, op, v, n_words)
+            assert dev is not None, (colname, op, v)
+            bits = np.unpackbits(np.asarray(dev).view(np.uint8),
+                                 bitorder="little").astype(bool)
+            want = fi.match_mask(colname, ids, op, v)
+            assert bits.tolist() == want.tolist(), (colname, op, v)
+        # plain string column: no device form (per-doc Python compare)
+        assert fi.cmp_bitmap_device("cat", ">", "a", n_words) is None
+        # mutation evicts cached rows
+        before = np.asarray(fi.cmp_bitmap_device("status", ">", 1, n_words))
+        fi.update_document(1, {"status": 5})
+        after = np.asarray(fi.cmp_bitmap_device("status", ">", 1, n_words))
+        assert before.tolist() != after.tolist()
+
     def test_remove_document(self):
         fi = self.make()
         fi.remove_document(1)
