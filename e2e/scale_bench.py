@@ -640,6 +640,9 @@ def main() -> int:
             "build_secs": round(build_secs, 1),
             "build_docs_per_sec": round(args.docs / build_secs, 1),
             "upload_secs": round(upload_secs, 1),
+            "upload_detail": {**idx.upload_detail,
+                              **(idx.positional.upload_detail
+                                 if idx.positional is not None else {})},
             "index_device_bytes": mem,
             "index_mb_per_1m_docs": round(mem / 1e6 / args.docs * 1e6, 1),
             "host_rss_mb": round(host_rss_mb, 1),

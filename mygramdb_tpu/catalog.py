@@ -194,8 +194,10 @@ class TableContext:
             return
         try:
             from .storage.device_text import DeviceTextStore
+            dev = self.index.device
             self.device_text = DeviceTextStore.from_doc_store(
-                self.doc_store, self.index.device.n_docs_capacity)
+                self.doc_store, dev.n_docs_capacity,
+                doc_sharding=dev.text_doc_sharding)
             self._device_text_gen = self.index.built_generation
         except Exception as e:  # noqa: BLE001 — fall back to host verify
             StructuredLog().event("device_text_build_failed").field(

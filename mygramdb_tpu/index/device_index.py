@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import threading
+import time
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -204,6 +205,8 @@ class DeviceIndex:
         top-k gathers ride the interconnect). Requires mesh_shards devices."""
         self.built = built
         self.candidate_buckets = tuple(candidate_buckets)
+        self.upload_detail: dict = {}   # stage -> seconds (diagnostics)
+        _t0 = time.time()
         self.mesh = None
         self._doc_sharding = None   # (V, W) arrays: P(None, 'docs')
         self._row_sharding = None   # (W,) arrays:   P('docs')
@@ -246,6 +249,8 @@ class DeviceIndex:
                 bm[row], ids >> 5,
                 np.left_shift(np.uint32(1), (ids & 31).astype(np.uint32)))
         bm[self.ones_row] = np.uint32(0xFFFFFFFF)
+        self.upload_detail["bitmap_host_s"] = round(time.time() - _t0, 2)
+        _t0 = time.time()
 
         self._device = device
         if self._doc_sharding is not None and \
@@ -256,6 +261,8 @@ class DeviceIndex:
             self._repl_sharding = None
             self.mesh = None
             self.bitmaps = jax.device_put(bm, device)
+        self.upload_detail["bitmap_put_s"] = round(time.time() - _t0, 2)
+        _t0 = time.time()
         # device CSR over the full postings array (offsets valid for all
         # terms; dense terms' slices are read by OR/AST paths and
         # compaction). Single-chip: one replicated array. Multi-chip: the
@@ -274,10 +281,14 @@ class DeviceIndex:
             self.postings = jax.device_put(
                 posting_ops.pad_postings(built.postings),
                 self._repl_sharding or device)
+            self.upload_detail["postings_put_s"] = round(
+                time.time() - _t0, 2)
+            _t0 = time.time()
         else:
-            # no replicated device CSR on the mesh: sparse search goes
-            # through the shard_map kernel; threshold/AST/fused-verify
-            # route to host/unfused fallbacks (guarded on postings_sh)
+            # no replicated device CSR on the mesh: sparse search,
+            # fused-verify and boolean-AST go through the shard_map
+            # programs (parallel/mesh.py); threshold routes to the host
+            # fallback (guarded on postings_sh)
             self.postings = None
         self.offsets32 = built.offsets.astype(np.int32)
         self.lengths = built.lengths
@@ -299,6 +310,7 @@ class DeviceIndex:
                 built.positional, self.n_docs_capacity, device=device,
                 postings=built.postings, offsets=built.offsets,
                 lengths=built.lengths)
+            self.upload_detail["positional_s"] = round(time.time() - _t0, 2)
 
     def set_positional_doc_lengths(self, doc_len) -> None:
         """Upload per-doc normalized-text lengths (BM25 norm for the
@@ -364,6 +376,19 @@ class DeviceIndex:
             pos += n
         self.postings_sh = jax.device_put(
             local, NamedSharding(self.mesh, P("docs", None)))
+
+    # ------------------------------------------------------------------
+    @property
+    def text_doc_sharding(self):
+        """NamedSharding P('docs', None) for doc-ROW-major arrays (the
+        padded text matrix) on the index mesh; None single-chip. Passed
+        to DeviceTextStore.from_doc_store so the text pack shards with
+        the index and the mesh fused verify gathers candidates locally."""
+        if self.mesh is None:
+            return None
+        import jax.sharding as jshard
+        return jshard.NamedSharding(self.mesh,
+                                    jshard.PartitionSpec("docs", None))
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -759,7 +784,11 @@ class DeviceIndex:
                  np.empty(0, dtype=np.float32), 0)
         if sparse_tids:
             if self.postings_sh is not None:
-                return None  # mesh: sharded CSR -> unfused sharded path
+                if score_mode:
+                    return None  # mesh fused path is verify-mode only
+                return self._search_and_verified_sharded(
+                    sparse_tids, text_store, needles, needle_lens,
+                    limit_b, descending, extra_words)
             sparse_tids = sorted(sparse_tids,
                                  key=lambda t: int(self.lengths[t]))
             driver = sparse_tids[0]
@@ -862,6 +891,81 @@ class DeviceIndex:
                   else np.zeros(ids.shape[1], dtype=np.float32))
         return int(count[0]), ids[0], scores, int(pre[0])
 
+    def _search_and_verified_sharded(self, sparse_tids, text_store,
+                                     needles, needle_lens, limit_b: int,
+                                     descending: bool, extra_words=()):
+        """Mesh-mode fused verified search over the doc-sharded CSR +
+        doc-sharded text pack (parallel/mesh.sharded_fused_verify). Each
+        shard compacts + window-verifies only ITS candidates; k verified
+        ids per shard cross the interconnect. Dense-gram membership is
+        subsumed by the window verify (needles contain every query term)
+        exactly as the single-chip probeless path. Returns None (caller
+        falls back to the unfused sharded search + host verify) when the
+        text pack is not doc-sharded, a slice exceeds the device buckets,
+        or a shard's survivor set clipped."""
+        from ..parallel import mesh as pmesh
+        from ..ops.verify_ops import needle_cap_bucket
+        if not getattr(text_store, "doc_sharded", False):
+            return None
+        empty = (0, np.empty(0, dtype=np.int32),
+                 np.empty(0, dtype=np.float32), 0)
+        S_sh = int(self.mesh.shape["docs"])
+        sparse_tids = sorted(sparse_tids,
+                             key=lambda t: int(self.lengths[t]))
+        driver = sparse_tids[0]
+        if int(self.lengths[driver]) == 0:
+            return empty
+        dlen_sh = self.lengths_sh[:, driver].astype(np.int32)  # (S,)
+        C = self.verify_cand_bucket(int(dlen_sh.max()))
+        if C > self.candidate_buckets[-1]:
+            return None
+        Kv = min(C, self._KV_BUCKET)
+        probes = sparse_tids[1:]
+        probeless = C <= Kv
+        Ks = _k_bucket(len(probes)) if (probes and not probeless) else 1
+        sp_off = np.zeros((1, Ks, S_sh), dtype=np.int32)
+        sp_len = np.zeros((1, Ks, S_sh), dtype=np.int32)
+        sp_inv = np.ones((1, Ks, S_sh), dtype=bool)
+        max_probe = 1
+        if not probeless:
+            for j, t in enumerate(probes):
+                sp_off[0, j] = self.offsets_sh[:, t].astype(np.int32)
+                sp_len[0, j] = self.lengths_sh[:, t]
+                sp_inv[0, j] = False
+                max_probe = max(max_probe,
+                                int(self.lengths_sh[:, t].max()))
+        Cmax = self._cand_bucket(max_probe)
+        if Cmax > self.candidate_buckets[-1]:
+            return None
+        d_off = self.offsets_sh[:, driver].astype(np.int32)[None, :]
+        d_len = dlen_sh[None, :]
+        Nn = needles.shape[0]
+        cap = needle_cap_bucket(int(needle_lens.max())
+                                if needle_lens.size else 1)
+        use_range = bool(
+            text_store.dtype == np.uint16 and needles.size
+            and int(needles.max()) >= 0xFFFF)
+        extra = (jnp.stack(list(extra_words)) if extra_words
+                 else jnp.zeros((0, self.n_words), dtype=jnp.uint32))
+        lb = min(limit_b, Kv)
+        from ..ops import runtime
+        runtime.dispatches.bump()
+        out = np.asarray(pmesh.sharded_fused_verify(
+            self.mesh, self.postings_sh, self.deleted,
+            text_store.codepoints, text_store.lengths,
+            d_off, d_len, sp_off, sp_len, sp_inv,
+            needles[None, :, :cap], needle_lens[None],
+            extra, C=C, Cmax=Cmax, Ks=Ks, Kv=Kv, n=lb, Nn=Nn, cap=cap,
+            descending=descending, probeless=probeless,
+            use_range=use_range, shard_docs=self.shard_docs,
+            words_local=self.n_words // S_sh))
+        pre, clipped, count = int(out[0, 0]), int(out[0, 1]), int(out[0, 2])
+        if clipped:
+            return None  # some shard's survivors exceeded Kv: exact path
+        ids = out[0, 3:]
+        return count, ids.astype(np.int32), \
+            np.zeros(ids.shape[0], dtype=np.float32), pre
+
     # ------------------------------------------------------------------
     # Positional verified search (gather-free; ops/positional_ops.py)
     # ------------------------------------------------------------------
@@ -961,9 +1065,7 @@ class DeviceIndex:
         materialization at 1M+ docs), or None when a leaf doesn't fit a
         device shape (caller falls back to the host set-algebra path).
         ``universe`` is the all-live-docs bitmap for NOT complements."""
-        if self.postings_sh is not None:
-            return None  # mesh: no replicated CSR for the leaf scatters
-        rows_l, offs_l, lens_l = [], [], []
+        rows_l, sp_l = [], []
         K = S = 1
         max_len = 1
         for tids in leaf_tids:
@@ -975,11 +1077,16 @@ class DeviceIndex:
                 if any(int(self.lengths[t]) == 0 for t in sparse):
                     dense_rows, sparse = [self.zeros_row], []
             rows_l.append(dense_rows or [self.ones_row])
-            offs_l.append([int(self.offsets32[t]) for t in sparse])
-            lens_l.append([int(self.lengths[t]) for t in sparse])
+            sp_l.append(list(sparse))
             K = max(K, len(rows_l[-1]))
             S = max(S, max(1, len(sparse)))
-            max_len = max([max_len] + lens_l[-1])
+            if self.postings_sh is not None:
+                for t in sparse:
+                    max_len = max(max_len,
+                                  int(self.lengths_sh[:, t].max()))
+            else:
+                max_len = max([max_len] +
+                              [int(self.lengths[t]) for t in sparse])
         bucket = self._cand_bucket(max_len)
         if bucket > self.candidate_buckets[-1]:
             return None
@@ -987,14 +1094,35 @@ class DeviceIndex:
         S = _k_bucket(S)
         T = len(leaf_tids)
         rows = np.full((T, K), self.ones_row, dtype=np.int32)
-        offs = np.zeros((T, S), dtype=np.int32)
-        lens = np.zeros((T, S), dtype=np.int32)
         for i in range(T):
             rows[i, :len(rows_l[i])] = rows_l[i]
-            offs[i, :len(offs_l[i])] = offs_l[i]
-            lens[i, :len(lens_l[i])] = lens_l[i]
-        fn = _ast_words_program(sig, K, S, bucket, self.n_words)
         from ..ops import runtime
+        if self.postings_sh is not None:
+            # mesh: leaf scatters run per shard over the doc-sharded CSR
+            # (shard-local doc ids -> local words); no collective at all
+            from ..parallel import mesh as pmesh
+            S_sh = int(self.mesh.shape["docs"])
+            offs = np.zeros((T, S, S_sh), dtype=np.int32)
+            lens = np.zeros((T, S, S_sh), dtype=np.int32)
+            real = np.zeros((T, S), dtype=bool)
+            for i, sparse in enumerate(sp_l):
+                for j, t in enumerate(sparse):
+                    offs[i, j] = self.offsets_sh[:, t].astype(np.int32)
+                    lens[i, j] = self.lengths_sh[:, t]
+                    real[i, j] = True
+            runtime.dispatches.bump()
+            words = pmesh.sharded_ast_words(
+                self.mesh, self.postings_sh, self.bitmaps, self.deleted,
+                universe, rows, offs, lens, real, sig=sig, K=K, S=S,
+                bucket=bucket, words_local=self.n_words // S_sh)
+            return np.asarray(words)
+        offs = np.zeros((T, S), dtype=np.int32)
+        lens = np.zeros((T, S), dtype=np.int32)
+        for i, sparse in enumerate(sp_l):
+            for j, t in enumerate(sparse):
+                offs[i, j] = int(self.offsets32[t])
+                lens[i, j] = int(self.lengths[t])
+        fn = _ast_words_program(sig, K, S, bucket, self.n_words)
         runtime.dispatches.bump()
         words = fn(self.bitmaps, self.postings, self.deleted, universe,
                    jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(lens))
@@ -1168,6 +1296,11 @@ class DeviceIndex:
             if tid is not None and self.dense_row[tid] < 0:
                 for opts in (opts_all, opts_top):
                     self._sparse_and_path([tid], [], [], [], [], opts)
+            if tid is not None:
+                # boolean-AST program (single-chip and the sharded
+                # shard_map variant share this entry point)
+                self.ast_words(("&", ("t", 0), ("t", 1)),
+                               [[tid], [tid]], self._ones_words)
 
     # ------------------------------------------------------------------
     def memory_usage(self) -> int:

@@ -125,12 +125,17 @@ class DevicePositional:
                  offsets: Optional[np.ndarray] = None,
                  lengths: Optional[np.ndarray] = None):
         import jax
+        import time as _time
         from ..ops.positional_ops import OCC_GATHER_PAD
+        self.upload_detail: dict = {}
+        _t0 = _time.time()
         opos = pp.occ_pos
         tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % OCC_ALIGN)
         opos = np.concatenate([
             opos, np.full(tail, POS_PAD, dtype=np.uint16)])
         self.occ_pos8 = jax.device_put(opos.reshape(-1, OCC_ALIGN), device)
+        self.upload_detail["occ_pos_put_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
         # per-occurrence DOC ids, same aligned layout as occ_pos: the
         # kernel's probe pair lists and driver anchors become plain slice
         # gathers with zero expansion work (the rank-based expansion of
@@ -154,8 +159,11 @@ class DevicePositional:
             del start
             odoc[idx] = np.repeat(postings, cnt64)
             del idx
+        self.upload_detail["occ_doc_host_s"] = round(_time.time() - _t0, 2)
+        _t0 = _time.time()
         self.occ_doc8 = jax.device_put(odoc.reshape(-1, OCC_ALIGN), device)
         del odoc
+        self.upload_detail["occ_doc_put_s"] = round(_time.time() - _t0, 2)
         self.occ_base8 = (pp.occ_base // OCC_ALIGN).astype(np.int32)  # host
         self.occ_len = pp.occ_len                              # host int64
         self.occ_cnt_host = pp.occ_cnt                         # host/debug

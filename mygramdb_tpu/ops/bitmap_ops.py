@@ -720,16 +720,27 @@ def bitmap_from_postings(postings: jax.Array, off: jax.Array, ln: jax.Array,
 @functools.partial(jax.jit, static_argnames=("K", "S", "bucket", "n_words"))
 def term_bitmap(bitmaps: jax.Array, rows: jax.Array, postings: jax.Array,
                 offs: jax.Array, lens: jax.Array, deleted: jax.Array,
-                *, K: int, S: int, bucket: int, n_words: int) -> jax.Array:
+                *, K: int, S: int, bucket: int, n_words: int,
+                real=None) -> jax.Array:
     """(W,) bitmap of docs containing ALL grams of one term: AND of dense
     rows (padded with the all-ones sentinel) and scattered sparse slices
-    (len 0 slots = padding = AND identity). Tombstones cleared."""
+    (len 0 slots = padding = AND identity). Tombstones cleared.
+
+    ``real`` ((S,) bool, optional): marks slots holding a REAL term whose
+    slice may legitimately be empty — e.g. a shard of the doc-sharded CSR
+    with no postings for that term. A real empty slot contributes ZEROS
+    (the term matches nothing there), not the all-ones padding identity;
+    without it the mesh AST path turns term-free shards into match-all."""
     words = _reduce_rows_jnp(bitmaps, rows[None], "and")[0]
 
     def body(i, acc):
         wi = bitmap_from_postings(postings, offs[i], lens[i],
                                   bucket=bucket, n_words=n_words)
-        wi = jnp.where(lens[i] > 0, wi, jnp.uint32(U32_ONES))
+        if real is None:
+            fill = jnp.uint32(U32_ONES)
+        else:
+            fill = jnp.where(real[i], jnp.uint32(0), jnp.uint32(U32_ONES))
+        wi = jnp.where(lens[i] > 0, wi, fill)
         return jnp.bitwise_and(acc, wi)
 
     words = jax.lax.fori_loop(0, S, body, words)

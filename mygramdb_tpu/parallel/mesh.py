@@ -199,6 +199,206 @@ def sharded_sparse_query(mesh: Mesh, post_sh, bitmaps, deleted,
               jnp.asarray(dn_inv))
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_ast_program(mesh_id: int, sig: tuple, K: int, S: int,
+                         bucket: int, words_local: int):
+    """Compiled shard_map boolean-AST evaluation over the doc-sharded
+    CSR + bitmap blocks (the multi-chip analog of
+    device_index._ast_words_program). Each shard builds every leaf's
+    LOCAL word row from its bitmap block (dense rows are doc-sharded
+    P(None,'docs') so row slices are local) and its shard-local postings
+    (scatters of shard-LOCAL doc ids into the local words), evaluates
+    the tree algebra locally, and the result words come back doc-sharded
+    P('docs') — no collective at all: bitmap algebra is embarrassingly
+    parallel over the doc axis."""
+    mesh = _MESH_BY_ID[mesh_id]
+    from jax import shard_map
+    from ..ops.bitmap_ops import term_bitmap
+
+    def build(node, leaves, universe):
+        tag = node[0]
+        if tag == "t":
+            return leaves[node[1]]
+        if tag == "!":
+            return jnp.bitwise_and(
+                universe, jnp.bitwise_not(build(node[1], leaves, universe)))
+        out = build(node[1], leaves, universe)
+        for ch in node[2:]:
+            nxt = build(ch, leaves, universe)
+            out = (jnp.bitwise_and(out, nxt) if tag == "&"
+                   else jnp.bitwise_or(out, nxt))
+        return out
+
+    def step(post_sh, bitmaps, deleted, universe, rows, offs, lens, real):
+        def body(post_l, bm_l, dl_l, uni_l, rw, of, ln, rl):
+            post = post_l[0]
+            T = rw.shape[0]
+            # real slots with a shard-empty slice must contribute ZEROS
+            # (term absent from this doc range), not the padding identity
+            leaves = [term_bitmap(
+                bm_l, rw[i], post, of[i, :, 0], ln[i, :, 0], dl_l,
+                K=K, S=S, bucket=bucket, n_words=words_local,
+                real=rl[i])
+                for i in range(T)]
+            words = build(sig, leaves, uni_l)
+            return jnp.bitwise_and(words, jnp.bitwise_not(dl_l))
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P("docs", None), P(None, "docs"), P("docs"),
+                      P("docs"), P(None, None),
+                      P(None, None, "docs"), P(None, None, "docs"),
+                      P(None, None)),
+            out_specs=P("docs"),
+            check_vma=False)(post_sh, bitmaps, deleted, universe,
+                             rows, offs, lens, real)
+
+    return jax.jit(step)
+
+
+def sharded_ast_words(mesh: Mesh, post_sh, bitmaps, deleted, universe,
+                      rows, offs, lens, real, *, sig: tuple, K: int, S: int,
+                      bucket: int, words_local: int):
+    """Boolean-AST word-bitmap algebra over the doc-sharded index.
+
+    rows (T, K) replicated dense leaf rows; offs/lens (T, S, S_shards)
+    PER-SHARD sparse slices (from DeviceIndex.offsets_sh/lengths_sh);
+    real (T, S) bool marks slots holding a real term (vs S-padding).
+    universe: (W,) all-live bitmap doc-sharded. -> (W,) result words
+    (device, doc-sharded; np.asarray gathers)."""
+    _MESH_BY_ID[id(mesh)] = mesh
+    fn = _sharded_ast_program(id(mesh), sig, K, S, bucket, words_local)
+    return fn(post_sh, bitmaps, deleted, universe,
+              jnp.asarray(rows), jnp.asarray(offs), jnp.asarray(lens),
+              jnp.asarray(real))
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
+                                  Kv: int, n: int, Nn: int, cap: int,
+                                  descending: bool, probeless: bool,
+                                  has_extra: bool, use_range: bool,
+                                  shard_docs: int, words_local: int):
+    """Compiled shard_map fused verified search (the multi-chip analog of
+    fused._sparse_search_verify_topn_batch). Per shard: gather the
+    driver term's LOCAL CSR slice (shard-local doc ids), probe the other
+    sparse grams' local slices + tombstones + filter rows, compact to the
+    first Kv survivors, window-verify them against the LOCAL doc-sharded
+    text rows (candidates never cross chips — only k verified ids ride
+    the all_gather), then psum counts and merge per-shard top-n.
+
+    Output (B, 3+n) int32 rows: [pre_sum | clipped | count | ids...];
+    clipped > 0 means some shard's survivor set exceeded Kv and the
+    caller must take the exact path (its count would under-report)."""
+    mesh = _MESH_BY_ID[mesh_id]
+    from jax import shard_map
+    from ..ops.bitmap_ops import bit_member
+    from ..ops.fused import compact_first_k
+    from ..ops.posting_ops import (SENTINEL, gather_slices, mask_to_topn,
+                                   membership_sorted)
+    from ..ops.verify_ops import _gather_text_padded, contains_all
+
+    def step(post_sh, deleted, text_pad, text_len, d_off, d_len,
+             sp_off, sp_len, sp_inv, needles, needle_lens, extra):
+        def body(post_l, dl_l, txt_l, tlen_l, doff, dlen, soff, slen,
+                 sinv, ndl, nlen, ext):
+            post = post_l[0]
+            shard = jax.lax.axis_index("docs").astype(jnp.int32)
+            B = doff.shape[0]
+            cands_all = gather_slices(post, doff[:, 0], dlen[:, 0], C)
+            if probeless:
+                sp_all = jnp.zeros((B, 1, 1), dtype=jnp.int32)
+            else:
+                sp_all = gather_slices(
+                    post, soff[:, :, 0].reshape(B * Ks),
+                    slen[:, :, 0].reshape(B * Ks), Cmax).reshape(B, Ks,
+                                                                 Cmax)
+
+            def one(cands, sp, si_, ndl_q, nlen_q):
+                cmask = cands != SENTINEL
+                clip = jnp.clip(cands, 0, words_local * 32 - 1)
+                mask = cmask & jnp.logical_not(bit_member(dl_l, clip))
+                if has_extra:
+                    for f in range(ext.shape[0]):
+                        mask = mask & bit_member(ext[f], clip)
+                if not probeless:
+                    spm = jnp.logical_xor(membership_sorted(sp, cands),
+                                          si_[:, None])
+                    mask = mask & jnp.all(spm, axis=0)
+                sel, pre = compact_first_k(cands, mask, Kv)
+                alive = sel != SENTINEL
+                safe = jnp.where(alive, sel, 0)
+                text, doc_len, win = _gather_text_padded(
+                    txt_l, tlen_l, safe, 0, cap, need_len=use_range)
+                vmask = contains_all(text, doc_len, ndl_q, nlen_q, win,
+                                     Nn, cap, use_range)
+                vmask = jnp.logical_and(vmask, alive)
+                cnt, ids_l = mask_to_topn(sel, vmask, n, descending)
+                ids_g = jnp.where(ids_l >= 0,
+                                  ids_l + shard * shard_docs, -1)
+                return pre, cnt, ids_g
+
+            pre_l, cnt_l, ids_l = jax.vmap(one)(
+                cands_all, sp_all, sinv[:, :, 0], ndl, nlen)
+            pre = jax.lax.psum(pre_l, "docs")
+            clipped = jax.lax.psum((pre_l > Kv).astype(jnp.int32), "docs")
+            count = jax.lax.psum(cnt_l, "docs")
+            gathered = jax.lax.all_gather(ids_l, "docs")  # (S, B, n)
+            Ssh = gathered.shape[0]
+            cat = jnp.swapaxes(gathered, 0, 1).reshape(B, Ssh * n)
+            if descending:
+                vals, _ = jax.lax.top_k(cat, n)
+                ids = jnp.where(vals >= 0, vals, -1)
+            else:
+                keys = jnp.where(cat >= 0, -cat, jnp.int32(-(2 ** 31) + 1))
+                vals, _ = jax.lax.top_k(keys, n)
+                ids = jnp.where(vals > -(2 ** 31) + 1, -vals, -1)
+            return jnp.concatenate(
+                [pre[:, None], clipped[:, None], count[:, None], ids],
+                axis=1)
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P("docs", None), P("docs"), P("docs", None),
+                      P("docs"), P(None, "docs"), P(None, "docs"),
+                      P(None, None, "docs"), P(None, None, "docs"),
+                      P(None, None, "docs"), P(None, None, None),
+                      P(None, None), P(None, "docs")),
+            out_specs=P(None, None),
+            check_vma=False)(post_sh, deleted, text_pad, text_len,
+                             d_off, d_len, sp_off, sp_len, sp_inv,
+                             needles, needle_lens, extra)
+
+    return jax.jit(step)
+
+
+def sharded_fused_verify(mesh: Mesh, post_sh, deleted, text_pad, text_len,
+                         d_off, d_len, sp_off, sp_len, sp_inv,
+                         needles, needle_lens, extra, *, C: int, Cmax: int,
+                         Ks: int, Kv: int, n: int, Nn: int, cap: int,
+                         descending: bool, probeless: bool,
+                         use_range: bool, shard_docs: int,
+                         words_local: int):
+    """Batched fused verified search over the doc-sharded CSR + text.
+
+    d_off/d_len (B, S_shards); sp_off/sp_len/sp_inv (B, Ks, S_shards);
+    needles (B, Nn, cap) uint32; extra (F, W) filter word rows (pass a
+    (0, W) array when unused). -> (B, 3+n) int32 [pre|clipped|count|ids]."""
+    _MESH_BY_ID[id(mesh)] = mesh
+    has_extra = int(extra.shape[0]) > 0
+    if not has_extra:
+        # unused but must still split over 'docs': one word per shard
+        extra = jnp.zeros((1, int(mesh.shape["docs"])), dtype=jnp.uint32)
+    fn = _sharded_fused_verify_program(
+        id(mesh), C, Cmax, Ks, Kv, n, Nn, cap, descending, probeless,
+        has_extra, use_range, shard_docs, words_local)
+    return fn(post_sh, deleted, text_pad, text_len,
+              jnp.asarray(d_off), jnp.asarray(d_len),
+              jnp.asarray(sp_off), jnp.asarray(sp_len),
+              jnp.asarray(sp_inv), jnp.asarray(needles),
+              jnp.asarray(needle_lens), extra)
+
+
 def sharded_update_step(mesh: Mesh, shard_words: int):
     """Build the jitted multi-chip delta-apply step (index mutation).
 

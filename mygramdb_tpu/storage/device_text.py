@@ -41,15 +41,19 @@ FLAT_GATHER_PAD = ((1023 + _MAXT_CHOICES[-1] + NEEDLE_CAP + 1023)
                    // 1024) * 1024
 
 
-@functools.partial(jax.jit, static_argnames=("maxT",))
-def _pad_on_device(flat: jax.Array, offsets: jax.Array, lengths: jax.Array,
-                   maxT: int, sentinel) -> jax.Array:
+def _pad_on_device_impl(flat: jax.Array, offsets: jax.Array,
+                        lengths: jax.Array, maxT: int, sentinel
+                        ) -> jax.Array:
     """(P,) flat pack -> (capacity, maxT) padded rows, sentinel-filled."""
     pos = jnp.arange(maxT, dtype=jnp.int32)[None, :]
     idx = offsets[:, None] + pos
     valid = pos < lengths[:, None]
     idx = jnp.clip(jnp.where(valid, idx, 0), 0, flat.shape[0] - 1)
     return jnp.where(valid, flat[idx], sentinel)
+
+
+_pad_on_device = functools.partial(jax.jit, static_argnames=("maxT",))(
+    _pad_on_device_impl)
 
 
 _PAD_BLOCK_ROWS = 65536
@@ -99,6 +103,34 @@ def _pad_on_device_blocked(flat: jax.Array, offsets: jax.Array,
     return out
 
 
+# doc-sharded padded builds: jitted-with-out_shardings variants, cached
+# per (sharding identity, maxT). The sharding object itself is not
+# hashable-stable across calls, so it parks in a registry keyed by id().
+_TEXT_SHARDING_BY_KEY: Dict[int, object] = {}
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_pad_fn(sharding_key: int, maxT: int):
+    sharding = _TEXT_SHARDING_BY_KEY[sharding_key]
+    return jax.jit(functools.partial(_pad_on_device_impl, maxT=maxT),
+                   out_shardings=sharding)
+
+
+def _pad_on_device_sharded(flat: jax.Array, offsets: jax.Array,
+                           lengths: jax.Array, maxT: int, sentinel,
+                           dtype, sharding) -> jax.Array:
+    """Doc-sharded padded-matrix build: the (capacity, rowT) matrix comes
+    out P('docs', None) on the index mesh, so each chip holds only its
+    doc range's text rows (~S x less HBM than the replicated layout; the
+    mesh fused-verify kernel then row-gathers candidates locally). The
+    compact flat pack is replicated during the build and freed after —
+    only the padded matrix persists."""
+    _TEXT_SHARDING_BY_KEY[id(sharding)] = sharding
+    fn = _sharded_pad_fn(id(sharding), maxT)
+    return fn(flat, offsets, lengths,
+              sentinel=jnp.asarray(sentinel, dtype=dtype))
+
+
 def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -108,8 +140,9 @@ def _bucket(n: int, buckets) -> int:
 
 class DeviceTextStore:
     def __init__(self, texts_by_doc: Dict[int, str], capacity: int,
-                 device=None):
+                 device=None, doc_sharding=None):
         """texts_by_doc: doc id -> normalized text (snapshot at build)."""
+        self._doc_sharding = doc_sharding
         ids_arr = np.asarray(list(texts_by_doc.keys()), dtype=np.int64)
         lens_arr = np.asarray([len(t) for t in texts_by_doc.values()],
                               dtype=np.int64)
@@ -121,18 +154,21 @@ class DeviceTextStore:
         self._build(ids_arr, lens_arr, flat, capacity, device)
 
     @classmethod
-    def from_doc_store(cls, doc_store, capacity: int, device=None
-                       ) -> "DeviceTextStore":
+    def from_doc_store(cls, doc_store, capacity: int, device=None,
+                       doc_sharding=None) -> "DeviceTextStore":
         """Build from a hybrid DocumentStore. The frozen columnar base
         streams straight from its utf-8 blob — no per-doc Python strings
         for the bulk of the corpus (at 1M+ docs the dict snapshot path
         costs minutes and gigabytes); post-freeze overlay texts append
-        after, shadowing their frozen rows."""
+        after, shadowing their frozen rows. doc_sharding: optional
+        NamedSharding P('docs', None) from the index mesh (see _upload)."""
         frozen = getattr(doc_store, "frozen", None)
         if frozen is None or frozen.txt_blob is None:
-            return cls(doc_store.texts_snapshot(), capacity, device)
+            return cls(doc_store.texts_snapshot(), capacity, device,
+                       doc_sharding)
         overlay = doc_store.text_overlay()
-        fast = cls._from_frozen_native(frozen, overlay, capacity, device)
+        fast = cls._from_frozen_native(frozen, overlay, capacity, device,
+                                       doc_sharding)
         if fast is not None:
             return fast
         ov_ids = np.asarray(list(overlay.keys()), dtype=np.int64)
@@ -158,6 +194,7 @@ class DeviceTextStore:
             flat_parts.append(np.frombuffer(
                 "".join(texts).encode("utf-32-le"), dtype=np.uint32))
         obj = cls.__new__(cls)
+        obj._doc_sharding = doc_sharding
         obj._build(
             np.concatenate(id_parts) if id_parts else
             np.zeros(0, dtype=np.int64),
@@ -170,7 +207,7 @@ class DeviceTextStore:
 
     @classmethod
     def _from_frozen_native(cls, frozen, overlay: Dict[int, str],
-                            capacity: int, device
+                            capacity: int, device, doc_sharding=None
                             ) -> Optional["DeviceTextStore"]:
         """One-pass native pack from the frozen store's UTF-8 blob.
 
@@ -213,6 +250,7 @@ class DeviceTextStore:
             return None
 
         obj = cls.__new__(cls)
+        obj._doc_sharding = doc_sharding
         obj.capacity = capacity
         if n:
             p99 = int(np.percentile(cp_lens, 99))
@@ -319,8 +357,15 @@ class DeviceTextStore:
         """Ship the pack to HBM. Padded (N, maxT) layout when it fits the
         budget: the kernels then ROW-gather candidate texts (contiguous
         DMA) instead of C*maxT element gathers — order-of-magnitude
-        faster at large C. Large corpora keep the compact flat pack."""
+        faster at large C. Large corpora keep the compact flat pack.
+
+        When ``self._doc_sharding`` is set (a NamedSharding P('docs',
+        None) from the index mesh), the padded matrix builds doc-sharded:
+        each chip keeps only its doc range's rows and the mesh fused
+        verify gathers candidates locally (parallel/mesh.py)."""
         itemsize = np.dtype(self.dtype).itemsize
+        doc_sharding = getattr(self, "_doc_sharding", None)
+        self.doc_sharded = False
         # round the row count up to a multiple of 8: the Pallas fused
         # verify kernel DMAs (8, rowT) doc GROUPS (single rows of the
         # (8,128)-tiled HBM matrix are not tile-aligned slices); the pad
@@ -362,6 +407,16 @@ class DeviceTextStore:
         fits = fits and flat.size < 2 ** 31
         if layout == "padded" and flat.size >= 2 ** 31:
             layout = "flat"
+        rows_total = offsets.shape[0]
+        # sharded build is viable only when the row axis divides evenly
+        # over the mesh (no row pad shifted the shard boundaries: capacity
+        # is a 32-multiple so the %8 pad above is a no-op there) and the
+        # one-shot pad's int32 index intermediate fits per device
+        n_sh = (doc_sharding.mesh.shape["docs"]
+                if doc_sharding is not None else 1)
+        shard_ok = (doc_sharding is not None and rows_total == capacity
+                    and capacity % n_sh == 0
+                    and capacity // n_sh * rowT * 4 <= (4 << 30))
         if layout == "padded" or (layout != "flat" and fits):
             # build the (capacity, maxT + NEEDLE_CAP) padded layout ON
             # DEVICE from the flat pack: host->HBM transfer is the flat
@@ -373,9 +428,20 @@ class DeviceTextStore:
             flat_dev = jax.device_put(flat, device)
             offs32 = jax.device_put(
                 self.offsets_host.astype(np.int32), device)  # < 2^31 here
-            self.codepoints = _pad_on_device_blocked(
-                flat_dev, offs32, self.lengths, rowT, sentinel,
-                self.dtype)
+            if shard_ok:
+                import jax.sharding as jshard
+                self.codepoints = _pad_on_device_sharded(
+                    flat_dev, offs32, self.lengths, rowT, sentinel,
+                    self.dtype, doc_sharding)
+                row_sh = jshard.NamedSharding(
+                    doc_sharding.mesh, jshard.PartitionSpec("docs"))
+                self.lengths = jax.device_put(lengths, row_sh)
+                self.doc_sharded = True
+            else:
+                self.codepoints = _pad_on_device_blocked(
+                    flat_dev, offs32, self.lengths, rowT, sentinel,
+                    self.dtype)
+                self.doc_sharded = False
             self.codepoints.block_until_ready()
             self.flat_padded = False
             del flat_dev

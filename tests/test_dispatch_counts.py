@@ -199,3 +199,71 @@ def test_positional_path_served_the_cjk_query(pipe):
     total, ids, _s, _p = dev.search_verified_positional(
         plan, 128, True)
     assert total == 3
+
+
+class TestMesh8Dispatch:
+    """Round-4: the mesh serves the headline workload through the same
+    1-dispatch structures (shard_map fused verify + sharded boolean AST)
+    instead of host fallbacks."""
+
+    @pytest.fixture(scope="class")
+    def mpipe(self, eight_cpu_devices):
+        cfg_d = dict(CFG)
+        # dense_df_ratio > 1 keeps every term sparse: the mesh fused
+        # verify + sharded-AST paths under test ride the doc-sharded CSR
+        cfg_d["device"] = {"mesh_shards": 8, "positional_verify": False,
+                           "dense_df_ratio": 2.0}
+        cfg = load_config_from_dict(cfg_d)
+        cat = TableCatalog(cfg)
+        ctx = cat.resolve("articles")
+        bulk = ctx.begin_bulk_load()
+        rows = [(str(i), t, {"status": i % 3})
+                for i, t in enumerate([
+                    "the quick brown fox jumps over the lazy dog",
+                    "quick silver lining in the clouds",
+                    "日本語の全文検索エンジンです",
+                    "東京タワーは日本の有名な観光地です",
+                    "brown bears eat quick snacks",
+                    "foxes and dogs are friends",
+                    "quick 日本 mixed content",
+                    "the lazy afternoon sun",
+                ], start=1)]
+        bulk.add_batch(rows)
+        bulk.finish()
+        ctx._rebuild_device_text()
+        return SearchPipeline(ctx, cfg)
+
+    def test_text_pack_is_doc_sharded(self, mpipe):
+        dt = mpipe.ctx.fresh_device_text()
+        assert dt is not None and dt.doc_sharded
+        # per-device rows ~= capacity / 8
+        shard_rows = dt.codepoints.sharding.shard_shape(
+            dt.codepoints.shape)[0]
+        assert shard_rows * 8 == dt.codepoints.shape[0]
+
+    def test_verified_cjk_is_one_dispatch_on_mesh(self, mpipe):
+        n, out = dispatches_of(mpipe, "SEARCH articles 日本 LIMIT 10")
+        assert out.total == 3
+        assert n == 1, n
+
+    def test_verified_parity_with_single_chip(self, mpipe, pipe):
+        for q in ("SEARCH articles 日本 LIMIT 10",
+                  'SEARCH articles "quick brown" LIMIT 10',
+                  "SEARCH articles 東京 LIMIT 10"):
+            o1 = pipe.execute(P.parse(q))
+            o8 = mpipe.execute(P.parse(q))
+            assert o1.total == o8.total, q
+            assert o1.results.tolist() == o8.results.tolist(), q
+
+    def test_boolean_ast_is_one_dispatch_on_mesh(self, mpipe):
+        n, out = dispatches_of(
+            mpipe, "SEARCH articles (quick OR lazy) NOT brown LIMIT 10")
+        assert out.total >= 2
+        assert n <= 2, n  # AST words + top-n extraction
+
+    def test_boolean_ast_parity_with_single_chip(self, mpipe, pipe):
+        q = "SEARCH articles (quick OR lazy) NOT brown LIMIT 10"
+        o1 = pipe.execute(P.parse(q))
+        o8 = mpipe.execute(P.parse(q))
+        assert o1.total == o8.total
+        assert o1.results.tolist() == o8.results.tolist()

@@ -122,3 +122,154 @@ class TestShardedDeviceIndex:
         idx.mark_deleted([1, 2, 3])
         total, _ = idx.search_and([t])
         assert total == 39997
+
+
+class TestShardedFusedVerify:
+    """Round-4: the mesh serves the headline verified workload — each
+    shard compacts + window-verifies its own candidates against the
+    doc-sharded text pack; only k verified ids cross the interconnect
+    (parallel/mesh.sharded_fused_verify)."""
+
+    @staticmethod
+    def _corpus(n=4000, seed=11):
+        rng = np.random.default_rng(seed)
+        texts = {}
+        phrase_ids = set()
+        for i in range(1, n + 1):
+            r = rng.random()
+            if r < 0.25:
+                texts[i] = "xx alpha beta yy"
+                phrase_ids.add(i)
+            elif r < 0.5:
+                texts[i] = "alpha zz beta ww"   # grams yes, phrase no
+            elif r < 0.75:
+                texts[i] = "alpha only here"
+            else:
+                texts[i] = "plain filler text"
+        return texts, phrase_ids
+
+    def _build(self, texts, shards):
+        from mygramdb_tpu.index import IndexBuilder, DeviceIndex
+        from mygramdb_tpu.storage.device_text import DeviceTextStore
+        b = IndexBuilder()
+        for i, t in texts.items():
+            b.add_document(i, t)
+        built = b.finalize()
+        idx = DeviceIndex(built, dense_df_ratio=0.9,  # keep terms sparse
+                          mesh_shards=shards)
+        store = DeviceTextStore(texts, idx.n_docs_capacity,
+                                doc_sharding=idx.text_doc_sharding)
+        return built, idx, store
+
+    @staticmethod
+    def _needles(*terms):
+        cap = 32
+        ndl = np.zeros((len(terms), cap), dtype=np.uint32)
+        lens = np.zeros(len(terms), dtype=np.int32)
+        for i, t in enumerate(terms):
+            cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+            ndl[i, :cp.size] = cp
+            lens[i] = cp.size
+        return ndl, lens
+
+    def test_matches_single_chip_and_bruteforce(self, eight_cpu_devices):
+        texts, phrase_ids = self._corpus()
+        built, idx8, store8 = self._build(texts, 8)
+        _, idx1, store1 = self._build(texts, 1)
+        assert idx8.postings_sh is not None
+        assert store8.doc_sharded
+        grams = ["al", "lp", "be", "et"]
+        tids = [built.term_dict.get(g) for g in grams]
+        assert all(t is not None for t in tids)
+        ndl, nlens = self._needles("alpha beta")
+        r8 = idx8.search_and_verified(tids, store8, ndl, nlens,
+                                      limit_b=128, descending=True)
+        r1 = idx1.search_and_verified(tids, store1, ndl, nlens,
+                                      limit_b=128, descending=True)
+        assert r8 is not None and r1 is not None
+        count8, ids8 = r8[0], r8[1]
+        count1, ids1 = r1[0], r1[1]
+        assert count8 == len(phrase_ids)
+        assert count8 == count1
+        exp = sorted(phrase_ids, reverse=True)[:128]
+        assert [i for i in ids8.tolist() if i >= 0] == exp
+        assert ids8.tolist() == ids1.tolist()
+
+    def test_ascending_and_filter_row(self, eight_cpu_devices):
+        import jax
+        from mygramdb_tpu.ops import bitmap_ops
+        texts, phrase_ids = self._corpus(seed=5)
+        built, idx8, store8 = self._build(texts, 8)
+        grams = ["al", "lp", "be", "et"]
+        tids = [built.term_dict.get(g) for g in grams]
+        ndl, nlens = self._needles("alpha beta")
+        # EQ-filter word row keeping only even doc ids
+        even = np.asarray([d for d in range(2, len(texts) + 1, 2)],
+                          dtype=np.int64)
+        row = bitmap_ops.make_bitmap_from_ids(even, idx8.n_words)
+        row_dev = jax.device_put(row, idx8._row_sharding)
+        r = idx8.search_and_verified(tids, store8, ndl, nlens,
+                                     limit_b=64, descending=False,
+                                     extra_words=[row_dev])
+        assert r is not None
+        count, ids = r[0], r[1]
+        exp_set = {d for d in phrase_ids if d % 2 == 0}
+        assert count == len(exp_set)
+        exp = sorted(exp_set)[:64]
+        assert [i for i in ids.tolist() if i >= 0] == exp
+
+    def test_tombstones_respected(self, eight_cpu_devices):
+        texts, phrase_ids = self._corpus(seed=7)
+        built, idx8, store8 = self._build(texts, 8)
+        dead = sorted(phrase_ids)[:3]
+        idx8.mark_deleted(dead)
+        grams = ["al", "lp", "be", "et"]
+        tids = [built.term_dict.get(g) for g in grams]
+        ndl, nlens = self._needles("alpha beta")
+        r = idx8.search_and_verified(tids, store8, ndl, nlens,
+                                     limit_b=128, descending=True)
+        assert r is not None
+        assert r[0] == len(phrase_ids) - 3
+        assert not set(dead) & {i for i in r[1].tolist() if i >= 0}
+
+
+class TestShardedAstWords:
+    """Round-4: boolean-AST word algebra evaluates per shard over the
+    doc-sharded CSR (parallel/mesh.sharded_ast_words) — parity with the
+    single-chip device program."""
+
+    def test_matches_single_chip(self, eight_cpu_devices):
+        from mygramdb_tpu.index import IndexBuilder, DeviceIndex
+        rng = np.random.default_rng(31)
+        words = ["alpha", "beta", "gamma", "delta"]
+        b = IndexBuilder()
+        docs = {}
+        for i in range(1, 20001):
+            docs[i] = " ".join(rng.choice(words,
+                                          size=rng.integers(1, 4)))
+            b.add_document(i, docs[i])
+        built = b.finalize()
+        idx1 = DeviceIndex(built, dense_df_ratio=0.9)
+        idx8 = DeviceIndex(built, dense_df_ratio=0.9, mesh_shards=8)
+        assert idx8.postings_sh is not None
+        leaf_tids = [[built.term_dict.get("al")],
+                     [built.term_dict.get("be")],
+                     [built.term_dict.get("ga")]]
+        sig = ("&", ("t", 0), ("|", ("t", 1), ("!", ("t", 2))))
+        all_ids = np.arange(1, 20001, dtype=np.int64)
+        u1 = idx1.universe_words(all_ids)
+        u8 = idx8.universe_words(all_ids)
+        w1 = idx1.ast_words(sig, leaf_tids, u1)
+        w8 = idx8.ast_words(sig, leaf_tids, u8)
+        assert w1 is not None and w8 is not None
+        assert np.array_equal(w1, w8)
+        # brute force
+        exp = {i for i, t in docs.items()
+               if "al" in t and ("be" in t or "ga" not in t)}
+        got = set()
+        for w in np.flatnonzero(w8):
+            bits = int(w8[w])
+            for k in range(32):
+                if bits >> k & 1:
+                    got.add(w * 32 + k)
+        assert got == exp
