@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import bitmap_ops, posting_ops
+from ..ops import bitmap_ops, posting_ops, runtime
 from ..ops.posting_ops import SENTINEL, gather_slices, membership_sorted
 from ..ops.threshold_ops import threshold_merge
 from .builder import BuiltIndex
@@ -260,7 +260,7 @@ class DeviceIndex:
             self._doc_sharding = self._row_sharding = None
             self._repl_sharding = None
             self.mesh = None
-            self.bitmaps = jax.device_put(bm, device)
+            self.bitmaps = runtime.chunked_device_put(bm, device)
         self.upload_detail["bitmap_put_s"] = round(time.time() - _t0, 2)
         _t0 = time.time()
         # device CSR over the full postings array (offsets valid for all
@@ -278,7 +278,7 @@ class DeviceIndex:
         if self.mesh is not None:
             self._build_sharded_csr(built)
         if self.postings_sh is None:
-            self.postings = jax.device_put(
+            self.postings = runtime.chunked_device_put(
                 posting_ops.pad_postings(built.postings),
                 self._repl_sharding or device)
             self.upload_detail["postings_put_s"] = round(
@@ -309,7 +309,7 @@ class DeviceIndex:
             self.positional = DevicePositional(
                 built.positional, self.n_docs_capacity, device=device,
                 postings=built.postings, offsets=built.offsets,
-                lengths=built.lengths)
+                lengths=built.lengths, postings_dev=self.postings)
             self.upload_detail["positional_s"] = round(time.time() - _t0, 2)
 
     def set_positional_doc_lengths(self, doc_len) -> None:

@@ -112,6 +112,46 @@ def _bucket(n: int, buckets) -> Optional[int]:
     return None
 
 
+def _expand_occ_doc_impl(post, cnt, offsets, occ_base, occ_prefix,
+                         P: int, O: int, OA: int):
+    """Device build of the per-occurrence doc-id array.
+
+    post (>=P,) int32 CSR postings (already HBM-resident for the index);
+    cnt (P,) uint16 occurrences per posting; offsets (V,) int32 CSR term
+    starts; occ_base/occ_prefix (V,) int32 aligned/unaligned region
+    starts. Owner-of-cell is recovered WITHOUT searchsorted (a
+    data-dependent gather loop, catastrophic on TPU): scatter a 1 at
+    each posting's/term's first cell, cumsum -> owner index. Zero-length
+    owners collide on the next owner's start; the add accumulates and
+    the cumsum skips them — exactly right."""
+    import jax.numpy as jnp
+    ind = jnp.zeros((P,), jnp.int32).at[offsets].add(1, mode="drop")
+    term_of = jnp.cumsum(ind) - 1
+    cnt32 = cnt.astype(jnp.int32)
+    run_p = jnp.cumsum(cnt32) - cnt32       # unaligned occ prefix/posting
+    start = occ_base[term_of] + (run_p - occ_prefix[term_of])
+    own = jnp.zeros((O,), jnp.int32).at[run_p].add(1, mode="drop")
+    owner = jnp.cumsum(own) - 1
+    tot = jnp.arange(O, dtype=jnp.int32)
+    idx = start[owner] + (tot - run_p[owner])
+    odoc = jnp.full((OA,), jnp.int32(2 ** 31 - 1))
+    return odoc.at[idx].set(post[owner]).reshape(-1, OCC_ALIGN)
+
+
+_expand_occ_doc = None  # module-level jit, built on first use
+
+
+def _get_expand_occ_doc():
+    global _expand_occ_doc
+    if _expand_occ_doc is None:
+        import functools
+        import jax
+        _expand_occ_doc = functools.partial(
+            jax.jit, static_argnames=("P", "O", "OA"))(
+            _expand_occ_doc_impl)
+    return _expand_occ_doc
+
+
 class DevicePositional:
     """HBM-resident occurrence index for one immutable segment.
 
@@ -123,9 +163,11 @@ class DevicePositional:
                  doc_len: Optional[np.ndarray] = None, device=None,
                  postings: Optional[np.ndarray] = None,
                  offsets: Optional[np.ndarray] = None,
-                 lengths: Optional[np.ndarray] = None):
+                 lengths: Optional[np.ndarray] = None,
+                 postings_dev=None):
         import jax
         import time as _time
+        from ..ops import runtime
         from ..ops.positional_ops import OCC_GATHER_PAD
         self.upload_detail: dict = {}
         _t0 = _time.time()
@@ -133,37 +175,65 @@ class DevicePositional:
         tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % OCC_ALIGN)
         opos = np.concatenate([
             opos, np.full(tail, POS_PAD, dtype=np.uint16)])
-        self.occ_pos8 = jax.device_put(opos.reshape(-1, OCC_ALIGN), device)
+        OA = opos.size
+        self.occ_pos8 = runtime.chunked_device_put(
+            opos.reshape(-1, OCC_ALIGN), device)
         self.upload_detail["occ_pos_put_s"] = round(_time.time() - _t0, 2)
         _t0 = _time.time()
         # per-occurrence DOC ids, same aligned layout as occ_pos: the
         # kernel's probe pair lists and driver anchors become plain slice
         # gathers with zero expansion work (the rank-based expansion of
         # the doc ids from the CSR measured O(occ * df/128) per query
-        # lane and dominated the batch). Expanded host-side from the CSR
-        # (postings repeated by occ_cnt into the aligned regions).
-        odoc = np.full(opos.size, int(2 ** 31 - 1), dtype=np.int32)
-        if postings is not None and pp.occ_cnt.size == postings.size \
-                and postings.size:
-            cnt64 = pp.occ_cnt.astype(np.int64)
-            occ_prefix = np.cumsum(pp.occ_len) - pp.occ_len
-            run = np.cumsum(cnt64) - cnt64  # global unaligned occ prefix
-            V = pp.occ_len.shape[0]
-            term_of = np.repeat(np.arange(V, dtype=np.int64),
-                                lengths.astype(np.int64))
-            start = pp.occ_base[term_of] + (run - occ_prefix[term_of])
-            del term_of, run
-            idx = np.repeat(start, cnt64) + (
-                np.arange(int(cnt64.sum()), dtype=np.int64) -
-                np.repeat(np.cumsum(cnt64) - cnt64, cnt64))
-            del start
-            odoc[idx] = np.repeat(postings, cnt64)
-            del idx
-        self.upload_detail["occ_doc_host_s"] = round(_time.time() - _t0, 2)
-        _t0 = _time.time()
-        self.occ_doc8 = jax.device_put(odoc.reshape(-1, OCC_ALIGN), device)
-        del odoc
-        self.upload_detail["occ_doc_put_s"] = round(_time.time() - _t0, 2)
+        # lane and dominated the batch). Expanded ON DEVICE from the
+        # already-resident CSR postings + the (P,) occurrence counts —
+        # the host expansion allocated ~3 P/O-sized intermediates at
+        # ~35 MB/s first-touch (104 s at 1.1M docs) and then shipped
+        # 4 B/occurrence; the device build ships 2 B/posting and runs in
+        # device-cumsum time (e2e/profile_upload.py occ_doc_expand).
+        have = (postings is not None and pp.occ_cnt.size == postings.size
+                and postings.size)
+        P = int(pp.occ_cnt.size)
+        dev_ok = (have and postings_dev is not None
+                  and OA < 2 ** 31 and int(pp.occ_base.max(initial=0)) +
+                  int(pp.occ_len.max(initial=0)) < 2 ** 31)
+        if dev_ok:
+            occ_prefix = (np.cumsum(pp.occ_len) - pp.occ_len).astype(
+                np.int32)
+            cnt_dev = runtime.chunked_device_put(pp.occ_cnt, device)
+            self.occ_doc8 = _get_expand_occ_doc()(
+                postings_dev, cnt_dev,
+                jax.device_put(offsets.astype(np.int32), device),
+                jax.device_put(pp.occ_base.astype(np.int32), device),
+                jax.device_put(occ_prefix, device),
+                P=P, O=int(pp.occ_len.sum()), OA=OA)
+            self.occ_doc8.block_until_ready()
+            self.upload_detail["occ_doc_dev_s"] = round(
+                _time.time() - _t0, 2)
+        else:
+            odoc = np.full(OA, int(2 ** 31 - 1), dtype=np.int32)
+            if have:
+                cnt64 = pp.occ_cnt.astype(np.int64)
+                occ_prefix = np.cumsum(pp.occ_len) - pp.occ_len
+                run = np.cumsum(cnt64) - cnt64  # global unaligned prefix
+                V = pp.occ_len.shape[0]
+                term_of = np.repeat(np.arange(V, dtype=np.int64),
+                                    lengths.astype(np.int64))
+                start = pp.occ_base[term_of] + (run - occ_prefix[term_of])
+                del term_of, run
+                idx = np.repeat(start, cnt64) + (
+                    np.arange(int(cnt64.sum()), dtype=np.int64) -
+                    np.repeat(np.cumsum(cnt64) - cnt64, cnt64))
+                del start
+                odoc[idx] = np.repeat(postings, cnt64)
+                del idx
+            self.upload_detail["occ_doc_host_s"] = round(
+                _time.time() - _t0, 2)
+            _t0 = _time.time()
+            self.occ_doc8 = runtime.chunked_device_put(
+                odoc.reshape(-1, OCC_ALIGN), device)
+            del odoc
+            self.upload_detail["occ_doc_put_s"] = round(
+                _time.time() - _t0, 2)
         self.occ_base8 = (pp.occ_base // OCC_ALIGN).astype(np.int32)  # host
         self.occ_len = pp.occ_len                              # host int64
         self.occ_cnt_host = pp.occ_cnt                         # host/debug

@@ -68,6 +68,43 @@ def use_pallas() -> bool:
     return is_tpu()
 
 
+# Host->device transfers over the axon tunnel collapse on large one-shot
+# puts: a single 256 MB device_put measured 201 s (1.3 MB/s) while the
+# SAME bytes as 32 MB chunks took 3.6 s (71 MB/s) — e2e/profile_upload.py.
+# Threading the chunks adds nothing (serial chunks already saturate), so
+# the helper is deliberately sequential.
+_PUT_CHUNK_BYTES = 32 << 20
+
+
+def chunked_device_put(arr, target, chunk_bytes: int = _PUT_CHUNK_BYTES):
+    """device_put `arr` (host numpy) in ~chunk_bytes row slabs, then
+    reassemble on device with one concatenate. Equivalent to
+    jax.device_put(arr, target) but ~50x faster for multi-hundred-MB
+    arrays on tunneled backends. Falls through to a plain put for small
+    arrays or non-numpy inputs. Chunks split along axis 0."""
+    import jax
+    import numpy as np
+    if not isinstance(arr, np.ndarray) or arr.nbytes <= chunk_bytes \
+            or arr.shape[0] < 2:
+        return jax.device_put(arr, target)
+    if target is not None and not isinstance(target, jax.Device):
+        # sharding target: chunking would shard each CHUNK over the mesh
+        # instead of the whole array — keep the one-shot put
+        return jax.device_put(arr, target)
+    rows_per = max(1, chunk_bytes // max(arr.nbytes // arr.shape[0], 1))
+    n = arr.shape[0]
+    parts = [jax.device_put(np.ascontiguousarray(arr[i:i + rows_per]),
+                            target)
+             for i in range(0, n, rows_per)]
+    if len(parts) == 1:
+        return parts[0]
+    import jax.numpy as jnp
+    out = jnp.concatenate(parts)
+    if target is not None:
+        out = jax.device_put(out, target)  # no-op when already placed
+    return out
+
+
 class _DispatchCounter:
     """Process-wide count of device dispatches issued by the ops layer.
 

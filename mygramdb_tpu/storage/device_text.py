@@ -383,12 +383,13 @@ class DeviceTextStore:
         # 1024-cell units: a >=10M-doc pack crosses 2^31 code points, past
         # both int32 flat indexing and XLA's s32 scalar-argument range.
         # All in-kernel math stays int32-safe up to 2^31 GROUPS (2.2T cp).
+        from ..ops import runtime as _rt
         self.offsets = (
-            jax.device_put((self.offsets_host >> 10).astype(np.int32),
-                           device),
-            jax.device_put((self.offsets_host & 1023).astype(np.int32),
-                           device))
-        self.lengths = jax.device_put(lengths, device)
+            _rt.chunked_device_put((self.offsets_host >> 10).astype(
+                np.int32), device),
+            _rt.chunked_device_put((self.offsets_host & 1023).astype(
+                np.int32), device))
+        self.lengths = _rt.chunked_device_put(lengths, device)
         # round the physical row up to a 128-lane multiple: the fused
         # Pallas row-TF kernel DMAs whole rows into VMEM tiles (and the
         # XLA path is indifferent — extra columns are sentinel fill that
@@ -425,7 +426,8 @@ class DeviceTextStore:
             # tunneled backends). The NEEDLE_CAP sentinel columns are
             # baked in so the window kernels row-gather a ready tile
             # (no per-dispatch concat pass; see _gather_text_padded)
-            flat_dev = jax.device_put(flat, device)
+            from ..ops import runtime as _runtime
+            flat_dev = _runtime.chunked_device_put(flat, device)
             offs32 = jax.device_put(
                 self.offsets_host.astype(np.int32), device)  # < 2^31 here
             if shard_ok:
@@ -454,7 +456,8 @@ class DeviceTextStore:
             # 1024 multiple for the kernel's (P//1024, 8, 128) view.
             tail = FLAT_GATHER_PAD + (-(flat.size + FLAT_GATHER_PAD)
                                       % 1024)
-            self.codepoints = jax.device_put(np.concatenate([
+            from ..ops import runtime as _runtime
+            self.codepoints = _runtime.chunked_device_put(np.concatenate([
                 flat, np.full(tail, sentinel, dtype=self.dtype)]), device)
             self.flat_padded = True
         del flat

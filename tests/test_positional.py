@@ -284,3 +284,26 @@ def test_fuzz_random_corpus_parity():
             (q, sorted(got ^ expected))
         checked += 1
     assert checked >= 25
+
+
+def test_occ_doc_device_expand_matches_host():
+    """The device-side occ_doc build (positional._expand_occ_doc_impl,
+    scatter+cumsum — no host P/O-sized intermediates, 2 B/posting wire)
+    must produce byte-identical occ_doc8 to the host expansion it
+    replaces, including 0xFFFF-region padding and multi-occurrence
+    postings (docs 5/6/7/10 exercise cnt > 1)."""
+    from mygramdb_tpu.index.positional import DevicePositional
+
+    built = build()
+    idx = DeviceIndex(built, dense_df_ratio=0.99)
+    assert idx.positional is not None
+    assert "occ_doc_dev_s" in idx.positional.upload_detail, \
+        idx.positional.upload_detail  # device path actually taken
+    host = DevicePositional(built.positional, idx.n_docs_capacity,
+                            postings=built.postings, offsets=built.offsets,
+                            lengths=built.lengths, postings_dev=None)
+    assert "occ_doc_host_s" in host.upload_detail
+    np.testing.assert_array_equal(np.asarray(idx.positional.occ_doc8),
+                                  np.asarray(host.occ_doc8))
+    np.testing.assert_array_equal(np.asarray(idx.positional.occ_pos8),
+                                  np.asarray(host.occ_pos8))
