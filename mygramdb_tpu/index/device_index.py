@@ -278,9 +278,14 @@ class DeviceIndex:
         if self.mesh is not None:
             self._build_sharded_csr(built)
         if self.postings_sh is None:
+            # sentinel tail rides as a device-side concat chunk — a host
+            # pad_postings concatenate first-touches ~450 MB at 1.1M docs
+            # and stalls minutes under VM memory weather
             self.postings = runtime.chunked_device_put(
-                posting_ops.pad_postings(built.postings),
-                self._repl_sharding or device)
+                np.asarray(built.postings, dtype=np.int32),
+                self._repl_sharding or device,
+                tail=np.full(posting_ops.SLICE_GATHER_PAD,
+                             int(SENTINEL), dtype=np.int32))
             self.upload_detail["postings_put_s"] = round(
                 time.time() - _t0, 2)
             _t0 = time.time()

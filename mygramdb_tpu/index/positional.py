@@ -173,11 +173,14 @@ class DevicePositional:
         _t0 = _time.time()
         opos = pp.occ_pos
         tail = OCC_GATHER_PAD + (-(opos.size + OCC_GATHER_PAD) % OCC_ALIGN)
-        opos = np.concatenate([
-            opos, np.full(tail, POS_PAD, dtype=np.uint16)])
-        OA = opos.size
+        OA = opos.size + tail
+        # tail pads on DEVICE (chunk + concat): a host concatenate would
+        # first-touch a fresh O-sized array (minutes under VM memory
+        # weather — see runtime.chunked_device_put)
         self.occ_pos8 = runtime.chunked_device_put(
-            opos.reshape(-1, OCC_ALIGN), device)
+            opos, device,
+            tail=np.full(tail, POS_PAD, dtype=np.uint16)
+        ).reshape(-1, OCC_ALIGN)
         self.upload_detail["occ_pos_put_s"] = round(_time.time() - _t0, 2)
         _t0 = _time.time()
         # per-occurrence DOC ids, same aligned layout as occ_pos: the

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time as _time
 
 _cache_configured = False
 
@@ -76,32 +77,63 @@ def use_pallas() -> bool:
 _PUT_CHUNK_BYTES = 32 << 20
 
 
-def chunked_device_put(arr, target, chunk_bytes: int = _PUT_CHUNK_BYTES):
+def chunked_device_put(arr, target, chunk_bytes: int = _PUT_CHUNK_BYTES,
+                       tail=None):
     """device_put `arr` (host numpy) in ~chunk_bytes row slabs, then
     reassemble on device with one concatenate. Equivalent to
-    jax.device_put(arr, target) but ~50x faster for multi-hundred-MB
-    arrays on tunneled backends. Falls through to a plain put for small
-    arrays or non-numpy inputs. Chunks split along axis 0."""
+    jax.device_put(np.concatenate([arr, tail]), target) but far faster
+    for multi-hundred-MB arrays on tunneled backends. Falls through to a
+    plain put for small arrays or non-numpy inputs. Chunks split along
+    axis 0.
+
+    `tail` (optional small numpy array, same trailing dims): sentinel
+    padding appended ON DEVICE — callers must never np.concatenate a
+    pad tail onto a large host array first: the fresh first-touch
+    allocation stalls at ~1 MB/s under VM memory weather (a 447 MB
+    pad_postings concatenate measured 396 s; the same bytes as borrowed
+    chunk views + a device-side concat take ~6 s)."""
     import jax
     import numpy as np
-    if not isinstance(arr, np.ndarray) or arr.nbytes <= chunk_bytes \
-            or arr.shape[0] < 2:
+    if not isinstance(arr, np.ndarray):
+        assert tail is None
         return jax.device_put(arr, target)
-    if target is not None and not isinstance(target, jax.Device):
+    sharded = target is not None and not isinstance(target, jax.Device)
+    if arr.nbytes <= chunk_bytes or arr.shape[0] < 2 or sharded:
         # sharding target: chunking would shard each CHUNK over the mesh
         # instead of the whole array — keep the one-shot put
+        if tail is not None:
+            arr = np.concatenate([arr, tail])  # small here
         return jax.device_put(arr, target)
     rows_per = max(1, chunk_bytes // max(arr.nbytes // arr.shape[0], 1))
     n = arr.shape[0]
+    debug = os.environ.get("MYGRAM_PUT_DEBUG") == "1"
+    t0 = _time.time() if debug else 0.0
     parts = [jax.device_put(np.ascontiguousarray(arr[i:i + rows_per]),
                             target)
              for i in range(0, n, rows_per)]
+    if tail is not None:
+        parts.append(jax.device_put(np.ascontiguousarray(tail), target))
+    if debug:
+        t_issue = _time.time() - t0
+        for p in parts:
+            p.block_until_ready()
+        np.asarray(jax.device_get(parts[-1].ravel()[:1]))
+        t_sync = _time.time() - t0 - t_issue
     if len(parts) == 1:
-        return parts[0]
-    import jax.numpy as jnp
-    out = jnp.concatenate(parts)
-    if target is not None:
-        out = jax.device_put(out, target)  # no-op when already placed
+        out = parts[0]
+    else:
+        import jax.numpy as jnp
+        out = jnp.concatenate(parts)
+        if target is not None:
+            out = jax.device_put(out, target)  # no-op when already placed
+    if debug:
+        np.asarray(jax.device_get(out.ravel()[:1]))
+        import sys
+        print(f"# chunked_put {arr.nbytes >> 20} MB: issue {t_issue:.2f}s "
+              f"sync {t_sync:.2f}s concat "
+              f"{_time.time() - t0 - t_issue - t_sync:.2f}s "
+              f"({arr.nbytes / 2 ** 20 / max(_time.time() - t0, 1e-9):.1f}"
+              " MB/s)", file=sys.stderr, flush=True)
     return out
 
 

@@ -457,8 +457,12 @@ class DeviceTextStore:
             tail = FLAT_GATHER_PAD + (-(flat.size + FLAT_GATHER_PAD)
                                       % 1024)
             from ..ops import runtime as _runtime
-            self.codepoints = _runtime.chunked_device_put(np.concatenate([
-                flat, np.full(tail, sentinel, dtype=self.dtype)]), device)
+            # tail pads on device — a host concatenate first-touches a
+            # fresh pack-sized array (minutes at 10M-doc scale under VM
+            # memory weather; see runtime.chunked_device_put)
+            self.codepoints = _runtime.chunked_device_put(
+                flat, device,
+                tail=np.full(tail, sentinel, dtype=self.dtype))
             self.flat_padded = True
         del flat
 
