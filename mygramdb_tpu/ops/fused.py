@@ -35,10 +35,10 @@ from . import runtime
 from .bitmap_ops import (_topn_hierarchical, dense_query, dense_query_pallas,
                          PBLOCK, _single_device)
 from .posting_ops import SENTINEL
-from .verify_ops import (NEEDLE_CAP, _TF_ROWS, bm25_scores, cast_needles_i32,
-                         contains_all, gather_text, needle_cap_bucket,
-                         tf_matrix, tf_matrix_nonoverlap, tf_rows_flat_pallas,
-                         tf_rows_pallas)
+from .verify_ops import (NEEDLE_CAP, _TF_ROWS, _cast_needles, bm25_scores,
+                         cast_needles_i32, contains_all, gather_text,
+                         needle_cap_bucket, tf_matrix, tf_matrix_nonoverlap,
+                         tf_rows_flat_pallas, tf_rows_pallas)
 
 
 def compact_first_k(cands: jax.Array, mask: jax.Array, Kv: int):
@@ -126,10 +126,74 @@ def _reduce_from_tf(sel, tf, doc_len, needle_lens, idf_row, k1, b, avgdl,
     return count, ids_out, jnp.zeros((n,), dtype=jnp.float32)
 
 
+def _tf_rows_global(sel_all, codepoints, offsets, lengths, needles,
+                    needle_lens, *, Kv, Nn, maxT, cap, M, use_range,
+                    need_len):
+    """Cross-query candidate compaction ahead of the text gather: flatten
+    the (B, Kv) per-query candidate vectors, pack the valid (non-sentinel)
+    entries into the first M slots, gather + window-TF only those M rows
+    (each row carries its owner query's needles), and scatter the TF
+    matrix back into the (B, Kv, Nn) layout the shared reductions expect.
+
+    Why: per-query candidate vectors are padded to the driver-df bucket,
+    but the actual AND-survivor fill is 35-55% at 1.1M (host probe,
+    2026-08-19), and the row gather is ROW-COUNT bound (~32 ns/row fixed
+    vs ~124 GB/s marginal width cost — /tmp/probe_gather on TPU). Halving
+    gathered rows halves the dominant verify stage; it also makes the
+    verify cost track sum(pre) instead of B*C, the reference's cost shape
+    (search_pipeline.cpp:660-682 scans actual candidates only).
+
+    If the batch's total valid count V exceeds M, slots past M never
+    receive a TF row and their candidates would silently fail the verify
+    (undercount). The HOST wrapper detects this — sum(min(pre, Kv)) > M —
+    and re-runs the batch with global compaction off, so the fused result
+    is always exact.
+    """
+    B = sel_all.shape[0]
+    BK = B * Kv
+    flat = sel_all.reshape(-1)
+    valid = flat != SENTINEL
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(jnp.logical_and(valid, pos < M), pos, M)
+    src = jnp.zeros((M,), jnp.int32).at[tgt].set(
+        jnp.arange(BK, dtype=jnp.int32), mode="drop")
+    V = jnp.sum(valid.astype(jnp.int32))
+    live = jnp.arange(M, dtype=jnp.int32) < V
+    ids_m = jnp.where(live, flat[src], 0)
+    owner = src // Kv
+    text, dl, win = gather_text(codepoints, offsets, lengths, ids_m,
+                                maxT, cap, need_len=need_len)
+    ndl_m = _cast_needles(needles, text.dtype)[owner]   # (M, Nn, CAP)
+    nlen_m = needle_lens.astype(jnp.int32)[owner]       # (M, Nn)
+    starts = jnp.arange(win, dtype=jnp.int32)[None, :]
+    cols = []
+    for j in range(Nn):
+        nl = nlen_m[:, j][:, None]
+        m = None
+        for k in range(cap):
+            cmp = jnp.logical_or(
+                k >= nl, text[:, k:k + win] == ndl_m[:, j, k][:, None])
+            m = cmp if m is None else jnp.logical_and(m, cmp)
+        if use_range:
+            m = jnp.logical_and(m, starts + nl <= dl[:, None])
+        cnt = jnp.sum(m.astype(jnp.int32), axis=1)
+        cols.append(jnp.where(nlen_m[:, j] == 0, 0, cnt))
+    tf_m = jnp.stack(cols, axis=1)                      # (M, Nn)
+    back = jnp.where(live, src, BK)                     # dead slots drop
+    tf = jnp.zeros((BK, Nn), jnp.int32).at[back].set(tf_m, mode="drop")
+    if dl is None:
+        dl_full = jnp.zeros((B, Kv), dtype=jnp.int32)
+    else:
+        dl_full = jnp.zeros((BK,), jnp.int32).at[back].set(
+            dl.astype(jnp.int32), mode="drop").reshape(B, Kv)
+    return tf.reshape(B, Kv, Nn), dl_full
+
+
 def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
                   needle_lens, idf, k1, b, avgdl, *, Kv, n, Nn, maxT, cap,
                   descending, score_mode, nonoverlap, require_match,
-                  use_range, pallas_tf, ptf_interpret=False):
+                  use_range, pallas_tf, ptf_interpret=False,
+                  global_m: int = 0):
     """Batched verify tail: sel_all (B, Kv) compacted candidates ->
     (count (B,), ids (B, n), scores (B, n)).
 
@@ -165,6 +229,18 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
         B = sel_all.shape[0]
         tf = out[:, :Nn].reshape(B, Kv, Nn)
         dl = out[:, Nn].reshape(B, Kv)
+        red = functools.partial(
+            _reduce_from_tf, k1=k1, b=b, avgdl=avgdl, n=n,
+            descending=descending, score_mode=score_mode,
+            require_match=require_match)
+        return jax.vmap(lambda s, t, d, nl, i: red(s, t, d, nl, i))(
+            sel_all, tf, dl, needle_lens, idf)
+
+    if global_m > 0 and not nonoverlap:
+        tf, dl = _tf_rows_global(
+            sel_all, codepoints, offsets, lengths, needles, needle_lens,
+            Kv=Kv, Nn=Nn, maxT=maxT, cap=cap, M=global_m,
+            use_range=use_range, need_len=bool(score_mode or use_range))
         red = functools.partial(
             _reduce_from_tf, k1=k1, b=b, avgdl=avgdl, n=n,
             descending=descending, score_mode=score_mode,
@@ -208,7 +284,7 @@ def _unpack_out(arr, n: int, score_mode: bool):
 @functools.partial(jax.jit, static_argnames=(
     "C", "Kv", "n", "Nn", "maxT", "descending", "score_mode", "use_pallas",
     "cap", "nonoverlap", "require_match", "use_range", "has_extra",
-    "pallas_tf", "ptf_interpret"))
+    "pallas_tf", "ptf_interpret", "global_m"))
 def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               codepoints, offsets, lengths,
                               needles, needle_lens, idf, k1, b, avgdl,
@@ -220,7 +296,8 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               use_range: bool = True,
                               has_extra: bool = False,
                               pallas_tf: bool = False,
-                              ptf_interpret: bool = False):
+                              ptf_interpret: bool = False,
+                              global_m: int = 0):
     """Batched dense-driver fused verified search: B queries, each with its
     OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
     needle_lens: (B, Nn); idf: (B, Nn) f32.
@@ -243,7 +320,8 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         idf, k1, b, avgdl, Kv=min(Kv, C), n=n, Nn=Nn, maxT=maxT, cap=cap,
         descending=descending, score_mode=score_mode, nonoverlap=nonoverlap,
         require_match=require_match, use_range=use_range,
-        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret)
+        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret,
+        global_m=global_m)
     return _pack_out(pre, count, ids, scores, score_mode)
 
 
@@ -251,7 +329,7 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     "C", "Cmax", "Kv", "n", "Nn", "maxT", "descending", "score_mode",
     "n_words", "cap", "nonoverlap", "use_dense_probes",
     "check_tombstones", "require_match", "use_range", "has_extra",
-    "pallas_tf", "ptf_interpret"))
+    "pallas_tf", "ptf_interpret", "global_m"))
 def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      d_off, d_len, sp_off, sp_len, sp_inv,
                                      dn_rows, dn_inv, extra,
@@ -268,7 +346,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      use_range: bool = True,
                                      has_extra: bool = False,
                                      pallas_tf: bool = False,
-                                     ptf_interpret: bool = False):
+                                     ptf_interpret: bool = False,
+                                     global_m: int = 0):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -353,7 +432,8 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         idf, k1, b, avgdl, Kv=Kv, n=n, Nn=Nn, maxT=maxT, cap=cap,
         descending=descending, score_mode=score_mode, nonoverlap=nonoverlap,
         require_match=require_match, use_range=use_range,
-        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret)
+        pallas_tf=pallas_tf, ptf_interpret=ptf_interpret,
+        global_m=global_m)
     return _pack_out(pre, count, ids_out, scores, score_mode)
 
 
@@ -427,6 +507,54 @@ def _pallas_tf_eligible(text_store, Kv: int, nonoverlap: bool) -> bool:
                 and cp.shape[0] % 1024 == 0)
 
 
+class _GlobalClipMemo:
+    """Per-shape adaptive disable for the global compaction stage: a
+    workload whose batches run >50% full clips every time and pays a
+    wasted extra dispatch — after 3 consecutive clips on a (B, Kv) shape
+    the stage turns itself off for that shape for the process."""
+    __slots__ = ("streak",)
+    LIMIT = 3
+
+    def __init__(self) -> None:
+        self.streak: dict = {}
+
+    def allowed(self, key) -> bool:
+        return self.streak.get(key, 0) < self.LIMIT
+
+    def record(self, key, clipped: bool) -> None:
+        self.streak[key] = self.streak.get(key, 0) + 1 if clipped else 0
+
+
+_global_clip_memo = _GlobalClipMemo()
+
+
+def _global_m_policy(B: int, Kv: int, nonoverlap: bool) -> int:
+    """M bucket for cross-query candidate compaction (_tf_rows_global),
+    0 = off. B*Kv // 2 covers the measured p99 batch fill for the
+    C <= 16384 verify buckets at 1.1M (V_p99/BK ~ 0.42-0.47); bigger
+    buckets run >50% full, where the rerun-on-clip cost outweighs the
+    halved gather — policy keeps them on the direct path. Off for tiny
+    dispatches (single-flight RTT dominates) and for the non-overlapping
+    TF scan (per-query lax.scan doesn't decompose across owners)."""
+    import os
+    if nonoverlap or os.environ.get("MYGRAM_DISABLE_GLOBAL_VERIFY") == "1":
+        return 0
+    bk = B * Kv
+    if bk < 8192 or Kv > 16384:
+        return 0
+    if not _global_clip_memo.allowed((B, Kv)):
+        return 0
+    return bk // 2
+
+
+def _global_clipped(pre, Kv: int, gm: int) -> bool:
+    """True when the batch's total valid candidates exceeded the global
+    compaction bucket — slots past gm never got a TF row, so the packed
+    result undercounts and the wrapper must re-run with global_m=0."""
+    import numpy as np
+    return bool(np.minimum(pre, Kv).sum() > gm)
+
+
 def _ptf_interpret() -> bool:
     """Tests set MYGRAM_PALLAS_VERIFY_INTERPRET=1 to run the fused verify
     kernel through the Pallas interpreter on CPU (full-path parity)."""
@@ -485,7 +613,7 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
         extra = jnp.zeros((1, 1), dtype=jnp.uint32)
     runtime.dispatches.bump()
 
-    def run(ptf: bool):
+    def run(ptf: bool, gm: int = 0):
         return _sparse_search_verify_topn_batch(
             postings, bitmaps, deleted,
             jnp.asarray(d_off), jnp.asarray(d_len),
@@ -502,11 +630,20 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             check_tombstones=check_tombstones, require_match=require_match,
             use_range=_needles_need_range(text_store, needles),
             has_extra=has_extra, pallas_tf=ptf,
-            ptf_interpret=ptf and _ptf_interpret())
+            ptf_interpret=ptf and _ptf_interpret(),
+            global_m=0 if ptf else gm)
 
-    arr = _run_with_tf_fallback(
-        run, _pallas_tf_eligible(text_store, Kv, nonoverlap))
+    ptf_ok = _pallas_tf_eligible(text_store, Kv, nonoverlap)
+    gm = 0 if ptf_ok else _global_m_policy(B, Kv, nonoverlap)
+    arr = _run_with_tf_fallback(lambda p: run(p, gm), ptf_ok)
     pre, count, ids, scores = _unpack_out(arr, n, score_mode)
+    if gm:
+        clipped = _global_clipped(pre, Kv, gm)
+        _global_clip_memo.record((B, Kv), clipped)
+        if clipped:
+            runtime.dispatches.bump()
+            arr = _run_with_tf_fallback(lambda p: run(p, 0), False)
+            pre, count, ids, scores = _unpack_out(arr, n, score_mode)
     if score_mode:
         return pre, count, ids, scores
     return pre, count, ids
@@ -534,7 +671,7 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
         idf = _zero_idf(B, needles.shape[1])
     runtime.dispatches.bump()
 
-    def run(ptf: bool):
+    def run(ptf: bool, gm: int = 0):
         return _search_verify_topn_batch(
             bitmaps, rows, nrows, deleted, extra,
             text_store.codepoints, text_store.offsets, text_store.lengths,
@@ -549,11 +686,20 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
             nonoverlap=nonoverlap, require_match=require_match,
             use_range=_needles_need_range(text_store, needles),
             has_extra=has_extra, pallas_tf=ptf,
-            ptf_interpret=ptf and _ptf_interpret())
+            ptf_interpret=ptf and _ptf_interpret(),
+            global_m=0 if ptf else gm)
 
-    arr = _run_with_tf_fallback(
-        run, _pallas_tf_eligible(text_store, cand_bucket, nonoverlap))
+    ptf_ok = _pallas_tf_eligible(text_store, cand_bucket, nonoverlap)
+    gm = 0 if ptf_ok else _global_m_policy(B, cand_bucket, nonoverlap)
+    arr = _run_with_tf_fallback(lambda p: run(p, gm), ptf_ok)
     pre, count, ids, scores = _unpack_out(arr, n, score_mode)
+    if gm:
+        clipped = _global_clipped(pre, cand_bucket, gm)
+        _global_clip_memo.record((B, cand_bucket), clipped)
+        if clipped:
+            runtime.dispatches.bump()
+            arr = _run_with_tf_fallback(lambda p: run(p, 0), False)
+            pre, count, ids, scores = _unpack_out(arr, n, score_mode)
     if score_mode:
         return pre, count, ids, scores
     return pre, count, ids

@@ -298,6 +298,7 @@ class MicroBatcher:
         K = 8 if K <= 8 else MAX_K
         B_pad = self._pad_b(B)
         rows = np.full((B_pad, K), idx.ones_row, dtype=np.int32)
+        rows[B:] = idx.zeros_row  # pad lanes match nothing (see fused path)
         for i, r in enumerate(q):
             rows[i, :len(r.rows)] = r.rows
         nrows = np.full((B_pad, 1), idx.zeros_row, dtype=np.int32)
@@ -340,6 +341,11 @@ class MicroBatcher:
             B_pad = max(B_pad, B)
             K = 8 if max(len(r.rows) for r in chunk) <= 8 else MAX_K
             rows = np.full((B_pad, K), idx.ones_row, dtype=np.int32)
+            # PAD LANES (B direction) must match NOTHING: an all-ones pad
+            # lane matched every doc, so it paid a full C-row gather+verify
+            # of garbage per lane AND inflated the global-compaction clip
+            # check (sum(min(pre, Kv)) counted n_docs per pad lane)
+            rows[len(chunk):] = idx.zeros_row
             ndl = np.zeros((B_pad, Nn, NEEDLE_CAP), dtype=np.uint32)
             nlens = np.zeros((B_pad, Nn), dtype=np.int32)
             idf = np.zeros((B_pad, Nn), dtype=np.float32)
