@@ -35,7 +35,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import bitmap_ops, posting_ops, runtime
+from ..ops import bitmap_ops, posting_ops, runtime, wire
 from ..ops.posting_ops import SENTINEL, gather_slices, membership_sorted
 from ..ops.threshold_ops import threshold_merge
 from .builder import BuiltIndex
@@ -281,11 +281,17 @@ class DeviceIndex:
             # sentinel tail rides as a device-side concat chunk — a host
             # pad_postings concatenate first-touches ~450 MB at 1.1M docs
             # and stalls minutes under VM memory weather
-            self.postings = runtime.chunked_device_put(
+            # u16 delta-packed wire format (ops/wire.py): halves the h2d
+            # bytes of the dominant upload stage and decodes on device;
+            # falls back to the raw chunked put for sharded targets /
+            # small arrays / MYGRAM_DISABLE_U16_WIRE=1
+            self.postings = wire.delta_put_postings(
                 np.asarray(built.postings, dtype=np.int32),
+                built.offsets, built.lengths,
                 self._repl_sharding or device,
                 tail=np.full(posting_ops.SLICE_GATHER_PAD,
-                             int(SENTINEL), dtype=np.int32))
+                             int(SENTINEL), dtype=np.int32),
+                detail=self.upload_detail)
             self.upload_detail["postings_put_s"] = round(
                 time.time() - _t0, 2)
             _t0 = time.time()
