@@ -66,16 +66,19 @@ def _decode_fn(Ep: int, Rp: int, Xp: int):
     import jax.numpy as jnp
 
     def decode(low, starts, firsts, exc_idx, exc_high):
+        # NB: padded index slots hold the duplicate sentinel Ep, so
+        # unique_indices must stay False (duplicates + unique_indices is
+        # undefined per the scatter contract even under mode="drop").
         d = low.astype(jnp.int32)
         d = d.at[exc_idx].add(
             jnp.left_shift(exc_high, 16), mode="drop",
-            indices_are_sorted=True, unique_indices=True)
+            indices_are_sorted=True)
         c = jnp.cumsum(d)
         base_at = firsts - jnp.where(starts < Ep, c[jnp.minimum(
             starts, Ep - 1)], 0)
         bd = jnp.concatenate([base_at[:1], jnp.diff(base_at)])
         z = jnp.zeros((Ep,), jnp.int32).at[starts].add(
-            bd, mode="drop", indices_are_sorted=True, unique_indices=True)
+            bd, mode="drop", indices_are_sorted=True)
         return c + jnp.cumsum(z)
 
     fn = jax.jit(decode, donate_argnums=(0,))
@@ -96,6 +99,11 @@ def _pack_segment(post: np.ndarray, starts_loc: np.ndarray,
     np.subtract(post[1:], post[:-1], out=d[1:])
     d[0] = 0
     d[starts_loc] = 0  # row starts carry no delta (firsts are absolute)
+    if np.any(d < 0):
+        # Violated sorted-per-term precondition: a negative delta would
+        # be silently truncated to its low 16 bits and corrupt doc ids
+        # on device. Degrade to the raw transport instead.
+        return None
     exc_idx = np.nonzero(d >= (1 << 16))[0].astype(np.int32)
     exc_high = np.right_shift(d[exc_idx], 16).astype(np.int32)
     low = d.astype(np.uint16)  # truncates exception highs; restored dev-side
@@ -117,8 +125,11 @@ def delta_put_postings(postings: np.ndarray, offsets: np.ndarray,
     sharded = target is not None and not isinstance(target, jax.Device)
     if (sharded or not isinstance(postings, np.ndarray)
             or postings.dtype != np.int32
+            or postings.size == 0
             or postings.nbytes < _MIN_WIRE_BYTES
             or os.environ.get("MYGRAM_DISABLE_U16_WIRE") == "1"):
+        # size == 0 is already below _MIN_WIRE_BYTES, but keep the
+        # explicit guard: the segment loop below assumes >= 1 part.
         return runtime.chunked_device_put(postings, target, tail=tail)
 
     import jax.numpy as jnp
@@ -152,13 +163,13 @@ def delta_put_postings(postings: np.ndarray, offsets: np.ndarray,
         a = int(np.searchsorted(row_starts, lo, side="left"))
         b = int(np.searchsorted(row_starts, hi, side="left"))
         starts_loc = (row_starts[a:b] - lo).astype(np.int64)
-        low, st, fi, xi, xh = _pack_segment(postings[lo:hi], starts_loc,
-                                            scratch)
+        packed = _pack_segment(postings[lo:hi], starts_loc, scratch)
+        if packed is None:  # unsorted row: precondition violated
+            return runtime.chunked_device_put(postings, target, tail=tail)
+        low, st, fi, xi, xh = packed
         Ep = _bucket(E, _MIN_E)
         Rp = _bucket(max(st.size, 1), 1 << 12)
         Xp = _bucket(max(xi.size, 1), 1 << 10)
-        low_p = low if Ep == E else np.concatenate(
-            [low, np.zeros(Ep - E, dtype=np.uint16)])
         st_p = np.full(Rp, Ep, dtype=np.int32)
         st_p[:st.size] = st
         fi_p = np.zeros(Rp, dtype=np.int32)
@@ -167,9 +178,18 @@ def delta_put_postings(postings: np.ndarray, offsets: np.ndarray,
         xi_p[:xi.size] = xi
         xh_p = np.zeros(Xp, dtype=np.int32)
         xh_p[:xh.size] = xh
-        wire_bytes += low_p.nbytes + st_p.nbytes + fi_p.nbytes + \
+        wire_bytes += low.nbytes + st_p.nbytes + fi_p.nbytes + \
             xi_p.nbytes + xh_p.nbytes
-        low_dev = runtime.chunked_device_put(low_p, target)
+        # Pad low to the Ep bucket ON DEVICE: a host np.concatenate here
+        # is the first-touch-allocation stall 061a9eb eliminated (pad can
+        # approach 100% of E just above a pow2 bucket), and shipping
+        # explicit zeros would waste wire on a 0.26-20 MB/s link. The
+        # padded cells only feed cumsum garbage that ids[:E] slices off.
+        low_dev = runtime.chunked_device_put(low, target)
+        if Ep != E:
+            with jax.default_device(target):
+                low_dev = jnp.concatenate(
+                    [low_dev, jnp.zeros(Ep - E, jnp.uint16)])
         ids = _decode_fn(Ep, Rp, Xp)(
             low_dev, jax.device_put(st_p, target),
             jax.device_put(fi_p, target), jax.device_put(xi_p, target),

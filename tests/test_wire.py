@@ -124,3 +124,40 @@ def test_wire_bytes_roughly_halved():
     # u16 low + small tables; padding can inflate tiny inputs, so just
     # require better than the raw int32 bytes at this size
     assert detail["postings_wire_mb"] * 2 ** 20 < p.nbytes * 0.9 + 2 ** 16
+
+
+def test_empty_postings_forced_wire():
+    # _MIN_WIRE_BYTES is 0 under the fixture, so an empty array reaches
+    # delta_put_postings directly; the explicit size guard must route it
+    # to the raw path instead of an empty segment loop.
+    p = np.empty(0, dtype=np.int32)
+    o = np.empty(0, dtype=np.int64)
+    ln = np.empty(0, dtype=np.int32)
+    _roundtrip(p, o, ln, tail=False)
+    _roundtrip(p, o, ln, tail=True)
+
+
+def test_unsorted_row_degrades_to_raw():
+    # A violated sorted-per-term precondition (negative in-row delta)
+    # must fall back to the raw transport, not silently truncate the
+    # delta to 16 bits.
+    p = np.array([10, 5, 7, 20, 21], dtype=np.int32)  # row 0 unsorted
+    o = np.array([0, 3], dtype=np.int64)
+    ln = np.array([3, 2], dtype=np.int32)
+    detail = _roundtrip(p, o, ln)
+    assert "postings_wire_mb" not in detail  # raw path taken
+
+
+def test_pad_bucket_roundtrip():
+    # E lands just above a pow2 bucket: device-side zero pad approaches
+    # 100% of E — parity must hold and wire bytes must not include it.
+    rng = np.random.default_rng(11)
+    p, o, ln = _random_csr(rng, 40, 50_000, 12, p_empty=0.0)
+    # force E just over the minimum bucket
+    while p.size <= (1 << 8):
+        p2, o2, ln2 = _random_csr(rng, 40, 50_000, 12, p_empty=0.0)
+        p = np.concatenate([p, p2])
+        o = np.concatenate([o, o2 + ln.sum()])
+        ln = np.concatenate([ln, ln2])
+    detail = _roundtrip(p, o, ln)
+    assert detail["postings_wire_mb"] * 2 ** 20 < p.nbytes
