@@ -735,6 +735,11 @@ class DeviceIndex:
     # at C=2048 pays 4x the compares of C=512. Each bucket is one more
     # lazily-compiled program (persistent cache makes it one-time).
     _VERIFY_CAND_BUCKETS = (512, 2048, 4096, 8192, 32768, 65536)
+    # dense-driver verified buckets extend past the sparse candidate cap:
+    # a dense CJK pair's min df at 1.1M commonly lands in 100-250k, and
+    # the scanned global compaction keeps verify cost ∝ actual matches,
+    # so wide buckets are affordable (each is one lazily-compiled program)
+    _VERIFY_DENSE_BUCKETS = _VERIFY_CAND_BUCKETS + (131072, 262144)
 
     def verify_cand_bucket(self, n: int) -> int:
         return _bucket_of(max(n, 1), self._VERIFY_CAND_BUCKETS)
@@ -795,11 +800,13 @@ class DeviceIndex:
                  np.empty(0, dtype=np.float32), 0)
         if sparse_tids:
             if self.postings_sh is not None:
-                if score_mode:
-                    return None  # mesh fused path is verify-mode only
+                if nonoverlap:
+                    return None  # greedy TF scan stays single-chip
                 return self._search_and_verified_sharded(
                     sparse_tids, text_store, needles, needle_lens,
-                    limit_b, descending, extra_words)
+                    limit_b, descending, extra_words,
+                    score_mode=score_mode, idf=idf_row, k1=k1, b=b,
+                    avgdl=avgdl, require_match=require_match)
             sparse_tids = sorted(sparse_tids,
                                  key=lambda t: int(self.lengths[t]))
             driver = sparse_tids[0]
@@ -810,6 +817,16 @@ class DeviceIndex:
             if C > self.candidate_buckets[-1]:
                 return None
             Kv = min(C, self._KV_BUCKET)
+            from ..ops import fused as fused_ops
+            if not nonoverlap and not fused_ops._pallas_tf_eligible(
+                    text_store, C, nonoverlap):
+                # scanned global compaction: verify cost tracks actual
+                # matches, so the compaction width can cover the whole
+                # candidate bucket — pre can never exceed Kv and the
+                # exact-path rerun for clipped queries disappears. The
+                # Pallas flat kernel (per-row window DMAs ∝ B*Kv) and
+                # the non-overlapping TF scan keep the tight width.
+                Kv = C
             maxT = self.verify_maxT(text_store, driver)
             sp_off, sp_len, sp_inv = [], [], []
             for t in sparse_tids[1:]:
@@ -869,10 +886,23 @@ class DeviceIndex:
         if not dense_rows:
             return empty
         dfs = [int(self.lengths[t]) for t in tids]
-        C = self._cand_bucket(max(min(dfs), 1))
+        from ..ops import fused as fused_ops
+        C = _bucket_of(max(min(dfs), 1), self._VERIFY_DENSE_BUCKETS)
         maxT = text_store.maxT
-        if C > self.candidate_buckets[-1] or \
-                C * maxT * 4 > self._VERIFY_WORKSPACE:
+        if C > self._VERIFY_DENSE_BUCKETS[-1]:
+            return None
+        # The exact scanned cross-query compaction (ops/fused.py
+        # _tf_rows_global_scan) gathers only the documents that actually
+        # matched, in bounded (chunk, maxT) tiles — so wide dense buckets
+        # no longer blow a B*C*maxT workspace (r4 verdict missing #2).
+        # The two paths that still materialize per-pad-slot work keep the
+        # old guards: the non-overlapping TF scan (no global stage), and
+        # the flat-pack Pallas kernel (per-row window DMAs ∝ B*C until
+        # the owner-indexed variant lands).
+        if nonoverlap and C * maxT * 4 > self._VERIFY_WORKSPACE:
+            return None
+        if C > self.candidate_buckets[-1] and fused_ops._pallas_tf_eligible(
+                text_store, C, nonoverlap):
             return None
         rows = list(dense_rows)
         while len(rows) < _k_bucket(len(rows)):
@@ -904,13 +934,19 @@ class DeviceIndex:
 
     def _search_and_verified_sharded(self, sparse_tids, text_store,
                                      needles, needle_lens, limit_b: int,
-                                     descending: bool, extra_words=()):
+                                     descending: bool, extra_words=(),
+                                     score_mode: bool = False, idf=None,
+                                     k1: float = 1.2, b: float = 0.75,
+                                     avgdl: float = 1.0,
+                                     require_match: bool = True):
         """Mesh-mode fused verified search over the doc-sharded CSR +
         doc-sharded text pack (parallel/mesh.sharded_fused_verify). Each
         shard compacts + window-verifies only ITS candidates; k verified
         ids per shard cross the interconnect. Dense-gram membership is
         subsumed by the window verify (needles contain every query term)
-        exactly as the single-chip probeless path. Returns None (caller
+        exactly as the single-chip probeless path. score_mode runs the
+        sharded BM25 tail (per-shard TF+score with replicated idf/avgdl,
+        score-merged all_gather — parallel/mesh.py). Returns None (caller
         falls back to the unfused sharded search + host verify) when the
         text pack is not doc-sharded, a slice exceeds the device buckets,
         or a shard's survivor set clipped."""
@@ -961,6 +997,8 @@ class DeviceIndex:
         lb = min(limit_b, Kv)
         from ..ops import runtime
         runtime.dispatches.bump()
+        idf_row = (np.zeros((1, Nn), dtype=np.float32) if idf is None
+                   else np.asarray(idf, dtype=np.float32)[None, :Nn])
         out = np.asarray(pmesh.sharded_fused_verify(
             self.mesh, self.postings_sh, self.deleted,
             text_store.codepoints, text_store.lengths,
@@ -969,10 +1007,16 @@ class DeviceIndex:
             extra, C=C, Cmax=Cmax, Ks=Ks, Kv=Kv, n=lb, Nn=Nn, cap=cap,
             descending=descending, probeless=probeless,
             use_range=use_range, shard_docs=self.shard_docs,
-            words_local=self.n_words // S_sh))
+            words_local=self.n_words // S_sh, score_mode=score_mode,
+            require_match=require_match, idf=idf_row, k1=k1, b=b,
+            avgdl=avgdl))
         pre, clipped, count = int(out[0, 0]), int(out[0, 1]), int(out[0, 2])
         if clipped:
             return None  # some shard's survivors exceeded Kv: exact path
+        if score_mode:
+            ids = out[0, 3:3 + lb]
+            scores = out[0, 3 + lb:3 + 2 * lb].copy().view(np.float32)
+            return count, ids.astype(np.int32), scores, pre
         ids = out[0, 3:]
         return count, ids.astype(np.int32), \
             np.zeros(ids.shape[0], dtype=np.float32), pre

@@ -733,6 +733,216 @@ def tf_rows_flat_pallas(codepoints: jax.Array, grp: jax.Array,
     )(grp3, grp3, rem3, ln3, ndl3, nlen3, text3)
 
 
+def _tf_flat_owner_kernel(R: int, Nn: int, cap: int, win: int, SG: int,
+                         sentinel: int, use_range: bool):
+    """Owner-indexed + live-skipping variant of _tf_flat_kernel for
+    GLOBALLY-COMPACTED candidate rows (fused._tf_rows_flat_global):
+
+    - rows arrive packed across queries, so the per-step needle block
+      cannot be selected by the static (i*R)//Kv map — instead each row
+      carries its OWNER query id and the full (B, Nn*cap) needle table
+      sits in SMEM, indexed dynamically per row (scalar-core loads that
+      feed the vector compares as splat columns, same rank-2 shapes as
+      the base kernel).
+    - valid rows form a PREFIX of length V (the pack is a cumsum rank
+      scatter), so steps past ceil(V/R) skip both their DMAs and their
+      compute — kernel cost tracks the batch's actual survivor count,
+      the same property the XLA scan stage gives padded layouts.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S_tot = SG * 8
+    RS = R * S_tot
+    REG = S_tot * 128
+
+    def scalars_col(vals):
+        return jnp.concatenate(
+            [jnp.full((S_tot, 1), v, jnp.int32) for v in vals], axis=0)
+
+    def compute(region_u, q_col, dl_col, dl_at, own_at, ndl_ref,
+                nlen_ref, out_ref):
+        t = region_u.astype(jnp.int32)
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (RS, 128), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (RS, 128), 1)
+        base = (row_i // S_tot) * REG
+        rel = (row_i * 128 + lane_i - base) - q_col
+        t = jnp.where(jnp.logical_and(rel >= 0, rel < dl_col), t, sentinel)
+        down = jnp.concatenate(
+            [t[1:], jnp.full((1, 128), sentinel, jnp.int32)], axis=0)
+        sh = [t]
+        for k in range(1, cap):
+            sh.append(jnp.concatenate([t[:, k:], down[:, :k]], axis=1))
+        startmask = jnp.logical_and(rel >= 0, rel < win)
+        masks = []
+        for jn in range(Nn):
+            nl_col = scalars_col(
+                [nlen_ref[own_at(j), 0, jn] for j in range(R)])
+            m = None
+            for k in range(cap):
+                val_col = scalars_col(
+                    [ndl_ref[own_at(j), 0, jn * cap + k]
+                     for j in range(R)])
+                cmp = jnp.logical_or(k >= nl_col, sh[k] == val_col)
+                m = cmp if m is None else jnp.logical_and(m, cmp)
+            m = jnp.logical_and(m, startmask)
+            if use_range:
+                m = jnp.logical_and(m, rel + nl_col <= dl_col)
+            masks.append(m)
+        rows_out = []
+        for j in range(R):
+            lo, hi = j * S_tot, (j + 1) * S_tot
+            cols = []
+            for jn in range(Nn):
+                nl = nlen_ref[own_at(j), 0, jn]
+                tf = jnp.sum(masks[jn][lo:hi].astype(jnp.int32))
+                cols.append(jnp.full((1, 1),
+                                     jnp.where(nl == 0, 0, tf), jnp.int32))
+            cols.append(jnp.full((1, 1), dl_at(j), jnp.int32))
+            rows_out.append(jnp.concatenate(cols, axis=1))
+        out_ref[...] = jnp.concatenate(rows_out, axis=0)
+
+    def kern(grp_ref, grpn_ref, rem_ref, len_ref, own_ref, v_ref,
+             ndl_ref, nlen_ref, text_ref, out_ref, scratch, sems):
+        i = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        v = v_ref[0, 0, 0]
+        live_here = i * R < v
+        live_next = (i + 1) * R < v
+
+        def dma(buf, j, gref):
+            return pltpu.make_async_copy(
+                text_ref.at[pl.ds(gref[0, 0, j], SG)],
+                scratch.at[buf, j], sems.at[buf, j])
+
+        def start_all(buf, gref):
+            for j in range(R):
+                dma(buf, j, gref).start()
+
+        def finish(buf):
+            for j in range(R):
+                dma(buf, j, grp_ref).wait()
+            region = scratch[buf].reshape(RS, 128)
+            q_col = scalars_col([rem_ref[0, 0, j] for j in range(R)])
+            dl_col = scalars_col([len_ref[0, 0, j] for j in range(R)])
+            compute(region, q_col, dl_col,
+                    lambda j: len_ref[0, 0, j],
+                    lambda j: own_ref[0, 0, j],
+                    ndl_ref, nlen_ref, out_ref)
+
+        even = jnp.equal(jnp.remainder(i, 2), 0)
+
+        @pl.when(jnp.logical_and(i == 0, live_here))
+        def _():
+            start_all(0, grp_ref)
+
+        @pl.when(jnp.logical_and(
+            jnp.logical_and(i + 1 < nsteps, even), live_next))
+        def _():
+            start_all(1, grpn_ref)
+
+        @pl.when(jnp.logical_and(
+            jnp.logical_and(i + 1 < nsteps, jnp.logical_not(even)),
+            live_next))
+        def _():
+            start_all(0, grpn_ref)
+
+        @pl.when(jnp.logical_and(even, live_here))
+        def _():
+            finish(0)
+
+        @pl.when(jnp.logical_and(jnp.logical_not(even), live_here))
+        def _():
+            finish(1)
+
+        @pl.when(jnp.logical_not(live_here))
+        def _():
+            # dead suffix: rows here are pack padding; the XLA wrapper's
+            # scatter-back drops them, but the output block must still be
+            # written deterministically
+            out_ref[...] = jnp.zeros((R, Nn + 1), jnp.int32)
+
+    return kern
+
+
+# SMEM budget for the replicated needle table (B * Nn * cap int32 plus
+# the nlen table): stay well under the scalar-memory ceiling
+_OWNER_NDL_SMEM_MAX = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("B", "Nn", "cap", "win",
+                                             "use_range", "interpret"))
+def tf_rows_flat_global_pallas(codepoints: jax.Array, grp: jax.Array,
+                               rem: jax.Array, ln: jax.Array,
+                               owner: jax.Array, v: jax.Array,
+                               ndl_i32: jax.Array, nlen_i32: jax.Array,
+                               *, B: int, Nn: int, cap: int, win: int,
+                               use_range: bool,
+                               interpret: bool = False) -> jax.Array:
+    """Globally-compacted flat-pack gather+TF: like tf_rows_flat_pallas
+    but rows are packed across queries (valid prefix of length `v`),
+    each row carries its owner query id, and steps past the live prefix
+    skip their DMAs — per-batch cost ∝ actual AND survivors instead of
+    B*Kv pad slots (the 10M verified-path fix, r4 verdict next #3).
+
+    grp/rem/ln/owner: (M,) int32, dead rows clamped to doc 0 / owner 0;
+    v: () int32 live-prefix length; ndl_i32 (B, Nn*cap) int32 full
+    needle table; nlen_i32 (B, Nn) int32. -> (M, Nn+1) [tf | doc_len].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = grp.shape[0]
+    P = codepoints.shape[0]
+    if P % 1024:
+        raise ValueError("flat pack length must be a multiple of 1024 "
+                         "(DeviceTextStore pads it; got %d)" % P)
+    R = _TF_ROWS
+    if M % R:
+        raise ValueError("packed row count must be a multiple of "
+                         f"{R} (got {M})")
+    nsteps = M // R
+    sent = 0xFFFF if codepoints.dtype == jnp.uint16 else -1
+    SG = (1023 + win + cap + 1023) // 1024
+    text3 = codepoints.reshape(P // 1024, 8, 128)
+    grp3 = grp.reshape(nsteps, 1, R)
+    rem3 = rem.reshape(nsteps, 1, R)
+    ln3 = ln.reshape(nsteps, 1, R)
+    own3 = owner.reshape(nsteps, 1, R)
+    v3 = v.astype(jnp.int32).reshape(1, 1, 1)
+    ndl3 = ndl_i32.reshape(B, 1, Nn * cap)
+    nlen3 = nlen_i32.astype(jnp.int32).reshape(B, 1, Nn)
+    return pl.pallas_call(
+        _tf_flat_owner_kernel(R, Nn, cap, win, SG, sent, use_range),
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R),
+                         lambda i: (jnp.minimum(i + 1, nsteps - 1), 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, R), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, Nn * cap), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1, Nn), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, Nn + 1), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, Nn + 1), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, R, SG, 8, 128), codepoints.dtype),
+                        pltpu.SemaphoreType.DMA((2, R))],
+        interpret=interpret,
+    )(grp3, grp3, rem3, ln3, own3, v3, ndl3, nlen3, text3)
+
+
 def has_self_overlap(term: str) -> bool:
     """True when the term has a proper border (prefix == suffix), i.e. the
     all-positions count can exceed the non-overlapping count."""

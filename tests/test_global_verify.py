@@ -110,6 +110,9 @@ def test_clip_memo_disables_after_streak():
 
 def test_policy_bounds(monkeypatch):
     monkeypatch.setattr(fused, "_global_clip_memo", fused._GlobalClipMemo())
+    # the fixed-M stage is A/B-only now (the exact scanned stage is the
+    # default); restore it for these bounds
+    monkeypatch.setenv("MYGRAM_GLOBAL_FIXED", "1")
     assert fused._global_m_policy(1, 512, False) == 0      # tiny dispatch
     assert fused._global_m_policy(64, 2048, False) == 64 * 1024
     assert fused._global_m_policy(64, 32768, False) == 0   # >50% fill zone
@@ -159,3 +162,65 @@ def test_tf_rows_global_scatter_shapes(corpus):
                 assert tf[b, k, 0] == 0
             else:
                 assert tf[b, k, 0] == ref[k, 0], (b, k)
+
+
+@pytest.mark.parametrize("terms,score_mode", CASES)
+@pytest.mark.parametrize("chunk", [1, 3, 64])
+def test_global_scan_parity(corpus, monkeypatch, terms, score_mode, chunk):
+    """The exact scanned stage (_tf_rows_global_scan) must be
+    bit-identical to the direct path at any chunk width — including
+    chunk=1 (one candidate per while_loop iteration) and a chunk larger
+    than the batch's survivor count (single iteration)."""
+    built, idx, st, texts = corpus
+    monkeypatch.setattr(fused, "_global_scan_policy",
+                        lambda B, Kv, nonoverlap: 0)
+    base = _call(built, idx, st, terms, score_mode)
+    monkeypatch.setattr(fused, "_global_scan_policy",
+                        lambda B, Kv, nonoverlap: 0 if nonoverlap
+                        else chunk)
+    g = _call(built, idx, st, terms, score_mode)
+    assert base is not None and g is not None
+    assert base[0] == g[0]                       # verified count
+    assert np.array_equal(base[1], g[1])         # top ids
+    assert np.allclose(base[2], g[2])            # scores
+    assert base[3] == g[3]                       # pre
+    if not score_mode:
+        expect = sum(1 for t_ in texts.values()
+                     if all(term in t_ for term in terms))
+        assert g[0] == expect
+
+
+def test_dense_wide_bucket_served(corpus, monkeypatch):
+    """A dense-only query whose candidate bucket exceeds the sparse
+    candidate cap must now be served by the scanned verify instead of
+    returning None (r4 verdict missing #2: the dense-only majority was
+    bailed to the slow exact path)."""
+    from mygramdb_tpu.index.device_index import DeviceIndex
+    built, _, st, texts = corpus
+    idx2 = DeviceIndex(built, dense_df_ratio=0.08, max_dense_terms=64,
+                       candidate_buckets=(16, 32))
+    monkeypatch.setattr(DeviceIndex, "_VERIFY_DENSE_BUCKETS", (64, 512))
+    monkeypatch.setattr(fused, "_global_scan_policy",
+                        lambda B, Kv, nonoverlap: 0 if nonoverlap else 7)
+    # 検索 shreds to dense unigrams at this df ratio; its min df > 32
+    out = _call(built, idx2, st, ["検索"], False)
+    assert out is not None
+    expect = sum(1 for t_ in texts.values() if "検索" in t_)
+    assert out[0] == expect
+
+
+def test_scan_policy_defaults(monkeypatch):
+    monkeypatch.delenv("MYGRAM_DISABLE_GLOBAL_VERIFY", raising=False)
+    monkeypatch.delenv("MYGRAM_GLOBAL_FIXED", raising=False)
+    assert fused._global_scan_policy(1, 512, False) == 0    # one chunk
+    assert fused._global_scan_policy(64, 4096, False) == fused._SCAN_CHUNK
+    assert fused._global_scan_policy(64, 65536, False) == fused._SCAN_CHUNK
+    assert fused._global_scan_policy(64, 4096, True) == 0   # nonoverlap
+    # the fixed stage stays off unless explicitly restored for A/B
+    assert fused._global_m_policy(64, 2048, False) == 0
+    monkeypatch.setenv("MYGRAM_GLOBAL_FIXED", "1")
+    assert fused._global_scan_policy(64, 2048, False) == 0
+    assert fused._global_m_policy(64, 2048, False) == 64 * 1024
+    monkeypatch.setenv("MYGRAM_DISABLE_GLOBAL_VERIFY", "1")
+    assert fused._global_scan_policy(64, 4096, False) == 0
+    assert fused._global_m_policy(64, 2048, False) == 0

@@ -316,3 +316,103 @@ class TestFullPathParity:
         expect = sum(1 for t_ in texts.values() if "検索" in t_)
         assert total == expect
         assert not fused._pallas_tf_state.enabled
+
+
+@pytest.mark.parametrize("use_range", [True, False])
+def test_flat_global_owner_kernel_parity(flat_store, use_range):
+    """Owner-indexed live-skip kernel (tf_rows_flat_global_pallas): rows
+    packed across queries with a dead suffix must match the per-query
+    flat kernel row-for-row; dead rows must come back zero."""
+    from mygramdb_tpu.ops.verify_ops import (tf_rows_flat_global_pallas,
+                                             tf_rows_flat_pallas)
+    st, texts = flat_store
+    rng = np.random.default_rng(9)
+    B = 4
+    M = 4 * _TF_ROWS           # packed capacity
+    V = M - _TF_ROWS - 3       # live prefix: one fully-dead step + a
+    #                            partially-dead tail step
+    Nn = 2
+    cap = needle_cap_bucket(4)
+    maxT = st.maxT_bucket(st.maxT)
+    ids = rng.integers(1, 257, size=M).astype(np.int32)
+    owner = rng.integers(0, B, size=M).astype(np.int32)
+    ids[V:] = 0
+    owner[V:] = 0
+    terms = [["検索", "alpha"], ["quick", "高速"], ["日本語"], ["beta"]]
+    ndl = np.zeros((B, Nn, NEEDLE_CAP), dtype=np.uint32)
+    nlens = np.zeros((B, Nn), dtype=np.int32)
+    for b, ts in enumerate(terms):
+        n, l = DeviceTextStore._pack_needles(ts)
+        ndl[b, :n.shape[0]] = n
+        nlens[b, :l.shape[0]] = l
+    off_grp, off_rem = st.offsets
+    ids_j = jnp.asarray(ids)
+    ln = np.asarray(st.lengths)[ids].astype(np.int32)
+    ln[V:] = 0
+    ndl_i32 = cast_needles_i32(jnp.asarray(ndl), st.codepoints.dtype,
+                               cap).reshape(B, Nn * cap)
+    out = np.asarray(tf_rows_flat_global_pallas(
+        st.codepoints, off_grp[ids_j], off_rem[ids_j], jnp.asarray(ln),
+        jnp.asarray(owner), jnp.int32(V), ndl_i32,
+        jnp.asarray(nlens), B=B, Nn=Nn, cap=cap, win=maxT,
+        use_range=use_range, interpret=True))
+    # reference: run each live row through the per-query flat kernel
+    # with ITS owner's needles (one _TF_ROWS batch per row, replicated)
+    for r in range(V):
+        rep = np.full(_TF_ROWS, ids[r], dtype=np.int32)
+        rep_j = jnp.asarray(rep)
+        ref = np.asarray(tf_rows_flat_pallas(
+            st.codepoints, off_grp[rep_j], off_rem[rep_j],
+            st.lengths[rep_j],
+            cast_needles_i32(jnp.asarray(ndl[owner[r]][None]),
+                             st.codepoints.dtype, cap),
+            jnp.asarray(nlens[owner[r]][None]), Kv=_TF_ROWS, Nn=Nn,
+            cap=cap, win=maxT, use_range=use_range, interpret=True))
+        assert np.array_equal(out[r], ref[0]), r
+    assert np.array_equal(out[V:], np.zeros((M - V, Nn + 1), np.int32))
+
+
+def test_flat_global_pack_full_path_parity(flat_store, monkeypatch):
+    """Whole fused dispatch with global_pack on (interpret): bit parity
+    with the XLA path, and with the per-pad-slot pallas path."""
+    from mygramdb_tpu.index.builder import IndexBuilder
+    from mygramdb_tpu.index.device_index import DeviceIndex
+    from mygramdb_tpu.utils.textproc import generate_query_ngrams
+    st, texts = flat_store
+    b = IndexBuilder(ngram_size=2, kanji_ngram_size=1)
+    for did, t in texts.items():
+        b.add_document(did, t)
+    built = b.finalize()
+    idx = DeviceIndex(built, dense_df_ratio=0.08, max_dense_terms=64)
+
+    def call(terms, score_mode):
+        tids = []
+        for t in terms:
+            for g in generate_query_ngrams(t, 2, kanji_ngram_size=1):
+                tid = built.term_dict.get(g)
+                if tid is not None:
+                    tids.append(tid)
+        assert tids, terms
+        ndl, nlens = DeviceTextStore._pack_needles(terms)
+        idf = np.ones(ndl.shape[0], dtype=np.float32)
+        return idx.search_and_verified(
+            tids, st, ndl, nlens, 64, True, score_mode=score_mode,
+            idf=idf, k1=1.2, b=0.75, avgdl=30.0)
+
+    cases = [(["検索"], False), (["quick"], True), (["検索", "alpha"],
+                                                  False)]
+    base = [call(*c) for c in cases]
+    monkeypatch.setattr(fused, "_pallas_tf_eligible", lambda *a, **k: True)
+    monkeypatch.setattr(fused, "_global_pack_policy",
+                        lambda *a, **k: True)
+    monkeypatch.setenv("MYGRAM_PALLAS_VERIFY_INTERPRET", "1")
+    gp = [call(*c) for c in cases]
+    for (terms, score_mode), b_out, p_out in zip(cases, base, gp):
+        assert b_out is not None and p_out is not None
+        assert b_out[0] == p_out[0]
+        assert np.array_equal(b_out[1], p_out[1])
+        assert np.allclose(b_out[2], p_out[2])
+        if not score_mode:
+            expect = sum(1 for t_ in texts.values()
+                         if all(term in t_ for term in terms))
+            assert p_out[0] == expect
