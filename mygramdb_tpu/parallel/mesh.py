@@ -278,7 +278,9 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
                                   Kv: int, n: int, Nn: int, cap: int,
                                   descending: bool, probeless: bool,
                                   has_extra: bool, use_range: bool,
-                                  shard_docs: int, words_local: int):
+                                  shard_docs: int, words_local: int,
+                                  score_mode: bool = False,
+                                  require_match: bool = True):
     """Compiled shard_map fused verified search (the multi-chip analog of
     fused._sparse_search_verify_topn_batch). Per shard: gather the
     driver term's LOCAL CSR slice (shard-local doc ids), probe the other
@@ -287,7 +289,15 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
     text rows (candidates never cross chips — only k verified ids ride
     the all_gather), then psum counts and merge per-shard top-n.
 
-    Output (B, 3+n) int32 rows: [pre_sum | clipped | count | ids...];
+    score_mode adds the BM25 tail the single-chip kernel has
+    (fused._verify_topn): the same compare pass yields per-needle TF,
+    each shard scores its own survivors with the REPLICATED idf/avgdl
+    (shard-local tf + doc_len are all the formula needs), and the global
+    merge sorts the gathered (ids, scores) by score desc, id desc — the
+    north-star CJK BM25 verified workload runs sharded end-to-end.
+
+    Output (B, 3+n) int32 rows [pre_sum | clipped | count | ids...], or
+    (B, 3+2n) with f32 scores bitcast into the tail when score_mode;
     clipped > 0 means some shard's survivor set exceeded Kv and the
     caller must take the exact path (its count would under-report)."""
     mesh = _MESH_BY_ID[mesh_id]
@@ -296,12 +306,14 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
     from ..ops.fused import compact_first_k
     from ..ops.posting_ops import (SENTINEL, gather_slices, mask_to_topn,
                                    membership_sorted)
-    from ..ops.verify_ops import _gather_text_padded, contains_all
+    from ..ops.verify_ops import (_gather_text_padded, bm25_scores,
+                                  contains_all, tf_matrix)
 
     def step(post_sh, deleted, text_pad, text_len, d_off, d_len,
-             sp_off, sp_len, sp_inv, needles, needle_lens, extra):
+             sp_off, sp_len, sp_inv, needles, needle_lens, extra,
+             idf, k1, b, avgdl):
         def body(post_l, dl_l, txt_l, tlen_l, doff, dlen, soff, slen,
-                 sinv, ndl, nlen, ext):
+                 sinv, ndl, nlen, ext, idf_r, k1_r, b_r, avgdl_r):
             post = post_l[0]
             shard = jax.lax.axis_index("docs").astype(jnp.int32)
             B = doff.shape[0]
@@ -314,7 +326,7 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
                     slen[:, :, 0].reshape(B * Ks), Cmax).reshape(B, Ks,
                                                                  Cmax)
 
-            def one(cands, sp, si_, ndl_q, nlen_q):
+            def one(cands, sp, si_, ndl_q, nlen_q, idf_q):
                 cmask = cands != SENTINEL
                 clip = jnp.clip(cands, 0, words_local * 32 - 1)
                 mask = cmask & jnp.logical_not(bit_member(dl_l, clip))
@@ -329,23 +341,57 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
                 alive = sel != SENTINEL
                 safe = jnp.where(alive, sel, 0)
                 text, doc_len, win = _gather_text_padded(
-                    txt_l, tlen_l, safe, 0, cap, need_len=use_range)
+                    txt_l, tlen_l, safe, 0, cap,
+                    need_len=use_range or score_mode)
+                if score_mode:
+                    tf = tf_matrix(text, doc_len, ndl_q, nlen_q, win,
+                                   Nn, cap, use_range)
+                    if require_match:
+                        present = nlen_q > 0
+                        ok = jnp.logical_or(
+                            tf > 0, jnp.logical_not(present)[None, :])
+                        vmask = jnp.logical_and(jnp.all(ok, axis=1),
+                                                alive)
+                    else:
+                        vmask = alive
+                    cnt = jnp.sum(vmask.astype(jnp.int32))
+                    score = bm25_scores(tf, doc_len, idf_q, k1_r, b_r,
+                                        avgdl_r)
+                    score = jnp.where(vmask, score, -jnp.inf)
+                    ids_glob = jnp.where(alive,
+                                         sel + shard * shard_docs, -1)
+                    _, _, ids_s, score_s = jax.lax.sort(
+                        (-score, -ids_glob, ids_glob, score), num_keys=2)
+                    ids_g = jnp.where(jnp.isfinite(score_s[:n]),
+                                      ids_s[:n], -1)
+                    return pre, cnt, ids_g, score_s[:n]
                 vmask = contains_all(text, doc_len, ndl_q, nlen_q, win,
                                      Nn, cap, use_range)
                 vmask = jnp.logical_and(vmask, alive)
                 cnt, ids_l = mask_to_topn(sel, vmask, n, descending)
                 ids_g = jnp.where(ids_l >= 0,
                                   ids_l + shard * shard_docs, -1)
-                return pre, cnt, ids_g
+                return pre, cnt, ids_g, jnp.zeros((n,), jnp.float32)
 
-            pre_l, cnt_l, ids_l = jax.vmap(one)(
-                cands_all, sp_all, sinv[:, :, 0], ndl, nlen)
+            pre_l, cnt_l, ids_l, sc_l = jax.vmap(one)(
+                cands_all, sp_all, sinv[:, :, 0], ndl, nlen, idf_r)
             pre = jax.lax.psum(pre_l, "docs")
             clipped = jax.lax.psum((pre_l > Kv).astype(jnp.int32), "docs")
             count = jax.lax.psum(cnt_l, "docs")
             gathered = jax.lax.all_gather(ids_l, "docs")  # (S, B, n)
             Ssh = gathered.shape[0]
             cat = jnp.swapaxes(gathered, 0, 1).reshape(B, Ssh * n)
+            if score_mode:
+                gsc = jax.lax.all_gather(sc_l, "docs")    # (S, B, n)
+                sc_cat = jnp.swapaxes(gsc, 0, 1).reshape(B, Ssh * n)
+                _, _, ids_m, sc_m = jax.lax.sort(
+                    (-sc_cat, -cat, cat, sc_cat), num_keys=2)
+                ids = jnp.where(jnp.isfinite(sc_m[:, :n]),
+                                ids_m[:, :n], -1)
+                return jnp.concatenate(
+                    [pre[:, None], clipped[:, None], count[:, None], ids,
+                     jax.lax.bitcast_convert_type(sc_m[:, :n],
+                                                  jnp.int32)], axis=1)
             if descending:
                 vals, _ = jax.lax.top_k(cat, n)
                 ids = jnp.where(vals >= 0, vals, -1)
@@ -363,11 +409,13 @@ def _sharded_fused_verify_program(mesh_id: int, C: int, Cmax: int, Ks: int,
                       P("docs"), P(None, "docs"), P(None, "docs"),
                       P(None, None, "docs"), P(None, None, "docs"),
                       P(None, None, "docs"), P(None, None, None),
-                      P(None, None), P(None, "docs")),
+                      P(None, None), P(None, "docs"),
+                      P(None, None), P(), P(), P()),
             out_specs=P(None, None),
             check_vma=False)(post_sh, deleted, text_pad, text_len,
                              d_off, d_len, sp_off, sp_len, sp_inv,
-                             needles, needle_lens, extra)
+                             needles, needle_lens, extra,
+                             idf, k1, b, avgdl)
 
     return jax.jit(step)
 
@@ -378,25 +426,35 @@ def sharded_fused_verify(mesh: Mesh, post_sh, deleted, text_pad, text_len,
                          Ks: int, Kv: int, n: int, Nn: int, cap: int,
                          descending: bool, probeless: bool,
                          use_range: bool, shard_docs: int,
-                         words_local: int):
+                         words_local: int, score_mode: bool = False,
+                         require_match: bool = True, idf=None,
+                         k1: float = 1.2, b: float = 0.75,
+                         avgdl: float = 1.0):
     """Batched fused verified search over the doc-sharded CSR + text.
 
     d_off/d_len (B, S_shards); sp_off/sp_len/sp_inv (B, Ks, S_shards);
     needles (B, Nn, cap) uint32; extra (F, W) filter word rows (pass a
-    (0, W) array when unused). -> (B, 3+n) int32 [pre|clipped|count|ids]."""
+    (0, W) array when unused); idf (B, Nn) f32 replicated (score_mode).
+    -> (B, 3+n) int32 [pre|clipped|count|ids], plus n bitcast-f32 score
+    columns when score_mode."""
     _MESH_BY_ID[id(mesh)] = mesh
     has_extra = int(extra.shape[0]) > 0
     if not has_extra:
         # unused but must still split over 'docs': one word per shard
         extra = jnp.zeros((1, int(mesh.shape["docs"])), dtype=jnp.uint32)
+    if idf is None:
+        idf = np.zeros((int(d_off.shape[0]), Nn), dtype=np.float32)
     fn = _sharded_fused_verify_program(
         id(mesh), C, Cmax, Ks, Kv, n, Nn, cap, descending, probeless,
-        has_extra, use_range, shard_docs, words_local)
+        has_extra, use_range, shard_docs, words_local,
+        score_mode=score_mode, require_match=require_match)
     return fn(post_sh, deleted, text_pad, text_len,
               jnp.asarray(d_off), jnp.asarray(d_len),
               jnp.asarray(sp_off), jnp.asarray(sp_len),
               jnp.asarray(sp_inv), jnp.asarray(needles),
-              jnp.asarray(needle_lens), extra)
+              jnp.asarray(needle_lens), extra,
+              jnp.asarray(idf, dtype=jnp.float32), jnp.float32(k1),
+              jnp.float32(b), jnp.float32(avgdl))
 
 
 def sharded_update_step(mesh: Mesh, shard_words: int):
