@@ -237,10 +237,13 @@ class DeviceConfig:
     enable: bool = True
     platform: str = "auto"  # auto|tpu|cpu
     mesh_shards: int = 1    # >1: shard the doc axis over this many chips
-    # build the positional occurrence index at bulk load/SYNC: verify_text
-    # queries with full gram coverage then verify by anchored position
-    # probes instead of text window scans (index/positional.py) — faster
-    # at scale, costs ~6 bytes of HBM per gram occurrence
+    # build (and dump/restore) the positional occurrence index at bulk
+    # load/SYNC (index/positional.py). r5: it no longer routes SERVING
+    # queries — the anchored-probe engine lost its 1.1M A/B against the
+    # text-window verify 5x (749 vs 3,589 QPS) with 83% no_bucket
+    # coverage, so the pipeline always uses the fused text path; the
+    # built index remains addressable via search_verified_positional for
+    # benches/experiments and survives the dump lifecycle
     positional_verify: bool = False
     dense_df_ratio: float = 0.01
     max_dense_terms: int = 8192

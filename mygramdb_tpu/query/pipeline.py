@@ -550,9 +550,13 @@ class SearchPipeline:
         force_probes = False
         idf_scale_from_pre = False
         if score_mode:
-            if len(terms) == 1 and not extra:
+            if len(terms) == 1 and not extra and \
+                    index.device.postings_sh is None:
                 # (with filters, pre includes the filter mask — not the
-                # term's corpus df — so the idf-from-pre shortcut is off)
+                # term's corpus df — so the idf-from-pre shortcut is off;
+                # on a mesh the probeless pre is a driver-df partial, so
+                # single-term score queries compute idf via the df branch
+                # below like multi-term ones)
                 # single term: its df IS the query's pre-verify AND count
                 # (the reference's SearchAnd(ngrams).size(),
                 # search_pipeline.cpp:453-455), which the fused kernel
@@ -575,20 +579,20 @@ class SearchPipeline:
                 idf = np.zeros(Nn_b, dtype=np.float32)
                 idf[:idf_t.shape[0]] = idf_t
         # dense or sparse driver: one dispatch, batched when possible;
-        # None => no fused shape / match set exceeded the verify width
+        # None => no fused shape / match set exceeded the verify width.
+        # (r5: the positional occurrence index no longer rides the
+        # serving path — it lost its A/B against the text-window verify
+        # 5x at 1.1M with 83% no_bucket coverage, and the scanned global
+        # compaction widened that gap; the index itself stays for the
+        # dump lifecycle and bench tooling, routed only by explicit
+        # search_verified_positional calls.)
         try:
-            out_sv = self._try_positional_verified(
-                query, terms, index, device, n_b, desc, score_mode, idf,
-                nonoverlap, require_match, force_probes, extra)
-            if out_sv is not None:
-                dbg.optimization_used = "device_positional_verify"
-            else:
-                out_sv = device.search_and_verified(
-                    tids, dev_text, ndl_p, nlens_p, n_b, desc,
-                    score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
-                    b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
-                    nonoverlap=nonoverlap, require_match=require_match,
-                    force_probes=force_probes, extra_words=extra)
+            out_sv = device.search_and_verified(
+                tids, dev_text, ndl_p, nlens_p, n_b, desc,
+                score_mode=score_mode, idf=idf, k1=self.cfg.bm25.k1,
+                b=self.cfg.bm25.b, avgdl=self.sn.bm25.avg_doc_length,
+                nonoverlap=nonoverlap, require_match=require_match,
+                force_probes=force_probes, extra_words=extra)
         except Exception:
             if extra:
                 return None  # raced a segment swap; exact path re-runs
@@ -609,41 +613,6 @@ class SearchPipeline:
                 page_scores = page_scores * BM25Scorer.compute_idf(
                     self.sn.bm25.doc_count, pre)
         return total, page.astype(np.int32), page_scores, terms
-
-    def _try_positional_verified(self, query, terms, index, device, n_b,
-                                 desc, score_mode, idf, nonoverlap,
-                                 require_match, force_probes, extra):
-        """Positional verified fast path: single covered term over the
-        occurrence index (ops/positional_ops.py) — anchored position
-        probes instead of text gathers. Returns the search_and_verified
-        tuple, or None to fall through to the text-window fused path.
-
-        nonoverlap excluded: positional TF is the all-positions count;
-        the reference's greedy non-overlapping count for self-overlapping
-        score terms stays on the text path (verify_ops semantics)."""
-        if len(terms) != 1 or device.positional is None or \
-                device.positional.overflow or (score_mode and nonoverlap):
-            return None
-        t_cfg = self.ctx.table_cfg
-        pairs, covered = textproc.query_gram_offsets(
-            terms[0].normalized, t_cfg.ngram_size, t_cfg.kanji_ngram_size,
-            t_cfg.cross_boundary_ngrams)
-        if not covered or not pairs:
-            return None
-        tids_g = index.query_tids([g for g, _ in pairs])
-        if tids_g is None:
-            return None
-        plan = device.plan_positional(
-            list(zip(tids_g, (o for _, o in pairs))))
-        if plan is None:
-            return None
-        idf0 = float(idf[0]) if (score_mode and idf is not None) else 0.0
-        return device.search_verified_positional(
-            plan, n_b, desc, score_mode=score_mode, idf=idf0,
-            k1=self.cfg.bm25.k1, b=self.cfg.bm25.b,
-            avgdl=self.sn.bm25.avg_doc_length,
-            require_match=require_match, force_probes=force_probes,
-            extra_words=extra)
 
     # ------------------------------------------------------------------
     # Top-N fast path (reference search_pipeline.h:348-367 shortcut,
@@ -1114,11 +1083,30 @@ class SearchPipeline:
                 dbg.fuzzy_host_verified = int(rest.size) + \
                     getattr(dbg, "fuzzy_host_verified", 0)
             else:
+                # prefilter-inapplicable branch (no device text pack /
+                # needle past the kernel cap / tiny candidate set): page
+                # the host text haul — one texts_batch over 131k
+                # candidates spikes host RSS with fresh allocations
+                # (~35 MB/s first touch) and starves concurrent serving
+                # on the 1-core VM. Exactness kept: every page is still
+                # Levenshtein-verified, just in bounded bites.
                 dbg.fuzzy_host_verified = int(cand.size) + \
                     getattr(dbg, "fuzzy_host_verified", 0)
-                texts = self.sn.doc_store.texts_batch(cand.tolist())
-                mask = native.fuzzy_verify(texts, ti.normalized, dist)
-                cand = cand[mask].astype(np.int32)
+                PAGE = 8192
+                if cand.size <= PAGE:
+                    texts = self.sn.doc_store.texts_batch(cand.tolist())
+                    mask = native.fuzzy_verify(texts, ti.normalized, dist)
+                    cand = cand[mask].astype(np.int32)
+                else:
+                    parts = []
+                    for lo in range(0, cand.size, PAGE):
+                        page = cand[lo:lo + PAGE]
+                        texts = self.sn.doc_store.texts_batch(
+                            page.tolist())
+                        mask = native.fuzzy_verify(texts, ti.normalized,
+                                                   dist)
+                        parts.append(page[mask])
+                    cand = np.concatenate(parts).astype(np.int32)
             result = cand if result is None else \
                 np.intersect1d(result, cand, assume_unique=True)
             if result.size == 0:

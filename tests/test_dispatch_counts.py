@@ -129,14 +129,42 @@ def test_verified_filter_combo_is_one_dispatch(pipe):
     assert n == 1, n
 
 
-def test_pipeline_routes_cjk_to_positional(pipe):
-    """End-to-end routing assertion: the pipeline's debug label must say
-    the positional engine answered (not the text-window fused path)."""
+def test_pipeline_cjk_stays_on_fused_text_path(pipe):
+    """r5 routing assertion: even with the positional index built
+    (device.positional_verify on in this fixture), serving routes CJK
+    verify queries through the fused TEXT path — the positional engine
+    lost its A/B (749 vs 3,589 QPS at 1.1M) and left the serving path."""
     n, out = dispatches_of(pipe, "SEARCH articles 東京 LIMIT 10")
     assert n == 1, n
     assert out.total == 1
-    assert out.debug.optimization_used == "device_positional_verify", \
+    assert out.debug.optimization_used == "device_fused_verify", \
         out.debug.optimization_used
+
+
+def test_positional_engine_still_one_dispatch_directly(pipe):
+    """The demoted engine stays addressable for benches/experiments with
+    its 1-dispatch contract intact (DeviceIndex.search_verified_positional
+    + plan_positional)."""
+    from mygramdb_tpu.ops import runtime
+    from mygramdb_tpu.utils.textproc import query_gram_offsets
+    ctx = pipe.ctx if hasattr(pipe, "ctx") else pipe
+    index = ctx.index
+    device = index.device
+    if device.positional is None:
+        import pytest
+        pytest.skip("fixture built without positional")
+    pairs, covered = query_gram_offsets("東京", 2, 1, True)
+    assert covered and pairs
+    tids = index.query_tids([g for g, _ in pairs])
+    assert tids is not None
+    plan = device.plan_positional(
+        list(zip(tids, (o for _, o in pairs))))
+    assert plan is not None
+    before = runtime.dispatches.count
+    total, ids, _scores, _pre = device.search_verified_positional(
+        plan, 10, True)
+    assert runtime.dispatches.count - before == 1
+    assert total == 1
 
 
 def test_synonym_search_is_one_dispatch(pipe):

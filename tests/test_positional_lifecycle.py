@@ -64,7 +64,10 @@ def test_dump_roundtrip_preserves_positional(tmp_path):
     ctx, cfg = make_ctx()
     assert ctx.index.device.positional is not None
     out0, pks0 = run(ctx, cfg, "SEARCH articles 日本 LIMIT 10")
-    assert out0.debug.optimization_used == "device_positional_verify"
+    # r5: serving always routes through the fused text verify (the
+    # positional engine lost its A/B and left the serving path); the
+    # positional index itself must still survive the dump lifecycle
+    assert out0.debug.optimization_used == "device_fused_verify"
 
     path = str(tmp_path / "pos.dump")
     dump_format.save_dump(path, {"cfg": 1}, [ctx.table_state()])
@@ -76,7 +79,7 @@ def test_dump_roundtrip_preserves_positional(tmp_path):
     assert ctx2.index.device.positional is not None, \
         "restore dropped the positional index"
     out1, pks1 = run(ctx2, cfg, "SEARCH articles 日本 LIMIT 10")
-    assert out1.debug.optimization_used == "device_positional_verify"
+    assert out1.debug.optimization_used == "device_fused_verify"
     assert out1.total == out0.total and set(pks1) == set(pks0)
 
 
@@ -123,9 +126,9 @@ def test_optimize_rebuilds_positional_with_mutations():
     assert len(ctx.index.delta) == 0
     pp = ctx.index.device.positional
     assert pp is not None, "optimize dropped the positional index"
-    # the compacted segment serves the mutated corpus positionally
+    # the compacted segment serves the mutated corpus
     out, pks = run(ctx, cfg, "SEARCH articles 東京 LIMIT 10")
-    assert out.debug.optimization_used == "device_positional_verify"
+    assert out.debug.optimization_used == "device_fused_verify"
     assert set(pks) == {"2", "4"}  # update added, doc 5 had no 東京
     out2, pks2 = run(ctx, cfg, "SEARCH articles 金閣寺 LIMIT 10")
     assert set(pks2) == {"100"}
