@@ -89,7 +89,11 @@ def main() -> int:
     import jax.numpy as jnp
     from mygramdb_tpu.index.builder import IndexBuilder
     from mygramdb_tpu.index.device_index import DeviceIndex
-    from mygramdb_tpu.ops import bitmap_ops
+    from mygramdb_tpu.ops import bitmap_ops, runtime
+
+    # weather evidence INSIDE the record (r4 verdict weak #1/#6: bench
+    # trend questions were unfalsifiable without a transport stamp)
+    transport = runtime.transport_stamp(mb=4)
 
     rng = np.random.default_rng(1234)
     docs = build_corpus(rng)
@@ -171,6 +175,8 @@ def main() -> int:
             "p50_per_query_us": round(p50_batch / BATCH * 1e6, 2),
             "n_docs": N_DOCS,
             "index_build_docs_per_sec": round(N_DOCS / build_secs, 1),
+            "transport": transport,
+            "transport_end": runtime.transport_stamp(mb=4),
             "backend": jax.default_backend(),
         },
     }))

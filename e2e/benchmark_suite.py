@@ -45,6 +45,33 @@ JA = ["日本", "東京", "検索", "高速", "言語", "工学"]
 
 def make_docs(n: int) -> List[dict]:
     rng = np.random.default_rng(99)
+    if n >= 100_000:
+        # vectorized generation: the per-doc rng.choice loop costs
+        # minutes at 1.1M on the single-core VM
+        k = 10
+        # sigma/theta (the synonym-group terms) get a realistic rarity
+        # (~1% df each) instead of the base vocab's ~50%: a synonym
+        # query's verify cost tracks its result size, and the scale gate
+        # should bound a plausible workload, not an 800k-result one
+        base = [w for w in WORDS if w not in ("sigma", "theta")]
+        widx = rng.integers(0, len(base), size=(n, k))
+        jidx = rng.integers(0, len(JA), size=(n, 2))
+        status = rng.integers(0, 3, size=n)
+        cat = rng.integers(0, 3, size=n)
+        cats = ["news", "blog", "doc"]
+        docs = []
+        for i in range(n):
+            words = [base[j] for j in widx[i]]
+            if (i + 1) % 3 == 0:
+                words.extend(JA[j] for j in jidx[i])
+            if (i + 1) % 97 == 0:
+                words.append("sigma")
+            if (i + 1) % 89 == 0:
+                words.append("theta")
+            docs.append({"id": i + 1, "content": " ".join(words),
+                         "status": int(status[i]),
+                         "category": cats[cat[i]]})
+        return docs
     docs = []
     for i in range(1, n + 1):
         words = list(rng.choice(WORDS, size=int(rng.integers(5, 15))))
@@ -56,6 +83,18 @@ def make_docs(n: int) -> List[dict]:
     return docs
 
 
+def write_synonyms_file() -> str:
+    """One TSV group over terms no other scenario queries (sigma/theta):
+    the synonym scenarios exercise OR-in-group expansion without changing
+    any other scenario's semantics."""
+    import tempfile
+    f = tempfile.NamedTemporaryFile("w", suffix=".tsv", delete=False,
+                                    prefix="mygram_syn_")
+    f.write("# bench synonyms\nsigma\ttheta\n")
+    f.close()
+    return f.name
+
+
 def start_server(docs: List[dict]) -> Dict:
     from mygramdb_tpu.catalog import TableCatalog
     from mygramdb_tpu.config import load_config_from_dict
@@ -64,6 +103,8 @@ def start_server(docs: List[dict]) -> Dict:
 
     cfg = load_config_from_dict({
         "tables": [{"name": "bench", "text_source": {"column": "content"},
+                    "synonyms": {"enable": True,
+                                 "file": write_synonyms_file()},
                     "filters": [
                         {"name": "status", "type": "int",
                          "bitmap_index": True},
@@ -75,10 +116,23 @@ def start_server(docs: List[dict]) -> Dict:
     })
     cat = TableCatalog(cfg)
     ctx = cat.resolve("bench")
-    for d in docs:
-        ctx.add_row(str(d["id"]), d["content"],
-                    {"status": d["status"], "category": d["category"]})
-    ctx.optimize()
+    if len(docs) >= 100_000:
+        # bulk-load path (the InitialLoader route): the per-row mutation
+        # path + optimize costs minutes at 1.1M
+        bulk = ctx.begin_bulk_load()
+        B = 10_000
+        for lo in range(0, len(docs), B):
+            bulk.add_batch([(str(d["id"]), d["content"],
+                             {"status": d["status"],
+                              "category": d["category"]})
+                            for d in docs[lo:lo + B]])
+        bulk.finish()
+        ctx._rebuild_device_text()
+    else:
+        for d in docs:
+            ctx.add_row(str(d["id"]), d["content"],
+                        {"status": d["status"], "category": d["category"]})
+        ctx.optimize()
     try:
         ctx.index.device.warmup()
     except Exception:
@@ -101,6 +155,7 @@ def start_server(docs: List[dict]) -> Dict:
     started.wait(60)
     holder["thread"] = t
     holder["ctx"] = ctx
+    holder["cfg"] = cfg
     return holder
 
 
@@ -245,18 +300,36 @@ def run_scenario(port: int, query: str, duration_sec: float,
     }
 
 
+def measure_host_verified(holder, query_line: str) -> int:
+    """In-process pipeline run reading DebugInfo.fuzzy_host_verified —
+    bounds the host text haul of the fuzzy path (r3 bar: a dist-1 common
+    term at 1.1M must host-verify <= 4,096 texts)."""
+    from mygramdb_tpu.query import QueryParser
+    from mygramdb_tpu.query.pipeline import SearchPipeline
+    out = SearchPipeline(holder["ctx"], holder["cfg"]).execute(
+        QueryParser().parse(query_line))
+    if not out.success:
+        return 1 << 30
+    return int(getattr(out.debug, "fuzzy_host_verified", 0))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["quick", "standard"],
                     default="quick")
     ap.add_argument("--json", default="")
     ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--scale", action="store_true",
+                    help="include the 1.1M-doc scale scenarios (fuzzy + "
+                         "synonym at Wikipedia scale; multi-minute seed)")
     args = ap.parse_args()
     duration = 2.0 if args.mode == "quick" else 8.0
 
     here = os.path.dirname(os.path.abspath(__file__))
     scenarios = json.load(open(os.path.join(here, "scenarios.json")))[
         "scenarios"]
+    scenarios = [sc for sc in scenarios
+                 if args.scale or sc.get("mode") != "scale"]
 
     results = {}
     failures = []
@@ -310,6 +383,13 @@ def main() -> int:
                     out["p50_single_ms"] = lat["p50_ms"]
                     out["host_p50_ms"] = round(host_p50, 3)
                     out["dispatches"] = n_disp
+                    hv_max = th.get("host_verified_max", 0)
+                    if hv_max:
+                        hv = measure_host_verified(holder, query)
+                        out["host_verified"] = hv
+                        if hv > hv_max:
+                            status = "THRESHOLD_VIOLATION"
+                            failures.append(sc["name"] + ":host_verified")
                     if host_p50 > th.get("host_p50_ms", 1e9) or \
                             out["qps"] < th.get("min_qps", 0) or \
                             n_disp > th.get("max_dispatches", 1 << 30):

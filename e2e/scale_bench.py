@@ -140,6 +140,13 @@ def main() -> int:
     from mygramdb_tpu.utils import textproc
     from mygramdb_tpu.utils.corpusgen import CorpusGenerator
 
+    from mygramdb_tpu.ops import runtime as mg_runtime
+    # transport health stamp: every record carries its own weather
+    # evidence (r4 verdict weak #1) — measured before the run so a
+    # degraded tunnel can never silently masquerade as a regression
+    transport = mg_runtime.transport_stamp()
+    print(f"# transport: {transport}", file=sys.stderr)
+
     rng = np.random.default_rng(args.seed + 7)
     gen = CorpusGenerator(args.docs, ja_ratio=args.ja_ratio, seed=args.seed)
 
@@ -313,11 +320,14 @@ def main() -> int:
 
     # ---------------- verified path (north-star workload) ----------------
     res_verified = None
+    res_dense = None
+    res_full_mix = None
     verify_parity_fail = 0
     if args.verify:
         from mygramdb_tpu.ops import fused as fused_ops
         from mygramdb_tpu.ops.verify_ops import NEEDLE_CAP
         from mygramdb_tpu.storage.device_text import DeviceTextStore
+        from mygramdb_tpu.index.device_index import _bucket_of, _k_bucket
         t0 = time.time()
         dev_text = DeviceTextStore.from_doc_store(doc_store,
                                                   idx.n_docs_capacity)
@@ -325,32 +335,49 @@ def main() -> int:
         B = min(args.batch, 64)
         ja_q = gen.sample_ja_terms(B * 60)
         # serving routes any driver-df bucket the kernel supports through
-        # the fused path (pipeline falls back only past the LAST bucket);
-        # at 10M docs driver dfs land in the 8k-32k buckets, so capping at
-        # 4096 here starved the bench of every query (and crashed it)
+        # the fused path (pipeline falls back only past the LAST bucket)
         C_LIMIT = idx.candidate_buckets[-1]
         Ks, Kd = 8, 8
-        skipped = {"miss": 0, "dense_only": 0, "too_big": 0, "long": 0}
-        payload = []   # per-query sparse-driver arrays (+ natural C bucket)
+        skipped = {"miss": 0, "too_big": 0, "long": 0}
+        payload = []        # sparse-driver payloads (+ natural C bucket)
         q_terms = []
+        dense_payload = []  # dense-only payloads (r4 skipped these:
+        #                     1,260 of 1,772 sampled — verdict missing #2)
         for term in ja_q:
             g = sorted(set(grams_of(term)))
             tids = [built.term_dict.get(x) for x in g]
             if any(t is None for t in tids):
                 skipped["miss"] += 1
                 continue
+            cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
+            if cp.size > NEEDLE_CAP:
+                skipped["long"] += 1
+                continue
+            ndl = np.zeros((2, NEEDLE_CAP), dtype=np.uint32)
+            ndl[0, :cp.size] = cp
+            nlen = np.zeros(2, dtype=np.int32)
+            nlen[0] = cp.size
             dense, sparse = idx.classify(tids)
             if not sparse:
-                skipped["dense_only"] += 1
-                continue  # dense-only CJK terms keep the dense fused path
+                dfs = [int(idx.lengths[t]) for t in tids]
+                driver_tid = tids[int(np.argmin(dfs))]
+                Cd = _bucket_of(max(min(dfs), 1),
+                                idx._VERIFY_DENSE_BUCKETS)
+                rows = list(dense)
+                while len(rows) < _k_bucket(len(rows)):
+                    rows.append(idx.ones_row)
+                if Cd > idx._VERIFY_DENSE_BUCKETS[-1] or len(rows) > 32:
+                    skipped["too_big"] += 1
+                    continue
+                maxTb = idx.verify_maxT(dev_text, driver_tid)
+                dense_payload.append({"rows": rows, "C": Cd, "term": term,
+                                      "ndl": ndl, "nlen": nlen,
+                                      "maxT": maxTb})
+                continue
             sparse = sorted(sparse, key=lambda t: int(idx.lengths[t]))
             dlen = int(idx.lengths[sparse[0]])
             if dlen == 0 or idx.verify_cand_bucket(dlen) > C_LIMIT:
                 skipped["too_big"] += 1
-                continue
-            cp = np.frombuffer(term.encode("utf-32-le"), dtype=np.uint32)
-            if cp.size > NEEDLE_CAP:
-                skipped["long"] += 1
                 continue
             sp_off = [int(idx.offsets32[t]) for t in sparse[1:]]
             sp_len = [int(idx.lengths[t]) for t in sparse[1:]]
@@ -361,60 +388,74 @@ def main() -> int:
             dn_inv = [False] * len(dn)
             while len(dn) < Kd:
                 dn.append(idx.ones_row); dn_inv.append(False)
-            ndl = np.zeros((2, NEEDLE_CAP), dtype=np.uint32)
-            ndl[0, :cp.size] = cp
-            nlen = np.zeros(2, dtype=np.int32)
-            nlen[0] = cp.size
             payload.append((int(idx.offsets32[sparse[0]]), dlen, sp_off,
                             sp_len, sp_inv, dn, dn_inv, ndl, nlen,
                             sparse[0], idx.verify_cand_bucket(dlen)))
             q_terms.append(term)
-            if len(payload) == B * 8:
+            if len(payload) >= B * 8 and len(dense_payload) >= B * 8:
                 break
         # group by natural candidate bucket — EXACTLY what the serving
         # micro-batcher does (its shape key includes C), so per-bucket
-        # batches mirror production dispatch shapes; a flat C=4096 for
-        # every query would overstate the kernel work of the short-df
-        # majority by up to 8x
+        # batches mirror production dispatch shapes
         groups = {}
-        for p, term in zip(payload, q_terms):
-            groups.setdefault(p[10], []).append((p, term))
+        for p_, term in zip(payload, q_terms):
+            groups.setdefault(p_[10], []).append((p_, term))
         bucket_hist = {str(k): len(v) for k, v in sorted(groups.items())}
+        dgroups = {}
+        for p_ in dense_payload:
+            dgroups.setdefault((p_["C"], len(p_["rows"]), p_["maxT"]),
+                               []).append(p_)
+        dense_hist = {str(k): len(v) for k, v in sorted(dgroups.items())}
 
         def mk_vstep(items, C):
             rep = [items[i % len(items)][0] for i in range(B)]
-            d_off = np.asarray([p[0] for p in rep], dtype=np.int32)
-            d_len = np.asarray([p[1] for p in rep], dtype=np.int32)
-            sp_off = np.asarray([p[2] for p in rep], dtype=np.int32)
-            sp_len = np.asarray([p[3] for p in rep], dtype=np.int32)
-            sp_inv = np.asarray([p[4] for p in rep], dtype=bool)
-            dn_rows = np.asarray([p[5] for p in rep], dtype=np.int32)
-            dn_inv = np.asarray([p[6] for p in rep], dtype=bool)
-            ndl_j = np.stack([p[7] for p in rep])
-            nlen_j = np.stack([p[8] for p in rep])
+            d_off = np.asarray([p_[0] for p_ in rep], dtype=np.int32)
+            d_len = np.asarray([p_[1] for p_ in rep], dtype=np.int32)
+            sp_off = np.asarray([p_[2] for p_ in rep], dtype=np.int32)
+            sp_len = np.asarray([p_[3] for p_ in rep], dtype=np.int32)
+            sp_inv = np.asarray([p_[4] for p_ in rep], dtype=bool)
+            dn_rows = np.asarray([p_[5] for p_ in rep], dtype=np.int32)
+            dn_inv = np.asarray([p_[6] for p_ in rep], dtype=bool)
+            ndl_j = np.stack([p_[7] for p_ in rep])
+            nlen_j = np.stack([p_[8] for p_ in rep])
             Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
-            Kv = min(C, idx._KV_BUCKET)
-            maxT = max(idx.verify_maxT(dev_text, p[9]) for p in rep)
+            # mirror serving (device_index.search_and_verified): the
+            # scanned stage lets Kv cover the whole bucket except on the
+            # Pallas-flat / nonoverlap paths
+            if fused_ops._pallas_tf_eligible(dev_text, C, False):
+                Kv = min(C, idx._KV_BUCKET)
+            else:
+                Kv = C
+            maxT = max(idx.verify_maxT(dev_text, p_[9]) for p_ in rep)
 
-            def vstep(_):
+            def vstep(_, defer=False):
                 return fused_ops.sparse_search_verify_topn_batch(
                     idx.postings, idx.bitmaps, idx.deleted,
                     d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
                     dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words,
-                    Kv=Kv, maxT=maxT, use_dense_probes=False)
+                    Kv=Kv, maxT=maxT, use_dense_probes=False, defer=defer)
             return vstep, Kv, maxT
 
-        per_bucket = {}
-        steps = []        # (vstep, weight) mixed-workload closures
-        n_clipped = 0
-        parity_sets = []  # (terms, pre, counts, topids, Kv)
-        for Cb, items in sorted(groups.items()):
-            vstep, Kv, maxT = mk_vstep(items, Cb)
-            pre, counts, topids = vstep(0)
-            n_clipped += int(np.sum(pre > Kv))
-            parity_sets.append((
-                [items[i % len(items)][1] for i in range(B)],
-                pre, counts, topids, Kv))
+        def mk_dense_vstep(items, C, K, maxTb):
+            rep = [items[i % len(items)] for i in range(B)]
+            rows_j = jnp.asarray(
+                np.asarray([p_["rows"] for p_ in rep], dtype=np.int32))
+            nrows_j = jnp.asarray(
+                np.full((B, 1), idx.zeros_row, dtype=np.int32))
+            ndl_j = np.stack([p_["ndl"] for p_ in rep])
+            nlen_j = np.stack([p_["nlen"] for p_ in rep])
+            extra = idx._pack_extra([])
+
+            def vstep(_, defer=False):
+                return fused_ops.search_verify_topn_batch(
+                    idx.bitmaps, rows_j, nrows_j, idx.deleted, extra,
+                    dev_text, C, 128, ndl_j, nlen_j, True, maxT=maxTb,
+                    defer=defer)
+            return vstep
+
+        def bench_bucket(vstep, n_items):
+            """compile+warm, p50 wall latency, amortized device time."""
+            out0 = vstep(0)
             vstep(0)
             lat = []
             for _ in range(6):
@@ -422,22 +463,17 @@ def main() -> int:
                 vstep(0)
                 lat.append(time.perf_counter() - t0)
             lat.sort()
-            per_bucket[str(Cb)] = {
-                "n_queries": len(items),
+            dev_us = mg_runtime.amortized_device_us(
+                lambda: vstep(0, defer=True), m=6)
+            return out0, {
+                "n_queries": n_items,
                 "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
                 "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
+                "device_batch_us": round(dev_us, 1),
+                "device_per_query_us": round(dev_us / B, 2),
             }
-            steps.extend([vstep] * max(1, len(items) * 16 // len(payload)))
-        if not steps:
-            # nothing qualified (e.g. every sampled term's driver df is
-            # past the largest kernel bucket) — record why, don't crash
-            res_verified = {"skipped": skipped,
-                            "text_pack_secs": round(pack_secs, 1),
-                            "text_hbm_mb": round(
-                                dev_text.memory_usage() / 1e6, 1)}
-        else:
-            # mixed-workload throughput: threads draw per-bucket batches
-            # in proportion to the bucket's share of the query stream
+
+        def run_throughput(steps):
             ex = ThreadPoolExecutor(args.threads)
             list(ex.map(lambda i: steps[i % len(steps)](i),
                         range(args.threads)))
@@ -446,20 +482,89 @@ def main() -> int:
             list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
             wall = time.perf_counter() - t0
             ex.shutdown(wait=False)
-            # stream-weighted single-flight p50 (one query's experience)
-            wsum = sum(per_bucket[k]["n_queries"] * per_bucket[k][
-                "p50_per_query_us"] for k in per_bucket)
-            wtot = max(sum(per_bucket[k]["n_queries"]
-                           for k in per_bucket), 1)
-            res_verified = {
-                "qps": round(nb * B / wall, 1),
-                "p50_per_query_us": round(wsum / wtot, 1),
-                "text_pack_secs": round(pack_secs, 1),
-                "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
-                "buckets": per_bucket, "bucket_hist": bucket_hist,
-                "skipped": skipped,
-                "clipped": n_clipped,
-            }
+            return round(nb * B / wall, 1)
+
+        def wavg(per_bucket, key):
+            wsum = sum(v["n_queries"] * v[key] for v in per_bucket.values())
+            wtot = max(sum(v["n_queries"] for v in per_bucket.values()), 1)
+            return round(wsum / wtot, 1)
+
+        per_bucket = {}
+        sparse_steps = []  # (vstep, weight)
+        n_clipped = 0
+        parity_sets = []   # (terms, pre, counts, topids, Kv)
+        n_sparse = len(payload)
+        for Cb, items in sorted(groups.items()):
+            vstep, Kv, maxT = mk_vstep(items, Cb)
+            out0, rec = bench_bucket(vstep, len(items))
+            pre, counts, topids = out0
+            n_clipped += int(np.sum(pre > Kv))
+            parity_sets.append((
+                [items[i % len(items)][1] for i in range(B)],
+                pre, counts, topids, Kv))
+            per_bucket[str(Cb)] = rec
+            sparse_steps.append((vstep, len(items)))
+        dense_bucket = {}
+        dense_steps = []
+        n_dense = len(dense_payload)
+        for (Cd, K, maxTb), items in sorted(dgroups.items()):
+            vstep = mk_dense_vstep(items, Cd, K, maxTb)
+            out0, rec = bench_bucket(vstep, len(items))
+            pre, counts, topids = out0
+            n_clipped += int(np.sum(pre > Cd))
+            parity_sets.append((
+                [items[i % len(items)]["term"] for i in range(B)],
+                pre, counts, topids, Cd))
+            dense_bucket["%d/K%d/T%d" % (Cd, K, maxTb)] = rec
+            dense_steps.append((vstep, len(items)))
+
+        def expand(steps, total):
+            out = []
+            for vstep, w in steps:
+                out.extend([vstep] * max(1, w * 16 // max(total, 1)))
+            return out
+
+        if not per_bucket and not dense_bucket:
+            res_verified = {"skipped": skipped,
+                            "text_pack_secs": round(pack_secs, 1),
+                            "text_hbm_mb": round(
+                                dev_text.memory_usage() / 1e6, 1)}
+        else:
+            if per_bucket:
+                qps_sparse = run_throughput(expand(sparse_steps, n_sparse))
+                res_verified = {
+                    "qps": qps_sparse,
+                    "p50_per_query_us": wavg(per_bucket,
+                                             "p50_per_query_us"),
+                    "device_per_query_us": wavg(per_bucket,
+                                                "device_per_query_us"),
+                    "text_pack_secs": round(pack_secs, 1),
+                    "text_hbm_mb": round(dev_text.memory_usage() / 1e6, 1),
+                    "buckets": per_bucket, "bucket_hist": bucket_hist,
+                    "skipped": skipped,
+                    "clipped": n_clipped,
+                }
+            if dense_bucket:
+                qps_dense = run_throughput(expand(dense_steps, n_dense))
+                res_dense = {
+                    "qps": qps_dense,
+                    "p50_per_query_us": wavg(dense_bucket,
+                                             "p50_per_query_us"),
+                    "device_per_query_us": wavg(dense_bucket,
+                                                "device_per_query_us"),
+                    "buckets": dense_bucket, "bucket_hist": dense_hist,
+                }
+            if per_bucket and dense_bucket:
+                # stream-weighted FULL-MIX throughput: every sampled
+                # query shape that serving would route through the fused
+                # verified path, in its observed proportion (the r4
+                # headline covered only the sparse-driver ~29%)
+                mix = expand(sparse_steps, n_sparse + n_dense) +                     expand(dense_steps, n_sparse + n_dense)
+                res_full_mix = {
+                    "qps": run_throughput(mix),
+                    "n_sparse": n_sparse, "n_dense": n_dense,
+                    "skipped": skipped,
+                }
         # verified parity vs sampled texts: counts must equal substring
         # ground truth on the sample intersection (checked per bucket)
         for terms_b, pre, counts, topids, Kv in parity_sets:
@@ -626,6 +731,7 @@ def main() -> int:
                       f" missing={sorted(expected - got)[:5]}",
                       file=sys.stderr)
 
+    transport_end = mg_runtime.transport_stamp()
     out = {
         "metric": "scale_bench_qps",
         "value": res_ja["qps"],
@@ -654,9 +760,13 @@ def main() -> int:
             "parity_queries": parity_n,
             "parity_failures": parity_fail,
             "ja_cjk_verified": res_verified,
+            "ja_cjk_verified_dense": res_dense,
+            "ja_cjk_verified_full_mix": res_full_mix,
             "verify_parity_failures": verify_parity_fail,
             "ja_cjk_verified_pos": res_pos,
             "pos_verify_parity_failures": pos_parity_fail,
+            "transport": transport,
+            "transport_end": transport_end,
             "backend": jax.default_backend(),
         },
     }

@@ -1,24 +1,32 @@
-"""One-command TPU measurement runbook for the round-3 perf tail.
+"""One-command TPU measurement runbook (round 5).
 
-The round-3 kernels (Pallas fused row-gather+TF verify, flat-pack
-variant, chunked build finalize) were written and parity-tested while
-the TPU tunnel was down; this script runs the entire outstanding
-measurement queue the moment a tunnel is available, in the right order,
-single-tenant, with bounded step budgets:
+Runs the outstanding measurement queue in order, single-tenant, with
+bounded step budgets and transport stamps in every artifact:
 
   probe     bounded jax.devices() — abort everything if the tunnel is
             dead (an unbounded first dispatch blocks forever)
-  ab        verified-path kernel A/B at 1.1M docs: pallas+padded (auto),
-            pallas+flat pack, XLA fallback — three scale_bench --verify
-            runs; winner = highest ja_cjk_verified.qps with zero verify
-            parity failures
+  ab        verified-path A/B at 1.1M docs (r4 verdict next #1b):
+            scan        = r5 default (XLA gather + EXACT scanned global
+                          compaction + u16 delta wire; full-shape
+                          verified incl. the dense-only majority)
+            r3_control  = the r3 winner config re-run in the SAME
+                          session (XLA gather, no global stage, raw
+                          int32 postings transport) — the trend control
+            fixed_global= the r4 fixed-M global stage for comparison
+            The scan-vs-r3_control pair in one session also IS the u16
+            wire upload A/B (upload_detail.postings_wire_mb /
+            postings_put_s) — r4 verdict next #5.
   bench1m   promote the winning A/B run's JSON to BENCH_1M.json
   bench4m   scale_bench --docs 4000000 --verify (winner env)
   bench10m  scale_bench --docs 10000000 --verify, flat text layout
             (padded exceeds the HBM budget at 10M)
-  headline  bench.py (100k-doc batched dense headline)
+  headline  bench.py (100k-doc batched dense headline, stamped —
+            r4 verdict next #8)
+  gates     e2e/benchmark_suite.py quick gate suite (20k corpora)
+  gates_1m  e2e/benchmark_suite.py --scale: adds the 1.1M fuzzy +
+            synonym scenarios (r4 verdict next #7)
 
-State is written to RUNBOOK_r3.json after every step so a mid-run
+State is written to RUNBOOK_r5.json after every step so a mid-run
 tunnel death loses nothing. Steps are selectable:
 
     python e2e/tpu_runbook.py                 # everything
@@ -42,17 +50,21 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STATE_PATH = os.path.join(REPO, os.environ.get("MYGRAM_RUNBOOK_STATE",
-                                               "RUNBOOK_r4.json"))
+                                               "RUNBOOK_r5.json"))
 LOG_DIR = os.path.join(REPO, "e2e", "runbook_logs")
 CACHE_DIR = os.path.join(REPO, "e2e", "build_cache")
 
 AB_VARIANTS = [
-    # (name, env overrides) — order cheapest-risk first: auto is the
-    # production default, flat exercises the 10M-capable layout, xla is
-    # the round-2 fallback that sets the "did pallas help" bar
-    ("pallas_auto", {}),
-    ("pallas_flat", {"MYGRAM_TEXT_LAYOUT": "flat"}),
-    ("xla", {"MYGRAM_DISABLE_PALLAS_VERIFY": "1"}),
+    # (name, env overrides). scan = the r5 production default (padded
+    # layout auto-routes to the XLA gather + exact scanned global
+    # compaction; u16 wire on). r3_control re-runs the r3 winner config
+    # in the SAME session so tunnel weather can never again confound the
+    # trend (r4 verdict weak #1). fixed_global = the r4 fixed-M stage.
+    ("scan", {}),
+    ("r3_control", {"MYGRAM_DISABLE_PALLAS_VERIFY": "1",
+                    "MYGRAM_DISABLE_GLOBAL_VERIFY": "1",
+                    "MYGRAM_DISABLE_U16_WIRE": "1"}),
+    ("fixed_global", {"MYGRAM_GLOBAL_FIXED": "1"}),
 ]
 
 
@@ -158,14 +170,15 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=str, default="",
                     help="comma list: probe,ab,bench1m,bench4m,bench10m,"
-                         "headline (default: all)")
+                         "headline,gates,gates_1m (default: all)")
     ap.add_argument("--probe-timeout", type=float, default=600.0)
     ap.add_argument("--budget-1m", type=float, default=45 * 60)
     ap.add_argument("--budget-4m", type=float, default=100 * 60)
     ap.add_argument("--budget-10m", type=float, default=180 * 60)
     args = ap.parse_args()
     wanted = set(args.steps.split(",")) if args.steps else {
-        "probe", "ab", "bench1m", "bench4m", "bench10m", "headline"}
+        "probe", "ab", "bench1m", "bench4m", "bench10m", "headline",
+        "gates", "gates_1m"}
 
     state = load_state()
     py = sys.executable
@@ -191,9 +204,11 @@ def main() -> int:
             return 2
 
     if "ab" in wanted:
+        os.makedirs(CACHE_DIR, exist_ok=True)
         for name, env in AB_VARIANTS:
             cmd = [py, "-u", "e2e/scale_bench.py", "--docs", "1100000",
-                   "--verify", "--out", ab_out(name)]
+                   "--verify", "--out", ab_out(name),
+                   "--build-cache", os.path.join(CACHE_DIR, "b1m_verify")]
             if not record(f"ab_{name}",
                           run_step(f"ab_{name}", cmd, env, args.budget_1m)):
                 return 2
@@ -249,6 +264,21 @@ def main() -> int:
     if "headline" in wanted:
         if not record("headline", run_step(
                 "headline", [py, "-u", "bench.py"], {}, 30 * 60)):
+            return 2
+
+    if "gates" in wanted:
+        cmd = [py, "-u", "e2e/benchmark_suite.py", "--mode", "quick",
+               "--json", os.path.join(REPO, "e2e",
+                                      "RESULTS_r5_gates.json")]
+        if not record("gates", run_step("gates", cmd, {}, 45 * 60)):
+            return 2
+
+    if "gates_1m" in wanted:
+        cmd = [py, "-u", "e2e/benchmark_suite.py", "--mode", "quick",
+               "--scale", "--json",
+               os.path.join(REPO, "e2e", "RESULTS_r5_scale_gates.json")]
+        if not record("gates_1m", run_step("gates_1m", cmd, {},
+                                           90 * 60)):
             return 2
 
     print("runbook complete; state file written (see MYGRAM_RUNBOOK_STATE)", flush=True)

@@ -158,3 +158,75 @@ class _DispatchCounter:
 
 
 dispatches = _DispatchCounter()
+
+
+def transport_stamp(device=None, mb: int = 8, n_rtt: int = 5) -> dict:
+    """Measure tunnel transport health for embedding in bench artifacts.
+
+    Every performance record must carry its own weather evidence (r4
+    verdict weak #1: trend regressions were attributed to tunnel weather
+    with no proof in the artifact). Returns
+    {h2d_MBps, d2h_MBps, rtt_ms, when} or {"error": ...}; costs ~2*mb MB
+    of wire plus n_rtt tiny dispatches, so call it once per bench run.
+
+    rtt_ms is the min over n_rtt single-scalar pulls of an already-
+    computed device value — the per-dispatch floor that batching
+    amortizes (block_until_ready lies on the axon backend; np.asarray of
+    a fresh result is the only truthful sync, see CLAUDE.md).
+    """
+    import time
+    import numpy as np
+    try:
+        import jax
+        import jax.numpy as jnp
+        dev = device or jax.devices()[0]
+        x = np.arange((mb << 20) // 4, dtype=np.int32)
+        t0 = time.perf_counter()
+        d = jax.device_put(x, dev)
+        d.block_until_ready()
+        np.asarray(d[-1:])  # force the put to have really landed
+        t1 = time.perf_counter()
+        # pull a COMPUTED alias: np.asarray of the raw put can answer
+        # from the cached host buffer without touching the wire
+        _ = np.asarray(d + 0)
+        t2 = time.perf_counter()
+        # RTT must pull a freshly COMPUTED device value each time: a
+        # device_put array (and any already-pulled result) answers from
+        # the cached host copy with no round trip at all (measured
+        # rtt=0.0 ms), and block_until_ready lies on axon.
+        f = jax.jit(lambda v, i: v[:1] + i)
+        np.asarray(f(d, 0))  # compile
+        rtts = []
+        for _i in range(1, n_rtt + 1):
+            t = time.perf_counter()
+            np.asarray(f(d, _i))
+            rtts.append(time.perf_counter() - t)
+        return {
+            "h2d_MBps": round(mb / max(t1 - t0, 1e-9), 2),
+            "d2h_MBps": round(mb / max(t2 - t1, 1e-9), 2),
+            "rtt_ms": round(min(rtts) * 1000, 2),
+            "when": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+    except Exception as e:  # never sink a bench run on a weather probe
+        return {"error": repr(e)[:200]}
+
+
+def amortized_device_us(step, m: int = 8) -> float:
+    """Amortized per-dispatch device time for a zero-arg dispatch fn:
+    queue m dispatches back-to-back and force only the LAST result, then
+    divide. Single-shot np.asarray walls are RTT-floored (~35-50 ms) and
+    block_until_ready returns early on the axon backend, so this is the
+    only honest kernel-time measure over the tunnel (r3 hard-won note).
+    The caller must have warmed/compiled `step` already."""
+    import time
+    import numpy as np
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(m):
+        out = step()
+    # force materialization of one leaf of the last result only
+    leaf = out
+    while isinstance(leaf, (tuple, list)):
+        leaf = leaf[0]
+    np.asarray(leaf)
+    return (time.perf_counter() - t0) / m * 1e6

@@ -22,7 +22,11 @@ from ..ops.verify_ops import (NEEDLE_CAP, bm25_topk_device,
 from ..ops import runtime
 from .. import native
 
-_C_BUCKETS = (2048, 4096, 8192, 16384)
+# chunked-verify candidate buckets: wide tail added in r5 so a 131k-
+# candidate fuzzy/synonym verify costs 2 dispatches, not 9 — each
+# dispatch is a tunnel RTT, and the (C, maxT) gather stays < 100 MB
+# even at the 65536 bucket with a tight per-chunk maxT
+_C_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
 # Padded text layout cap (row-gather path). v5e HBM is 16 GB; the index
 # itself is ~0.5 GB/1M docs, so the padded matrix can take most of the
 # rest — at 4M docs it needs 8.4 GB and turns the verified path's text
