@@ -372,7 +372,8 @@ def main() -> int:
                 maxTb = idx.verify_maxT(dev_text, driver_tid)
                 dense_payload.append({"rows": rows, "C": Cd, "term": term,
                                       "ndl": ndl, "nlen": nlen,
-                                      "maxT": maxTb})
+                                      "maxT": maxTb,
+                                      "min_df": max(min(dfs), 1)})
                 continue
             sparse = sorted(sparse, key=lambda t: int(idx.lengths[t]))
             dlen = int(idx.lengths[sparse[0]])
@@ -420,9 +421,12 @@ def main() -> int:
             nlen_j = np.stack([p_[8] for p_ in rep])
             Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
             # mirror serving (device_index.search_and_verified): the
-            # scanned stage lets Kv cover the whole bucket except on the
-            # Pallas-flat / nonoverlap paths
-            if fused_ops._pallas_tf_eligible(dev_text, C, False):
+            # scanned stage / owner-pack kernel let Kv cover the whole
+            # bucket; only the per-pad-slot pallas path keeps it tight
+            from mygramdb_tpu.ops.verify_ops import needle_cap_bucket
+            if fused_ops._pallas_tf_eligible(dev_text, C, False) and \
+                    not fused_ops._global_pack_policy(
+                        dev_text, 1, C, 2, needle_cap_bucket(4), False):
                 Kv = min(C, idx._KV_BUCKET)
             else:
                 Kv = C
@@ -445,12 +449,13 @@ def main() -> int:
             ndl_j = np.stack([p_["ndl"] for p_ in rep])
             nlen_j = np.stack([p_["nlen"] for p_ in rep])
             extra = idx._pack_extra([])
+            vbound = sum(p_["min_df"] for p_ in rep)
 
             def vstep(_, defer=False):
                 return fused_ops.search_verify_topn_batch(
                     idx.bitmaps, rows_j, nrows_j, idx.deleted, extra,
                     dev_text, C, 128, ndl_j, nlen_j, True, maxT=maxTb,
-                    defer=defer)
+                    defer=defer, vbound=vbound)
             return vstep
 
         def bench_bucket(vstep, n_items):
@@ -465,12 +470,17 @@ def main() -> int:
             lat.sort()
             dev_us = mg_runtime.amortized_device_us(
                 lambda: vstep(0, defer=True), m=6)
+            pre = np.asarray(out0[0])
             return out0, {
                 "n_queries": n_items,
                 "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
                 "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
                 "device_batch_us": round(dev_us, 1),
                 "device_per_query_us": round(dev_us / B, 2),
+                # pre = per-query AND-survivor count: tells whether the
+                # verify stage's cost tracks matches (V) or pad (B*Kv)
+                "pre_mean": round(float(pre.mean()), 1),
+                "pre_max": int(pre.max()),
             }
 
         def run_throughput(steps):

@@ -61,6 +61,12 @@ AB_VARIANTS = [
     # in the SAME session so tunnel weather can never again confound the
     # trend (r4 verdict weak #1). fixed_global = the r4 fixed-M stage.
     ("scan", {}),
+    # flat text layout at 1.1M: the owner-indexed live-skip Pallas
+    # kernel (global_pack) only serves flat packs — measured marginal
+    # ~0.1 us/row vs the XLA scan's ~0.3-1 (compare passes don't fuse
+    # inside the while_loop), so this may dethrone the r3 padded-XLA
+    # winner
+    ("flat_global", {"MYGRAM_TEXT_LAYOUT": "flat"}),
     ("r3_control", {"MYGRAM_DISABLE_PALLAS_VERIFY": "1",
                     "MYGRAM_DISABLE_GLOBAL_VERIFY": "1",
                     "MYGRAM_DISABLE_U16_WIRE": "1"}),

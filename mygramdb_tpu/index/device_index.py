@@ -818,15 +818,25 @@ class DeviceIndex:
                 return None
             Kv = min(C, self._KV_BUCKET)
             from ..ops import fused as fused_ops
-            if not nonoverlap and not fused_ops._pallas_tf_eligible(
-                    text_store, C, nonoverlap):
-                # scanned global compaction: verify cost tracks actual
-                # matches, so the compaction width can cover the whole
-                # candidate bucket — pre can never exceed Kv and the
-                # exact-path rerun for clipped queries disappears. The
-                # Pallas flat kernel (per-row window DMAs ∝ B*Kv) and
-                # the non-overlapping TF scan keep the tight width.
-                Kv = C
+            if not nonoverlap:
+                # full-bucket compaction width: pre can never exceed Kv,
+                # so the exact-path rerun for clipped queries disappears.
+                # Affordable wherever verify cost tracks ACTUAL matches:
+                # the XLA scanned stage (non-pallas layouts) and the
+                # owner-indexed live-skip flat kernel (global_pack).
+                # Only the per-pad-slot pallas path and the
+                # non-overlapping TF scan keep the tight width.
+                if not fused_ops._pallas_tf_eligible(text_store, C,
+                                                     nonoverlap):
+                    Kv = C
+                else:
+                    from ..ops.verify_ops import needle_cap_bucket
+                    cap_b = needle_cap_bucket(
+                        max(int(np.max(needle_lens)), 1))
+                    if fused_ops._global_pack_policy(
+                            text_store, 1, C, needles.shape[0], cap_b,
+                            nonoverlap):
+                        Kv = C
             maxT = self.verify_maxT(text_store, driver)
             sp_off, sp_len, sp_inv = [], [], []
             for t in sparse_tids[1:]:
@@ -903,19 +913,30 @@ class DeviceIndex:
             return None
         if C > self.candidate_buckets[-1] and fused_ops._pallas_tf_eligible(
                 text_store, C, nonoverlap):
-            return None
+            # flat pack + wide dense bucket: only the owner-indexed
+            # live-skip kernel bounds the per-row DMA work — without it
+            # (needle table past the SMEM budget) fall back
+            from ..ops.verify_ops import needle_cap_bucket
+            cap_b = needle_cap_bucket(
+                max(int(np.max(needle_lens)), 1))
+            if not fused_ops._global_pack_policy(
+                    text_store, 1, C, needles.shape[0], cap_b,
+                    nonoverlap):
+                return None
         rows = list(dense_rows)
         while len(rows) < _k_bucket(len(rows)):
             rows.append(self.ones_row)
         if len(rows) > 32:
             return None
         lb = min(limit_b, C)
+        vbound = max(min(dfs), 1)  # AND count <= min df (pack width cap)
         if self.batcher is not None:
             return self.batcher.submit_fused_verify(
                 rows, needles, needle_lens, text_store, C, lb, descending,
                 score_mode=score_mode, idf=idf_row, k1=k1, b=b,
                 avgdl=avgdl, nonoverlap=nonoverlap,
-                require_match=require_match, extra=tuple(extra_words))
+                require_match=require_match, extra=tuple(extra_words),
+                vbound=vbound)
         out = fused_ops.search_verify_topn_batch(
             self.bitmaps, jnp.asarray([rows], dtype=jnp.int32),
             jnp.asarray([[self.zeros_row]], dtype=jnp.int32),
@@ -924,7 +945,8 @@ class DeviceIndex:
             needles[None], needle_lens[None], descending, maxT=maxT,
             idf=idf_row[None], k1=k1, b=b, avgdl=avgdl,
             score_mode=score_mode, nonoverlap=nonoverlap,
-            require_match=require_match, has_extra=bool(extra_words))
+            require_match=require_match, has_extra=bool(extra_words),
+            vbound=vbound)
         pre, count, ids = out[0], out[1], out[2]
         if int(pre[0]) > C:
             return None  # extraction clipped: exact path re-runs

@@ -278,7 +278,7 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
                   descending, score_mode, nonoverlap, require_match,
                   use_range, pallas_tf, ptf_interpret=False,
                   global_m: int = 0, global_scan: int = 0,
-                  global_pack: bool = False):
+                  global_pack: int = 0):
     """Batched verify tail: sel_all (B, Kv) compacted candidates ->
     (count (B,), ids (B, n), scores (B, n)).
 
@@ -295,9 +295,12 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
             # globally-compacted flat kernel: pack valid candidates to a
             # live prefix, owner-index the needle table, and let the
             # kernel's live-skip bound DMA work by the batch's ACTUAL
-            # survivor count — the pallas analog of _tf_rows_global_scan
+            # survivor count — the pallas analog of _tf_rows_global_scan.
+            # global_pack = the packed width M (caller-bounded by the
+            # batch's host-known survivor ceiling; V can never exceed it)
             B = sel_all.shape[0]
             BK = B * Kv
+            Mp = min(global_pack, BK)
             flat = sel_all.reshape(-1)
             valid = flat != SENTINEL
             pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
@@ -305,8 +308,9 @@ def _verify_stage(sel_all, codepoints, offsets, lengths, needles,
             src = jnp.zeros((BK,), jnp.int32).at[tgt].set(
                 jnp.arange(BK, dtype=jnp.int32), mode="drop")
             V = jnp.sum(valid.astype(jnp.int32))
-            live = jnp.arange(BK, dtype=jnp.int32) < V
-            src_s = jnp.where(live, src, 0)
+            src_m = src[:Mp]
+            live = jnp.arange(Mp, dtype=jnp.int32) < V
+            src_s = jnp.where(live, src_m, 0)
             ids_m = jnp.where(live, flat[src_s], 0)
             own_m = jnp.where(live, src_s // Kv, 0)
             off_grp, off_rem = offsets
@@ -429,7 +433,7 @@ def _search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                               ptf_interpret: bool = False,
                               global_m: int = 0,
                               global_scan: int = 0,
-                              global_pack: bool = False):
+                              global_pack: int = 0):
     """Batched dense-driver fused verified search: B queries, each with its
     OWN needle set, in one dispatch. rows: (B, K); needles: (B, Nn, CAP);
     needle_lens: (B, Nn); idf: (B, Nn) f32.
@@ -483,7 +487,7 @@ def _sparse_search_verify_topn_batch(postings, bitmaps, deleted,
                                      ptf_interpret: bool = False,
                                      global_m: int = 0,
                                      global_scan: int = 0,
-                                     global_pack: bool = False):
+                                     global_pack: int = 0):
     """Sparse-driver fused verified search, batched: the rarest term's CSR
     slice is the candidate vector (so C is bounded by its df — exactly the
     queries whose rarest gram is sparse), probed by the other grams,
@@ -665,22 +669,36 @@ class _GlobalClipMemo:
 _global_clip_memo = _GlobalClipMemo()
 
 
-_SCAN_CHUNK = 16384
+_SCAN_CHUNK = int(__import__("os").environ.get("MYGRAM_SCAN_CHUNK",
+                                               "16384"))
 
 
 def _global_pack_policy(text_store, B: int, Kv: int, Nn: int, cap: int,
-                        nonoverlap: bool) -> bool:
-    """Use the owner-indexed live-skip flat Pallas kernel
-    (tf_rows_flat_global_pallas) instead of the per-pad-slot one: same
-    enable conditions as the XLA scan stage (so the disable/A-B envs
-    apply uniformly), flat packs only, and the replicated needle table
-    must fit the kernel's SMEM budget."""
+                        nonoverlap: bool, vbound=None) -> int:
+    """Packed width M for the owner-indexed live-skip flat Pallas kernel
+    (tf_rows_flat_global_pallas), 0 = off. Same enable conditions as the
+    XLA scan stage (so the disable/A-B envs apply uniformly), flat packs
+    only, and the replicated needle table must fit the kernel's SMEM
+    budget.
+
+    vbound: host-known upper bound on the batch's valid candidate count
+    (sum of min(driver_df, Kv) — probes only shrink it). The kernel's
+    dead-grid floor is ~0.8 us/step on v5e, so M is bucketed to the
+    bound instead of B*Kv: a batch of rare-driver queries pays a grid
+    proportional to its actual survivors, not the pad."""
     if _global_scan_policy(B, Kv, nonoverlap) <= 0:
-        return False
+        return 0
     cp = getattr(text_store, "codepoints", None)
     if cp is None or getattr(cp, "ndim", 1) != 1:
-        return False
-    return B * Nn * cap <= _OWNER_NDL_SMEM_MAX
+        return 0
+    if B * Nn * cap > _OWNER_NDL_SMEM_MAX:
+        return 0
+    bk = B * Kv
+    m = bk if vbound is None else max(min(bk, int(vbound)), 1)
+    M = 4096
+    while M < m:
+        M <<= 1
+    return min(M, bk)
 
 
 def _global_scan_policy(B: int, Kv: int, nonoverlap: bool) -> int:
@@ -793,7 +811,7 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
 
     cap_b = needle_cap_bucket(max(int(np.max(needle_lens)), 1))
 
-    def run(ptf: bool, gm: int = 0, gs: int = 0, gp: bool = False):
+    def run(ptf: bool, gm: int = 0, gs: int = 0, gp: int = 0):
         return _sparse_search_verify_topn_batch(
             postings, bitmaps, deleted,
             jnp.asarray(d_off), jnp.asarray(d_len),
@@ -813,14 +831,19 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             ptf_interpret=ptf and _ptf_interpret(),
             global_m=0 if ptf else gm,
             global_scan=0 if ptf else gs,
-            global_pack=ptf and gp)
+            global_pack=gp if ptf else 0)
 
     ptf_ok = _pallas_tf_eligible(text_store, Kv, nonoverlap)
     gs = 0 if ptf_ok else _global_scan_policy(B, Kv, nonoverlap)
     gm = 0 if (ptf_ok or gs) else _global_m_policy(B, Kv, nonoverlap)
-    gp = ptf_ok and _global_pack_policy(text_store, B, Kv,
-                                        needles.shape[1], cap_b,
-                                        nonoverlap)
+    try:
+        vbound = int(np.minimum(np.asarray(d_len, dtype=np.int64),
+                                Kv).sum())
+    except Exception:
+        vbound = None
+    gp = (_global_pack_policy(text_store, B, Kv, needles.shape[1],
+                              cap_b, nonoverlap, vbound=vbound)
+          if ptf_ok else 0)
     if defer:
         # amortized-timing mode (bench only): return the packed DEVICE
         # array unsynced so callers can queue M dispatches and force one
@@ -851,8 +874,11 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
                              nonoverlap: bool = False,
                              require_match: bool = True,
                              has_extra: bool = False,
-                             defer: bool = False):
+                             defer: bool = False, vbound=None):
     """One-dispatch batched dense-driver verified search.
+    vbound: optional host-known ceiling on the batch's total AND-survivor
+    count (sum of per-query min dense df) — bounds the packed width of
+    the global pallas stage.
     Returns numpy (pre, counts, ids[, scores]); pre > cand_bucket means
     the extraction clipped (caller falls back for that query)."""
     import numpy as np
@@ -868,7 +894,7 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
     cap_b = needle_cap_bucket(int(np.max(needle_lens))
                               if np.max(needle_lens) > 0 else 1)
 
-    def run(ptf: bool, gm: int = 0, gs: int = 0, gp: bool = False):
+    def run(ptf: bool, gm: int = 0, gs: int = 0, gp: int = 0):
         return _search_verify_topn_batch(
             bitmaps, rows, nrows, deleted, extra,
             text_store.codepoints, text_store.offsets, text_store.lengths,
@@ -885,15 +911,16 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
             ptf_interpret=ptf and _ptf_interpret(),
             global_m=0 if ptf else gm,
             global_scan=0 if ptf else gs,
-            global_pack=ptf and gp)
+            global_pack=gp if ptf else 0)
 
     ptf_ok = _pallas_tf_eligible(text_store, cand_bucket, nonoverlap)
     gs = 0 if ptf_ok else _global_scan_policy(B, cand_bucket, nonoverlap)
     gm = 0 if (ptf_ok or gs) else _global_m_policy(B, cand_bucket,
                                                    nonoverlap)
-    gp = ptf_ok and _global_pack_policy(text_store, B, cand_bucket,
-                                        needles.shape[1], cap_b,
-                                        nonoverlap)
+    gp = (_global_pack_policy(text_store, B, cand_bucket,
+                              needles.shape[1], cap_b, nonoverlap,
+                              vbound=vbound)
+          if ptf_ok else 0)
     if defer:
         # see the sparse wrapper's defer note
         return run(ptf_ok, gm, gs, gp)

@@ -119,7 +119,8 @@ class MicroBatcher:
                             descending: bool, score_mode: bool = False,
                             idf=None, k1: float = 1.2, b: float = 0.75,
                             avgdl: float = 1.0, nonoverlap: bool = False,
-                            require_match: bool = True, extra=()):
+                            require_match: bool = True, extra=(),
+                            vbound=None):
         """Blocking submit of a fused verified search (PK order or BM25
         score order). needles: (Nn, CAP) uint32 already padded to the Nn
         bucket. extra: shared EQ-filter word rows (grouped by identity —
@@ -131,7 +132,8 @@ class MicroBatcher:
                 f"micro-batch supports at most {MAX_K} dense rows")
         req = _Request(rows=list(dense_rows), sparse={
             "needles": needles, "nlens": needle_lens, "store": text_store,
-            "idf": idf, "extra": extra})
+            "idf": idf, "extra": extra,
+            "vbound": C if vbound is None else int(vbound)})
         key = ("fusedv", id(text_store), C, needles.shape[0],
                limit_b, descending, score_mode, nonoverlap,
                round(k1, 6), round(b, 6), round(avgdl, 3), require_match,
@@ -364,7 +366,8 @@ class MicroBatcher:
                 idx.deleted, extra, store, C, limit_b, ndl, nlens,
                 descending=descending, idf=idf, k1=k1, b=b_, avgdl=avgdl,
                 score_mode=score_mode, nonoverlap=nonoverlap,
-                require_match=require_match, has_extra=bool(extra_rows))
+                require_match=require_match, has_extra=bool(extra_rows),
+                vbound=sum(r.sparse.get("vbound", C) for r in chunk))
             pre, count, ids = out[0], out[1], out[2]
             scores = out[3] if score_mode else None
             self.batches_executed += 1
