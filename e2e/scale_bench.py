@@ -408,8 +408,24 @@ def main() -> int:
                                []).append(p_)
         dense_hist = {str(k): len(v) for k, v in sorted(dgroups.items())}
 
+        # the direct path materializes ~(B, Kv, maxT) text scratch —
+        # cap each dispatch's batch like the serving micro-batcher does
+        # (microbatch b_cap), so wide buckets sub-batch instead of OOM
+        def b_eff_of(Kv, maxT):
+            return max(1, min(B, (512 << 20) // max(Kv * maxT * 4, 1)))
+
         def mk_vstep(items, C):
-            rep = [items[i % len(items)][0] for i in range(B)]
+            maxT0 = max(idx.verify_maxT(dev_text, it[0][9])
+                        for it in items)
+            from mygramdb_tpu.ops.verify_ops import needle_cap_bucket
+            if fused_ops._pallas_tf_eligible(dev_text, C, False) and \
+                    not fused_ops._global_pack_policy(
+                        dev_text, 1, C, 2, needle_cap_bucket(4), False):
+                Kv0 = min(C, idx._KV_BUCKET)
+            else:
+                Kv0 = C
+            Bq = b_eff_of(Kv0, maxT0)
+            rep = [items[i % len(items)][0] for i in range(Bq)]
             d_off = np.asarray([p_[0] for p_ in rep], dtype=np.int32)
             d_len = np.asarray([p_[1] for p_ in rep], dtype=np.int32)
             sp_off = np.asarray([p_[2] for p_ in rep], dtype=np.int32)
@@ -420,16 +436,7 @@ def main() -> int:
             ndl_j = np.stack([p_[7] for p_ in rep])
             nlen_j = np.stack([p_[8] for p_ in rep])
             Cmax = idx._cand_bucket(int(sp_len.max()) if sp_len.size else 1)
-            # mirror serving (device_index.search_and_verified): the
-            # scanned stage / owner-pack kernel let Kv cover the whole
-            # bucket; only the per-pad-slot pallas path keeps it tight
-            from mygramdb_tpu.ops.verify_ops import needle_cap_bucket
-            if fused_ops._pallas_tf_eligible(dev_text, C, False) and \
-                    not fused_ops._global_pack_policy(
-                        dev_text, 1, C, 2, needle_cap_bucket(4), False):
-                Kv = min(C, idx._KV_BUCKET)
-            else:
-                Kv = C
+            Kv = Kv0
             maxT = max(idx.verify_maxT(dev_text, p_[9]) for p_ in rep)
 
             def vstep(_, defer=False):
@@ -438,14 +445,15 @@ def main() -> int:
                     d_off, d_len, sp_off, sp_len, sp_inv, dn_rows, dn_inv,
                     dev_text, C, Cmax, 128, ndl_j, nlen_j, idx.n_words,
                     Kv=Kv, maxT=maxT, use_dense_probes=False, defer=defer)
-            return vstep, Kv, maxT
+            return vstep, Kv, maxT, Bq
 
         def mk_dense_vstep(items, C, K, maxTb):
-            rep = [items[i % len(items)] for i in range(B)]
+            Bq = b_eff_of(C, maxTb)
+            rep = [items[i % len(items)] for i in range(Bq)]
             rows_j = jnp.asarray(
                 np.asarray([p_["rows"] for p_ in rep], dtype=np.int32))
             nrows_j = jnp.asarray(
-                np.full((B, 1), idx.zeros_row, dtype=np.int32))
+                np.full((Bq, 1), idx.zeros_row, dtype=np.int32))
             ndl_j = np.stack([p_["ndl"] for p_ in rep])
             nlen_j = np.stack([p_["nlen"] for p_ in rep])
             extra = idx._pack_extra([])
@@ -456,9 +464,9 @@ def main() -> int:
                     idx.bitmaps, rows_j, nrows_j, idx.deleted, extra,
                     dev_text, C, 128, ndl_j, nlen_j, True, maxT=maxTb,
                     defer=defer, vbound=vbound)
-            return vstep
+            return vstep, Bq
 
-        def bench_bucket(vstep, n_items):
+        def bench_bucket(vstep, n_items, Bq):
             """compile+warm, p50 wall latency, amortized device time."""
             out0 = vstep(0)
             vstep(0)
@@ -473,10 +481,12 @@ def main() -> int:
             pre = np.asarray(out0[0])
             return out0, {
                 "n_queries": n_items,
+                "batch": Bq,
                 "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
-                "p50_per_query_us": round(lat[len(lat) // 2] / B * 1e6, 1),
+                "p50_per_query_us": round(lat[len(lat) // 2] / Bq * 1e6,
+                                          1),
                 "device_batch_us": round(dev_us, 1),
-                "device_per_query_us": round(dev_us / B, 2),
+                "device_per_query_us": round(dev_us / Bq, 2),
                 # pre = per-query AND-survivor count: tells whether the
                 # verify stage's cost tracks matches (V) or pad (B*Kv)
                 "pre_mean": round(float(pre.mean()), 1),
@@ -484,15 +494,19 @@ def main() -> int:
             }
 
         def run_throughput(steps):
+            """steps: [(fn, Bq)] — heterogeneous per-step batch sizes
+            (wide buckets sub-batch), so throughput counts actual
+            queries dispatched."""
             ex = ThreadPoolExecutor(args.threads)
-            list(ex.map(lambda i: steps[i % len(steps)](i),
+            list(ex.map(lambda i: steps[i % len(steps)][0](i),
                         range(args.threads)))
             nb = args.threads * 6
+            nq = sum(steps[i % len(steps)][1] for i in range(nb))
             t0 = time.perf_counter()
-            list(ex.map(lambda i: steps[i % len(steps)](i), range(nb)))
+            list(ex.map(lambda i: steps[i % len(steps)][0](i), range(nb)))
             wall = time.perf_counter() - t0
             ex.shutdown(wait=False)
-            return round(nb * B / wall, 1)
+            return round(nq / wall, 1)
 
         def wavg(per_bucket, key):
             wsum = sum(v["n_queries"] * v[key] for v in per_bucket.values())
@@ -505,33 +519,33 @@ def main() -> int:
         parity_sets = []   # (terms, pre, counts, topids, Kv)
         n_sparse = len(payload)
         for Cb, items in sorted(groups.items()):
-            vstep, Kv, maxT = mk_vstep(items, Cb)
-            out0, rec = bench_bucket(vstep, len(items))
+            vstep, Kv, maxT, Bq = mk_vstep(items, Cb)
+            out0, rec = bench_bucket(vstep, len(items), Bq)
             pre, counts, topids = out0
             n_clipped += int(np.sum(pre > Kv))
             parity_sets.append((
-                [items[i % len(items)][1] for i in range(B)],
+                [items[i % len(items)][1] for i in range(Bq)],
                 pre, counts, topids, Kv))
             per_bucket[str(Cb)] = rec
-            sparse_steps.append((vstep, len(items)))
+            sparse_steps.append((vstep, len(items), Bq))
         dense_bucket = {}
         dense_steps = []
         n_dense = len(dense_payload)
         for (Cd, K, maxTb), items in sorted(dgroups.items()):
-            vstep = mk_dense_vstep(items, Cd, K, maxTb)
-            out0, rec = bench_bucket(vstep, len(items))
+            vstep, Bq = mk_dense_vstep(items, Cd, K, maxTb)
+            out0, rec = bench_bucket(vstep, len(items), Bq)
             pre, counts, topids = out0
             n_clipped += int(np.sum(pre > Cd))
             parity_sets.append((
-                [items[i % len(items)]["term"] for i in range(B)],
+                [items[i % len(items)]["term"] for i in range(Bq)],
                 pre, counts, topids, Cd))
             dense_bucket["%d/K%d/T%d" % (Cd, K, maxTb)] = rec
-            dense_steps.append((vstep, len(items)))
+            dense_steps.append((vstep, len(items), Bq))
 
         def expand(steps, total):
             out = []
-            for vstep, w in steps:
-                out.extend([vstep] * max(1, w * 16 // max(total, 1)))
+            for vstep, w, Bq in steps:
+                out.extend([(vstep, Bq)] * max(1, w * 16 // max(total, 1)))
             return out
 
         if not per_bucket and not dense_bucket:

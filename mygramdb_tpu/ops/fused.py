@@ -671,6 +671,15 @@ _global_clip_memo = _GlobalClipMemo()
 
 _SCAN_CHUNK = int(__import__("os").environ.get("MYGRAM_SCAN_CHUNK",
                                                "16384"))
+# Global stages only pay off when the candidate vectors are mostly pad:
+# measured at 1.1M (ab_1m_scan.json, 2026-08-20) the sparse buckets run
+# 58-85% FULL (pre_mean/C), where the scan's unfused while_loop compares
+# (~5 ms/16k-row chunk vs fused) cost 10x what the skipped gather saves
+# — the direct vmapped path (XLA fuses the shifted compares) won that
+# A/B 5,582 vs 914 QPS. Low-fill batches (wide buckets, rare drivers)
+# are where tracking V wins.
+_FILL_MAX = float(__import__("os").environ.get("MYGRAM_GLOBAL_FILL_MAX",
+                                               "0.35"))
 
 
 def _global_pack_policy(text_store, B: int, Kv: int, Nn: int, cap: int,
@@ -686,6 +695,10 @@ def _global_pack_policy(text_store, B: int, Kv: int, Nn: int, cap: int,
     dead-grid floor is ~0.8 us/step on v5e, so M is bucketed to the
     bound instead of B*Kv: a batch of rare-driver queries pays a grid
     proportional to its actual survivors, not the pad."""
+    # NB: no fill gate here (unlike the XLA scan) — the owner kernel's
+    # packed prefix is always <= B*Kv rows, so it never does more DMA
+    # work than the per-pad-slot flat kernel it replaces; vbound only
+    # buckets the grid width below.
     if _global_scan_policy(B, Kv, nonoverlap) <= 0:
         return 0
     cp = getattr(text_store, "codepoints", None)
@@ -701,7 +714,8 @@ def _global_pack_policy(text_store, B: int, Kv: int, Nn: int, cap: int,
     return min(M, bk)
 
 
-def _global_scan_policy(B: int, Kv: int, nonoverlap: bool) -> int:
+def _global_scan_policy(B: int, Kv: int, nonoverlap: bool,
+                        vbound=None) -> int:
     """Chunk width for the EXACT scanned cross-query compaction
     (_tf_rows_global_scan), 0 = off. Default mode for the XLA verify
     path: cost tracks the batch's actual survivor count with no clip
@@ -719,6 +733,8 @@ def _global_scan_policy(B: int, Kv: int, nonoverlap: bool) -> int:
         return 0
     if B * Kv <= _SCAN_CHUNK:
         return 0
+    if vbound is not None and vbound > _FILL_MAX * B * Kv:
+        return 0  # high fill: the direct fused-compare path wins
     return _SCAN_CHUNK
 
 
@@ -834,13 +850,14 @@ def sparse_search_verify_topn_batch(postings, bitmaps, deleted,
             global_pack=gp if ptf else 0)
 
     ptf_ok = _pallas_tf_eligible(text_store, Kv, nonoverlap)
-    gs = 0 if ptf_ok else _global_scan_policy(B, Kv, nonoverlap)
-    gm = 0 if (ptf_ok or gs) else _global_m_policy(B, Kv, nonoverlap)
     try:
         vbound = int(np.minimum(np.asarray(d_len, dtype=np.int64),
                                 Kv).sum())
     except Exception:
         vbound = None
+    gs = 0 if ptf_ok else _global_scan_policy(B, Kv, nonoverlap,
+                                              vbound=vbound)
+    gm = 0 if (ptf_ok or gs) else _global_m_policy(B, Kv, nonoverlap)
     gp = (_global_pack_policy(text_store, B, Kv, needles.shape[1],
                               cap_b, nonoverlap, vbound=vbound)
           if ptf_ok else 0)
@@ -914,7 +931,8 @@ def search_verify_topn_batch(bitmaps, rows, nrows, deleted, extra,
             global_pack=gp if ptf else 0)
 
     ptf_ok = _pallas_tf_eligible(text_store, cand_bucket, nonoverlap)
-    gs = 0 if ptf_ok else _global_scan_policy(B, cand_bucket, nonoverlap)
+    gs = 0 if ptf_ok else _global_scan_policy(B, cand_bucket, nonoverlap,
+                                              vbound=vbound)
     gm = 0 if (ptf_ok or gs) else _global_m_policy(B, cand_bucket,
                                                    nonoverlap)
     gp = (_global_pack_policy(text_store, B, cand_bucket,

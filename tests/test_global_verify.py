@@ -173,11 +173,11 @@ def test_global_scan_parity(corpus, monkeypatch, terms, score_mode, chunk):
     than the batch's survivor count (single iteration)."""
     built, idx, st, texts = corpus
     monkeypatch.setattr(fused, "_global_scan_policy",
-                        lambda B, Kv, nonoverlap: 0)
+                        lambda B, Kv, nonoverlap, vbound=None: 0)
     base = _call(built, idx, st, terms, score_mode)
     monkeypatch.setattr(fused, "_global_scan_policy",
-                        lambda B, Kv, nonoverlap: 0 if nonoverlap
-                        else chunk)
+                        lambda B, Kv, nonoverlap, vbound=None:
+                        0 if nonoverlap else chunk)
     g = _call(built, idx, st, terms, score_mode)
     assert base is not None and g is not None
     assert base[0] == g[0]                       # verified count
@@ -201,7 +201,8 @@ def test_dense_wide_bucket_served(corpus, monkeypatch):
                        candidate_buckets=(16, 32))
     monkeypatch.setattr(DeviceIndex, "_VERIFY_DENSE_BUCKETS", (64, 512))
     monkeypatch.setattr(fused, "_global_scan_policy",
-                        lambda B, Kv, nonoverlap: 0 if nonoverlap else 7)
+                        lambda B, Kv, nonoverlap, vbound=None:
+                        0 if nonoverlap else 7)
     # 検索 shreds to dense unigrams at this df ratio; its min df > 32
     out = _call(built, idx2, st, ["検索"], False)
     assert out is not None
