@@ -124,6 +124,11 @@ def main() -> int:
                     help="with --verify: also build the positional "
                          "occurrence index and bench the gather-free "
                          "verified path (ja_cjk_verified_pos)")
+    ap.add_argument("--kanji-extra", type=int, default=2,
+                    help="CJK extra gram size (0=off): 2-char CJK terms "
+                         "become one exact covering gram (no text verify "
+                         "needed) and longer CJK terms AND overlapping "
+                         "bigrams (config tables[*].kanji_extra_ngram)")
     ap.add_argument("--build-cache", type=str, default="",
                     help="path stem for a host build checkpoint: load the "
                          "built index + frozen docs from it when present "
@@ -166,6 +171,8 @@ def main() -> int:
                  "seed": args.seed, "sample": args.sample,
                  "verify": bool(args.verify),
                  "positional": bool(args.positional)}
+    if args.kanji_extra > 1:
+        cache_key["kanji_extra"] = args.kanji_extra
     if args.positional:
         # occ-region alignment is baked into the cached arrays
         from mygramdb_tpu.index.positional import OCC_ALIGN
@@ -185,7 +192,8 @@ def main() -> int:
     else:
         b = IndexBuilder(ngram_size=2, kanji_ngram_size=1,
                          cross_boundary_ngrams=True,
-                         collect_positions=args.positional)
+                         collect_positions=args.positional,
+                         kanji_extra_ngram=args.kanji_extra)
         fb = FrozenDocBuilder(store_texts=args.verify)
         sample_texts = {}
         n_done = 0
@@ -220,7 +228,8 @@ def main() -> int:
 
     # ---------------- query workloads ----------------
     def grams_of(term):
-        return textproc.generate_query_ngrams(norm(term), 2, 1, True)
+        return textproc.generate_query_ngrams(
+            norm(term), 2, 1, True, kanji_extra=args.kanji_extra)
 
     def rows_for(grams, k=8):
         rows, sparse = [], []
@@ -321,6 +330,7 @@ def main() -> int:
     # ---------------- verified path (north-star workload) ----------------
     res_verified = None
     res_dense = None
+    res_covered = None
     res_full_mix = None
     verify_parity_fail = 0
     if args.verify:
@@ -343,7 +353,14 @@ def main() -> int:
         q_terms = []
         dense_payload = []  # dense-only payloads (r4 skipped these:
         #                     1,260 of 1,772 sampled — verdict missing #2)
+        cov_payload = []    # covered-exact terms: a query gram EQUALS the
+        #                     term, so the gram AND IS substring semantics
+        #                     and serving skips the text verify entirely
+        #                     (the kanji_extra_ngram emission makes every
+        #                     2-char CJK term — the bulk of the stream —
+        #                     land here)
         for term in ja_q:
+            nt = norm(term)
             g = sorted(set(grams_of(term)))
             tids = [built.term_dict.get(x) for x in g]
             if any(t is None for t in tids):
@@ -358,6 +375,39 @@ def main() -> int:
             nlen = np.zeros(2, dtype=np.int32)
             nlen[0] = cp.size
             dense, sparse = idx.classify(tids)
+            if nt in g:
+                sparse_s = sorted(sparse,
+                                  key=lambda t: int(idx.lengths[t]))
+                if sparse_s and int(idx.lengths[sparse_s[0]]) > 0 and \
+                        idx._cand_bucket(int(idx.lengths[sparse_s[0]])) \
+                        <= idx.candidate_buckets[-1]:
+                    sp_off = [int(idx.offsets32[t]) for t in sparse_s[1:]]
+                    sp_len = [int(idx.lengths[t]) for t in sparse_s[1:]]
+                    sp_inv = [False] * len(sp_off)
+                    while len(sp_off) < Ks:
+                        sp_off.append(0); sp_len.append(0)
+                        sp_inv.append(True)
+                    dn = list(dense)
+                    dn_inv = [False] * len(dn)
+                    while len(dn) < Kd:
+                        dn.append(idx.ones_row); dn_inv.append(False)
+                    cov_payload.append({
+                        "kind": "sparse", "term": term,
+                        "d_off": int(idx.offsets32[sparse_s[0]]),
+                        "d_len": int(idx.lengths[sparse_s[0]]),
+                        "sp_off": sp_off, "sp_len": sp_len,
+                        "sp_inv": sp_inv, "dn": dn, "dn_inv": dn_inv,
+                        "C": idx._cand_bucket(
+                            int(idx.lengths[sparse_s[0]]))})
+                elif not sparse_s:
+                    rows = list(dense)
+                    while len(rows) < _k_bucket(len(rows)):
+                        rows.append(idx.ones_row)
+                    cov_payload.append({"kind": "dense", "term": term,
+                                        "rows": rows, "K": len(rows)})
+                else:
+                    skipped["too_big"] += 1
+                continue
             if not sparse:
                 dfs = [int(idx.lengths[t]) for t in tids]
                 driver_tid = tids[int(np.argmin(dfs))]
@@ -407,6 +457,12 @@ def main() -> int:
             dgroups.setdefault((p_["C"], len(p_["rows"]), p_["maxT"]),
                                []).append(p_)
         dense_hist = {str(k): len(v) for k, v in sorted(dgroups.items())}
+        cgroups = {}
+        for p_ in cov_payload:
+            key = (("s", p_["C"]) if p_["kind"] == "sparse"
+                   else ("d", p_["K"]))
+            cgroups.setdefault(key, []).append(p_)
+        cov_hist = {str(k): len(v) for k, v in sorted(cgroups.items())}
 
         # the direct path materializes ~(B, Kv, maxT) text scratch —
         # cap each dispatch's batch like the serving micro-batcher does
@@ -464,6 +520,60 @@ def main() -> int:
                     idx.bitmaps, rows_j, nrows_j, idx.deleted, extra,
                     dev_text, C, 128, ndl_j, nlen_j, True, maxT=maxTb,
                     defer=defer, vbound=vbound)
+            return vstep, Bq
+
+        def mk_cov_sparse_vstep(items, C):
+            import functools as _ft
+            from mygramdb_tpu.index.device_index import _sparse_query_batch
+            Bq = B
+            rep = [items[i % len(items)] for i in range(Bq)]
+            d_off = jnp.asarray(
+                np.asarray([p_["d_off"] for p_ in rep], np.int32))
+            d_len = jnp.asarray(
+                np.asarray([p_["d_len"] for p_ in rep], np.int32))
+            sp_off = jnp.asarray(
+                np.asarray([p_["sp_off"] for p_ in rep], np.int32))
+            sp_len = jnp.asarray(
+                np.asarray([p_["sp_len"] for p_ in rep], np.int32))
+            sp_inv = jnp.asarray(
+                np.asarray([p_["sp_inv"] for p_ in rep], bool))
+            dn_rows = jnp.asarray(
+                np.asarray([p_["dn"] for p_ in rep], np.int32))
+            dn_inv = jnp.asarray(
+                np.asarray([p_["dn_inv"] for p_ in rep], bool))
+            Cmax = idx._cand_bucket(
+                int(max(max(p_["sp_len"]) if p_["sp_len"] else 1
+                        for p_ in rep)))
+            extra_j = jnp.zeros((1, 1), dtype=jnp.uint32)
+            fn = _ft.partial(_sparse_query_batch, C=C, Cmax=Cmax,
+                             limit_b=128, descending=True,
+                             n_words=idx.n_words, has_extra=False)
+
+            def vstep(_, defer=False):
+                out = fn(idx.postings, idx.bitmaps, idx.deleted,
+                         d_off, d_len, sp_off, sp_len, sp_inv,
+                         dn_rows, dn_inv, extra_j)
+                if defer:
+                    return out
+                return np.asarray(out[0]), np.asarray(out[1])
+            return vstep, Bq
+
+        def mk_cov_dense_vstep(items, K):
+            Bq = B
+            rep = [items[i % len(items)] for i in range(Bq)]
+            rows_j = jnp.asarray(
+                np.asarray([p_["rows"] for p_ in rep], np.int32))
+            nrows_j = jnp.asarray(
+                np.full((Bq, 1), idx.zeros_row, dtype=np.int32))
+            extra = idx._pack_extra([])
+
+            def vstep(_, defer=False):
+                out = bitmap_ops.dense_search_topn(
+                    idx.bitmaps, rows_j, nrows_j, idx.deleted, extra,
+                    False, False, 128, True)
+                if defer:
+                    return out
+                return np.asarray(out[0]), np.asarray(out[1])
             return vstep, Bq
 
         def bench_bucket(vstep, n_items, Bq):
@@ -528,6 +638,40 @@ def main() -> int:
                 pre, counts, topids, Kv))
             per_bucket[str(Cb)] = rec
             sparse_steps.append((vstep, len(items), Bq))
+        cov_bucket = {}
+        cov_steps = []
+        n_cov = len(cov_payload)
+        for key, items in sorted(cgroups.items()):
+            if key[0] == "s":
+                vstep, Bq = mk_cov_sparse_vstep(items, key[1])
+            else:
+                vstep, Bq = mk_cov_dense_vstep(items, key[1])
+            out0 = vstep(0)
+            vstep(0)
+            lat = []
+            for _ in range(6):
+                t0 = time.perf_counter()
+                vstep(0)
+                lat.append(time.perf_counter() - t0)
+            lat.sort()
+            dev_us = mg_runtime.amortized_device_us(
+                lambda: vstep(0, defer=True), m=6)
+            counts0, ids0 = out0
+            # covered-exact parity: the gram AND must EQUAL substring
+            # ground truth — the correctness claim behind skipping the
+            # text verify for covering grams
+            parity_sets.append((
+                [items[i % len(items)]["term"] for i in range(Bq)],
+                np.zeros(Bq, dtype=np.int64), counts0, ids0, 1 << 30))
+            cov_bucket[str(key)] = {
+                "n_queries": len(items), "batch": Bq,
+                "p50_batch_ms": round(lat[len(lat) // 2] * 1000, 2),
+                "p50_per_query_us": round(lat[len(lat) // 2] / Bq * 1e6,
+                                          1),
+                "device_batch_us": round(dev_us, 1),
+                "device_per_query_us": round(dev_us / Bq, 2),
+            }
+            cov_steps.append((vstep, len(items), Bq))
         dense_bucket = {}
         dense_steps = []
         n_dense = len(dense_payload)
@@ -548,6 +692,17 @@ def main() -> int:
                 out.extend([(vstep, Bq)] * max(1, w * 16 // max(total, 1)))
             return out
 
+        res_covered = None
+        if cov_bucket:
+            qps_cov = run_throughput(expand(cov_steps, n_cov))
+            res_covered = {
+                "qps": qps_cov,
+                "p50_per_query_us": wavg(cov_bucket, "p50_per_query_us"),
+                "device_per_query_us": wavg(cov_bucket,
+                                            "device_per_query_us"),
+                "buckets": cov_bucket, "bucket_hist": cov_hist,
+                "n_queries": n_cov,
+            }
         if not per_bucket and not dense_bucket:
             res_verified = {"skipped": skipped,
                             "text_pack_secs": round(pack_secs, 1),
@@ -785,6 +940,7 @@ def main() -> int:
             "parity_failures": parity_fail,
             "ja_cjk_verified": res_verified,
             "ja_cjk_verified_dense": res_dense,
+            "ja_cjk_covered_exact": res_covered,
             "ja_cjk_verified_full_mix": res_full_mix,
             "verify_parity_failures": verify_parity_fail,
             "ja_cjk_verified_pos": res_pos,

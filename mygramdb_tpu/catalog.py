@@ -57,6 +57,16 @@ class TableContext:
         # is in flight; query snapshots retry (pipeline._CtxSnapshot)
         self._swap_seq = 0
 
+    @property
+    def kanji_extra_effective(self) -> int:
+        """The kanji_extra_ngram actually in force: the config value,
+        unless a restored dump was built with a different emission (the
+        override keeps query grams aligned with the restored term dict;
+        the next SYNC/bulk rebuild returns to the config value)."""
+        ov = getattr(self, "_kanji_extra_override", None)
+        v = ov if ov is not None else self.table_cfg.kanji_extra_ngram
+        return 0 if v <= 1 else v
+
     # ------------------------------------------------------------------
     def _make_index(self, built=None) -> MutableIndex:
         t = self.table_cfg
@@ -70,6 +80,7 @@ class TableContext:
             ngram_size=t.ngram_size,
             kanji_ngram_size=t.kanji_ngram_size,
             cross_boundary_ngrams=t.cross_boundary_ngrams,
+            kanji_extra_ngram=self.kanji_extra_effective,
             dense_df_ratio=cfg.device.dense_df_ratio,
             max_dense_terms=cfg.device.max_dense_terms,
             candidate_buckets=tuple(cfg.device.candidate_buckets),
@@ -107,6 +118,9 @@ class TableContext:
         per-row delta path, and finish() installs the compiled segment.
         Only valid on an empty table; live mutation goes through
         add_row/update_row/remove_row."""
+        # a full rebuild re-shreds with the CONFIG's gram emission —
+        # drop any dump-adopted override
+        self._kanji_extra_override = None
         if self.doc_count:
             raise RuntimeError("bulk load requires an empty table")
         return BulkLoad(self)
@@ -240,7 +254,8 @@ class TableContext:
                 bm25_state=self.bm25.state(),
                 positional_state=(built.positional.state()
                                   if built.positional is not None
-                                  else None))
+                                  else None),
+                kanji_extra_ngram=self.kanji_extra_effective)
 
     def restore_from_state(self, ts) -> None:
         """Validate-then-apply swap (reference ReplaceWithLoaded,
@@ -250,6 +265,11 @@ class TableContext:
         from .storage.document_store import DocumentStore
         from .storage.filter_index import FilterIndex
         td = TermDict.from_state(ts.terms)
+        dump_extra = getattr(ts, "kanji_extra_ngram", -1)
+        if dump_extra < 0:
+            dump_extra = 0  # legacy dump: no extra grams indexed
+        if dump_extra != self.kanji_extra_effective:
+            self._kanji_extra_override = dump_extra
         positional = None
         if ts.positional_state is not None:
             from .index.positional import PositionalPostings
@@ -312,7 +332,8 @@ class _ColumnarLoad:
         t = ctx.table_cfg
         self.builder = IndexBuilder(
             t.ngram_size, t.kanji_ngram_size, t.cross_boundary_ngrams,
-            collect_positions=ctx.config.device.positional_verify)
+            collect_positions=ctx.config.device.positional_verify,
+            kanji_extra_ngram=ctx.kanji_extra_effective)
         store_texts = ctx.doc_store.stores_texts
         self.fbuilder = FrozenDocBuilder(store_texts)
         self.filter_index = ctx._make_filter_index()

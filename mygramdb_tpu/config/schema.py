@@ -90,6 +90,14 @@ class TableConfig:
     filters: List[FilterConfig] = field(default_factory=list)
     ngram_size: int = 2
     kanji_ngram_size: int = 1
+    # TPU-native extension (no reference analog): CJK positions ALSO
+    # emit this gram size (0/1 = off). Default 2: a 2-char CJK term
+    # becomes one exact covering gram (verify_text is a coverage no-op)
+    # and longer CJK terms AND overlapping bigrams — the fused verify's
+    # candidate sets shrink ~10x for ~+40% postings at ja-heavy corpora.
+    # Index and queries must agree; dumps carry the emission signature
+    # and restores adopt the dump's value.
+    kanji_extra_ngram: int = 2
     cross_boundary_ngrams: bool = True
     posting: PostingConfig = field(default_factory=PostingConfig)
     synonyms: SynonymConfig = field(default_factory=SynonymConfig)
@@ -297,6 +305,9 @@ class Config:
                 raise ConfigError(f"table {t.name}: ngram_size out of range")
             if t.kanji_ngram_size < 0 or t.kanji_ngram_size > 8:
                 raise ConfigError(f"table {t.name}: kanji_ngram_size out of range")
+            if t.kanji_extra_ngram < 0 or t.kanji_extra_ngram > 8:
+                raise ConfigError(
+                    f"table {t.name}: kanji_extra_ngram out of range")
             for f in t.filters:
                 if f.type not in FILTER_TYPES:
                     raise ConfigError(

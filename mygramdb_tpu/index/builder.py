@@ -52,10 +52,16 @@ class IndexBuilder:
     def __init__(self, ngram_size: int = 2, kanji_ngram_size: int = 1,
                  cross_boundary_ngrams: bool = True,
                  term_dict: Optional[TermDict] = None,
-                 collect_positions: bool = False):
+                 collect_positions: bool = False,
+                 kanji_extra_ngram: int = 0):
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
+        # kanji_extra_ngram > 1: CJK positions also emit that size
+        # (textproc.generate_hybrid_ngrams kanji_extra) — query-side
+        # candidate sets shrink by ~10x on multi-kanji terms and 2-char
+        # CJK terms become coverage-exact (no text verify)
+        self.kanji_extra_ngram = kanji_extra_ngram
         self.term_dict = term_dict or TermDict()
         # collect_positions: keep one entry PER GRAM OCCURRENCE (with its
         # in-doc position) instead of per-doc-deduped pairs; finalize()
@@ -85,13 +91,15 @@ class IndexBuilder:
     def shred(self, normalized_text: str) -> List[str]:
         return textproc.generate_query_ngrams(
             normalized_text, self.ngram_size, self.kanji_ngram_size,
-            self.cross_boundary)
+            self.cross_boundary, kanji_extra=self.kanji_extra_ngram)
 
     def _native_usable(self) -> bool:
         if self._use_native is None:
             from .. import native
             # the native shredder implements the hybrid dispatch semantics
             # (kanji size in effect); plain fixed-n uses the Python path
+            # kanji_extra needs the _x entry points; the per-call
+            # wrappers return None on a stale .so and we fall back
             self._use_native = (native.available()
                                 and self.kanji_ngram_size > 0)
         return self._use_native
@@ -108,7 +116,7 @@ class IndexBuilder:
             from .positional import POS_CAP
             pairs, _cov = textproc.query_gram_offsets(
                 normalized_text, self.ngram_size, self.kanji_ngram_size,
-                self.cross_boundary)
+                self.cross_boundary, kanji_extra=self.kanji_extra_ngram)
             if pairs and pairs[-1][1] > POS_CAP:
                 self._pos_overflow.add(doc_id)
             tids = [self.term_dict.get_or_add(g) for g, _ in pairs]
@@ -123,7 +131,8 @@ class IndexBuilder:
         from .. import native
         ascii_n = self.ngram_size if self.ngram_size > 0 else 2
         out = native.hybrid_ngrams(text, ascii_n, self.kanji_ngram_size,
-                                   self.cross_boundary)
+                                   self.cross_boundary,
+                                   kanji_extra=self.kanji_extra_ngram)
         if out is None:
             self._use_native = False
             self.add_document(doc_id, text)
@@ -220,7 +229,8 @@ class IndexBuilder:
             out = shred(
                 [t for _, t in items],
                 self.ngram_size if self.ngram_size > 0 else 2,
-                self.kanji_ngram_size, self.cross_boundary)
+                self.kanji_ngram_size, self.cross_boundary,
+                kanji_extra=self.kanji_extra_ngram)
             if out is not None:
                 self._add_batch_native(items, out)
                 return

@@ -92,6 +92,7 @@ class MutableIndex:
     def __init__(self, built: Optional[BuiltIndex] = None,
                  ngram_size: int = 2, kanji_ngram_size: int = 1,
                  cross_boundary_ngrams: bool = True,
+                 kanji_extra_ngram: int = 0,
                  dense_df_ratio: float = 0.01, max_dense_terms: int = 8192,
                  candidate_buckets=(2048, 65536),
                  microbatch: Optional[Tuple[int, int]] = None,
@@ -100,6 +101,7 @@ class MutableIndex:
         self.ngram_size = ngram_size
         self.kanji_ngram_size = kanji_ngram_size
         self.cross_boundary = cross_boundary_ngrams
+        self.kanji_extra_ngram = kanji_extra_ngram
         # positional lifecycle: when the table runs with
         # device.positional_verify, optimize() re-derives the occurrence
         # index for the compacted segment — surviving device occurrences
@@ -117,7 +119,9 @@ class MutableIndex:
         self._mesh_shards = mesh_shards
         if built is None:
             built = IndexBuilder(ngram_size, kanji_ngram_size,
-                                 cross_boundary_ngrams).finalize()
+                                 cross_boundary_ngrams,
+                                 kanji_extra_ngram=kanji_extra_ngram
+                                 ).finalize()
         self._lock = threading.RLock()
         self._optimize_lock = threading.Lock()  # serializes optimize() calls
         self._install(built)
@@ -162,7 +166,7 @@ class MutableIndex:
         from ..utils import textproc
         return textproc.generate_query_ngrams(
             normalized_text, self.ngram_size, self.kanji_ngram_size,
-            self.cross_boundary)
+            self.cross_boundary, kanji_extra=self.kanji_extra_ngram)
 
     def query_tids(self, grams: Sequence[str]) -> Optional[List[int]]:
         """Term ids for query grams; None if any gram is unknown (=> empty)."""
@@ -223,7 +227,8 @@ class MutableIndex:
     def clear(self) -> None:
         with self._lock:
             builder = IndexBuilder(self.ngram_size, self.kanji_ngram_size,
-                                   self.cross_boundary)
+                                   self.cross_boundary,
+                                   kanji_extra_ngram=self.kanji_extra_ngram)
             self._install(builder.finalize())
             self.delta = DeltaSegment()
             self.frozen_delta = None
@@ -551,7 +556,7 @@ class MutableIndex:
                 return None  # no text -> positions unrecoverable
             pairs, _cov = textproc.query_gram_offsets(
                 text, self.ngram_size, self.kanji_ngram_size,
-                self.cross_boundary)
+                self.cross_boundary, kanji_extra=self.kanji_extra_ngram)
             if pairs and pairs[-1][1] > POS_CAP:
                 over_new.add(d)
             for g, o in pairs:

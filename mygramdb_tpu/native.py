@@ -102,6 +102,21 @@ def _load() -> Optional[ctypes.CDLL]:
         fn.restype = ctypes.c_int64
         fn.argtypes = [_c_i32p, ctypes.c_int64, _c_i32p, ctypes.c_int64,
                        _c_i32p]
+    if hasattr(lib, "mg_hybrid_ngrams_x"):
+        lib.mg_hybrid_ngrams_x.restype = ctypes.c_int64
+        lib.mg_hybrid_ngrams_x.argtypes = [
+            _c_u32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, _c_i32p, _c_i32p, _c_u64p]
+        lib.mg_shred_batch_x.restype = ctypes.c_int64
+        lib.mg_shred_batch_x.argtypes = [
+            _c_u32p, _c_i64p, _c_i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _c_i32p,
+            _c_i32p, _c_u64p, _c_i32p]
+        lib.mg_shred_batch_all_x.restype = ctypes.c_int64
+        lib.mg_shred_batch_all_x.argtypes = [
+            _c_u32p, _c_i64p, _c_i32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _c_i32p,
+            _c_i32p, _c_u64p, _c_i32p]
     lib.mg_hybrid_ngrams.restype = ctypes.c_int64
     lib.mg_hybrid_ngrams.argtypes = [_c_u32p, ctypes.c_int64,
                                      ctypes.c_int32, ctypes.c_int32,
@@ -402,34 +417,49 @@ def difference_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def hybrid_ngrams(text: str, ascii_n: int, kanji_n: int,
-                  cross_boundary: bool
+                  cross_boundary: bool, kanji_extra: int = 0
                   ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """-> (starts, lens, hashes) or None when the native lib is absent."""
+    """-> (starts, lens, hashes) or None when the native lib is absent
+    (or lacks the kanji_extra entry point a non-zero kanji_extra needs)."""
     lib = _load()
     if lib is None:
         return None
+    if kanji_extra > 1 and not hasattr(lib, "mg_hybrid_ngrams_x"):
+        return None  # stale .so: caller uses the pure-python shredder
     cps = np.ascontiguousarray(to_cp(text))
     n = cps.size
     if n == 0:
         z32 = np.zeros(0, dtype=np.int32)
         return z32, z32, np.zeros(0, dtype=np.uint64)
-    starts = np.empty(n, dtype=np.int32)
-    lens = np.empty(n, dtype=np.int32)
-    hashes = np.empty(n, dtype=np.uint64)
-    count = lib.mg_hybrid_ngrams(_ptr(cps, _c_u32p), n, ascii_n, kanji_n,
-                                 1 if cross_boundary else 0,
-                                 _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
-                                 _ptr(hashes, _c_u64p))
+    cap = n * (2 if kanji_extra > 1 else 1)
+    starts = np.empty(cap, dtype=np.int32)
+    lens = np.empty(cap, dtype=np.int32)
+    hashes = np.empty(cap, dtype=np.uint64)
+    if kanji_extra > 1:
+        count = lib.mg_hybrid_ngrams_x(
+            _ptr(cps, _c_u32p), n, ascii_n, kanji_n,
+            1 if cross_boundary else 0, kanji_extra,
+            _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
+            _ptr(hashes, _c_u64p))
+    else:
+        count = lib.mg_hybrid_ngrams(
+            _ptr(cps, _c_u32p), n, ascii_n, kanji_n,
+            1 if cross_boundary else 0,
+            _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
+            _ptr(hashes, _c_u64p))
     return starts[:count], lens[:count], hashes[:count]
 
 
-def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
+def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool,
+                kanji_extra: int = 0):
     """Shred a whole batch of normalized texts in ONE native call with
     per-doc dedup. -> (flat_cps, starts, lens, hashes, doc_counts) or None.
 
     starts index into flat_cps; doc_counts[i] = grams of texts[i]."""
     lib = _load()
     if lib is None or not hasattr(lib, "mg_shred_batch"):
+        return None
+    if kanji_extra > 1 and not hasattr(lib, "mg_shred_batch_x"):
         return None
     n_docs = len(texts)
     if n_docs == 0:
@@ -444,26 +474,37 @@ def shred_batch(texts, ascii_n: int, kanji_n: int, cross_boundary: bool):
     doc_len = np.asarray([len(t) for t in texts], dtype=np.int32)
     doc_off = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(doc_len[:-1], out=doc_off[1:])
-    cap = max(int(flat.size), 1)
+    cap = max(int(flat.size) * (2 if kanji_extra > 1 else 1), 1)
     starts = np.empty(cap, dtype=np.int32)
     lens = np.empty(cap, dtype=np.int32)
     hashes = np.empty(cap, dtype=np.uint64)
     counts = np.empty(n_docs, dtype=np.int32)
-    total = lib.mg_shred_batch(
-        _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
-        _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
-        1 if cross_boundary else 0, _ptr(starts, _c_i32p),
-        _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    if kanji_extra > 1:
+        total = lib.mg_shred_batch_x(
+            _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+            _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+            1 if cross_boundary else 0, kanji_extra,
+            _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
+            _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    else:
+        total = lib.mg_shred_batch(
+            _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+            _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+            1 if cross_boundary else 0, _ptr(starts, _c_i32p),
+            _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p),
+            _ptr(counts, _c_i32p))
     return flat, starts[:total], lens[:total], hashes[:total], counts
 
 
 def shred_batch_all(texts, ascii_n: int, kanji_n: int,
-                    cross_boundary: bool):
+                    cross_boundary: bool, kanji_extra: int = 0):
     """Shred a batch WITHOUT dedup: one (start, len, hash) entry per gram
     OCCURRENCE in (doc, position) order — the positional-index input.
     -> (flat_cps, starts, lens, hashes, doc_counts) or None."""
     lib = _load()
     if lib is None or not hasattr(lib, "mg_shred_batch_all"):
+        return None
+    if kanji_extra > 1 and not hasattr(lib, "mg_shred_batch_all_x"):
         return None
     n_docs = len(texts)
     if n_docs == 0:
@@ -475,16 +516,25 @@ def shred_batch_all(texts, ascii_n: int, kanji_n: int,
     doc_len = np.asarray([len(t) for t in texts], dtype=np.int32)
     doc_off = np.zeros(n_docs, dtype=np.int64)
     np.cumsum(doc_len[:-1], out=doc_off[1:])
-    cap = max(int(flat.size), 1)
+    cap = max(int(flat.size) * (2 if kanji_extra > 1 else 1), 1)
     starts = np.empty(cap, dtype=np.int32)
     lens = np.empty(cap, dtype=np.int32)
     hashes = np.empty(cap, dtype=np.uint64)
     counts = np.empty(n_docs, dtype=np.int32)
-    total = lib.mg_shred_batch_all(
-        _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
-        _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
-        1 if cross_boundary else 0, _ptr(starts, _c_i32p),
-        _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    if kanji_extra > 1:
+        total = lib.mg_shred_batch_all_x(
+            _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+            _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+            1 if cross_boundary else 0, kanji_extra,
+            _ptr(starts, _c_i32p), _ptr(lens, _c_i32p),
+            _ptr(hashes, _c_u64p), _ptr(counts, _c_i32p))
+    else:
+        total = lib.mg_shred_batch_all(
+            _ptr(flat, _c_u32p), _ptr(doc_off, _c_i64p),
+            _ptr(doc_len, _c_i32p), n_docs, ascii_n, kanji_n,
+            1 if cross_boundary else 0, _ptr(starts, _c_i32p),
+            _ptr(lens, _c_i32p), _ptr(hashes, _c_u64p),
+            _ptr(counts, _c_i32p))
     return flat, starts[:total], lens[:total], hashes[:total], counts
 
 

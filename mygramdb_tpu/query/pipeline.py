@@ -179,7 +179,8 @@ class SearchPipeline:
         normalized = self.ctx.normalize(raw)
         grams = textproc.generate_query_ngrams(
             normalized, t.ngram_size, t.kanji_ngram_size,
-            t.cross_boundary_ngrams)
+            t.cross_boundary_ngrams,
+            kanji_extra=self.ctx.kanji_extra_effective)
         grams = sorted(set(grams))
         est = 0
         if grams:
@@ -453,7 +454,8 @@ class SearchPipeline:
         terms = [self.term_info(t) for t in query.all_terms]
         if not terms or any(ti.needs_substring_fallback for ti in terms):
             return None
-        if self._verify_applies(terms) or \
+        if (self._verify_applies(terms)
+                and not all(self._covered_exact(ti) for ti in terms)) or \
                 self._coverage_requires_text_check(terms):
             return None
         if any(ti.estimated_size == 0 for ti in terms):
@@ -514,8 +516,10 @@ class SearchPipeline:
         # literal-substring matches; score-only queries keep every gram
         # match (the reference scores the raw SearchAnd set) but still
         # ride the fused kernel for its TF pass
-        require_match = (self._verify_applies(terms) or
-                         self._coverage_requires_text_check(terms))
+        require_match = ((self._verify_applies(terms)
+                          and not all(self._covered_exact(ti)
+                                      for ti in terms))
+                         or self._coverage_requires_text_check(terms))
         if not require_match and not score_mode:
             return None  # plain topn/count paths are cheaper
         from ..ops.verify_ops import NEEDLE_CAP
@@ -638,7 +642,8 @@ class SearchPipeline:
         terms = [self.term_info(t) for t in query.all_terms]
         if not terms or any(ti.needs_substring_fallback for ti in terms):
             return None
-        if self._verify_applies(terms) or \
+        if (self._verify_applies(terms)
+                and not all(self._covered_exact(ti) for ti in terms)) or \
                 self._coverage_requires_text_check(terms):
             return None
         if any(ti.estimated_size == 0 for ti in terms):
@@ -1050,9 +1055,17 @@ class SearchPipeline:
             if not ti.normalized:
                 continue
             n = max(t.ngram_size, 1)
-            threshold = max(1, len(ti.grams) - dist * n)
-            cand = self.sn.index.search_by_threshold(ti.grams, threshold) \
-                if ti.grams else \
+            # fuzzy gram-count bound uses the STANDARD emission: the
+            # kanji_extra grams would inflate |grams| (and a d-edit match
+            # destroys extra grams too), breaking the reference's
+            # threshold = |ngrams| - dist*n shape
+            base_grams = sorted(set(textproc.generate_query_ngrams(
+                ti.normalized, t.ngram_size, t.kanji_ngram_size,
+                t.cross_boundary_ngrams)))
+            threshold = max(1, len(base_grams) - dist * n)
+            cand = self.sn.index.search_by_threshold(base_grams,
+                                                     threshold) \
+                if base_grams else \
                 np.sort(self.sn.doc_store.all_doc_ids()).astype(np.int32)
             # verify candidates against text (exact substring, then token
             # Levenshtein). Exact-substring hits resolve ON DEVICE via the
@@ -1137,6 +1150,16 @@ class SearchPipeline:
     # ------------------------------------------------------------------
     # verify_text
     # ------------------------------------------------------------------
+    @staticmethod
+    def _covered_exact(ti: TermInfo) -> bool:
+        """A query gram EQUALS the whole normalized term: the gram AND is
+        exactly substring semantics (docs with the covering gram contain
+        the term; docs without it cannot), so the text post-filter can
+        never change the result set. With kanji_extra_ngram this is
+        every 1-2 char CJK term — the bulk of the CJK stream — and every
+        ngram_size-length ASCII term."""
+        return bool(ti.normalized) and ti.normalized in ti.grams
+
     def _verify_applies(self, terms: List[TermInfo]) -> bool:
         mode = self.cfg.memory.verify_text
         if mode == "off" or not self.sn.doc_store.stores_texts:
@@ -1151,23 +1174,33 @@ class SearchPipeline:
         can't guarantee adjacency — force the exact-text post-filter
         (reference RequiresExactTextForHybridFragments)."""
         t = self.ctx.table_cfg
+        extra = self.ctx.kanji_extra_effective
         for ti in terms:
             s = ti.normalized
             if not s or not ti.grams:
+                continue
+            # a single gram equal to the whole term is EXACT substring
+            # semantics — no adjacency to prove, no text check (this is
+            # what the kanji_extra_ngram emission buys 2-char CJK terms)
+            if s in ti.grams and all(
+                    g == s or len(g) < len(s) for g in ti.grams):
                 continue
             covered = [False] * len(s)
             for i, ch in enumerate(s):
                 is_cjk = textproc.is_cjk_ideograph(ord(ch))
                 n = t.kanji_ngram_size if is_cjk and t.kanji_ngram_size > 0 \
                     else t.ngram_size
-                if i + n > len(s):
-                    continue
-                if not t.cross_boundary_ngrams and n > 1:
-                    if any(textproc.is_cjk_ideograph(ord(s[i + j])) != is_cjk
-                           for j in range(1, n)):
-                        continue
-                for j in range(n):
-                    covered[i + j] = True
+                if i + n <= len(s) and not (
+                        not t.cross_boundary_ngrams and n > 1 and any(
+                            textproc.is_cjk_ideograph(ord(s[i + j]))
+                            != is_cjk for j in range(1, n))):
+                    for j in range(n):
+                        covered[i + j] = True
+                if (extra > 1 and is_cjk and i + extra <= len(s)
+                        and all(textproc.is_cjk_ideograph(ord(s[i + j]))
+                                for j in range(1, extra))):
+                    for j in range(extra):
+                        covered[i + j] = True
             if not all(covered):
                 return True
         return False
@@ -1176,11 +1209,14 @@ class SearchPipeline:
                       terms: List[TermInfo], path: str) -> np.ndarray:
         if not ids.size or path == "boolean_ast" or path == "synonym":
             return ids  # those paths verify internally
-        needed = self._verify_applies(terms) or \
+        uncov = [ti for ti in terms if not self._covered_exact(ti)]
+        needed = (self._verify_applies(terms) and uncov) or \
             self._coverage_requires_text_check(terms)
         if not needed:
             return ids
-        needles = [ti.normalized for ti in terms if ti.normalized]
+        needles = [ti.normalized for ti in uncov if ti.normalized]
+        if not needles:  # coverage-gap terms with empty normals
+            needles = [ti.normalized for ti in terms if ti.normalized]
         return self._substring_filter(ids, needles)
 
     # ------------------------------------------------------------------

@@ -104,6 +104,11 @@ class TableState:
     # the restored table serves through the text verify path until the
     # next SYNC rebuilds positions)
     positional_state: Optional[Dict[str, Any]] = None
+    # gram-emission signature the index was built with; restores ADOPT
+    # the dump's kanji_extra_ngram (a query-side gram absent from the
+    # restored term dict would read as an empty term). -1 = legacy dump
+    # written before the field existed -> restore assumes no extra grams.
+    kanji_extra_ngram: int = -1
 
 
 @dataclass
@@ -141,6 +146,7 @@ def save_dump(path: str, config_dict: Dict[str, Any],
                     "postings": _pack_array(ts.postings),
                     "max_doc_id": ts.max_doc_id,
                     "n_docs": ts.n_docs,
+                    "kanji_extra_ngram": ts.kanji_extra_ngram,
                     "doc_store": ts.doc_store_state,
                     "filters": ts.filter_state,
                     "bm25": ts.bm25_state,
@@ -219,6 +225,7 @@ def load_dump(path: str):
                     lengths=_unpack_array(d["lengths"]),
                     postings=_unpack_array(d["postings"]),
                     max_doc_id=d["max_doc_id"], n_docs=d["n_docs"],
+                    kanji_extra_ngram=int(d.get("kanji_extra_ngram", -1)),
                     doc_store_state=d["doc_store"],
                     filter_state=d["filters"], bm25_state=d["bm25"],
                     positional_state=d.get("positional"))

@@ -224,12 +224,24 @@ def generate_ngrams(text: str, n: int) -> List[str]:
 
 def generate_hybrid_ngrams(text: str, ascii_ngram_size: int = 2,
                            kanji_ngram_size: int = 1,
-                           cross_boundary_ngrams: bool = True) -> List[str]:
+                           cross_boundary_ngrams: bool = True,
+                           kanji_extra: int = 0) -> List[str]:
     """Per-position n size chosen by the start character's script class.
 
     Reference string_utils.cpp:460-517. CJK-ideograph start -> kanji size;
     anything else (incl. kana) -> ascii size. With cross_boundary False,
     n-grams whose tail mixes CJK/non-CJK relative to the start are skipped.
+
+    kanji_extra > 1 (TPU-native extension, no reference analog): CJK
+    positions ALSO emit a kanji_extra-gram when the whole window is CJK.
+    A 2-char CJK term then shreds to one exact covering gram (verify_text
+    becomes a coverage no-op via the hybrid-fragment rule), and longer
+    CJK terms AND overlapping bigrams whose intersection is ~an order of
+    magnitude tighter than the unigram AND — the candidate sets the
+    device verify has to touch shrink accordingly. Costs extra postings
+    (~+40% at ja_ratio 0.45). Index and query sides MUST agree on this
+    flag (a query-side gram absent from the index reads as an empty
+    term).
     """
     if ascii_ngram_size <= 0 or kanji_ngram_size <= 0 or not text:
         return []
@@ -240,28 +252,34 @@ def generate_hybrid_ngrams(text: str, ascii_ngram_size: int = 2,
     for i in range(n_cp):
         start_is_cjk = is_cjk_flags[i]
         n = kanji_ngram_size if start_is_cjk else ascii_ngram_size
-        if i + n > n_cp:
-            continue
-        if not cross_boundary_ngrams and n > 1:
+        if i + n <= n_cp:
             crossed = False
-            for j in range(1, n):
-                if is_cjk_flags[i + j] != start_is_cjk:
-                    crossed = True
-                    break
-            if crossed:
-                continue
-        out.append(cps[i:i + n])
+            if not cross_boundary_ngrams and n > 1:
+                for j in range(1, n):
+                    if is_cjk_flags[i + j] != start_is_cjk:
+                        crossed = True
+                        break
+            if not crossed:
+                out.append(cps[i:i + n])
+        if (kanji_extra > 1 and start_is_cjk
+                and kanji_extra != kanji_ngram_size
+                and i + kanji_extra <= n_cp
+                and all(is_cjk_flags[i + j]
+                        for j in range(1, kanji_extra))):
+            out.append(cps[i:i + kanji_extra])
     return out
 
 
 def generate_query_ngrams(normalized: str, ngram_size: int,
                           kanji_ngram_size: int,
-                          cross_boundary_ngrams: bool = True) -> List[str]:
+                          cross_boundary_ngrams: bool = True,
+                          kanji_extra: int = 0) -> List[str]:
     """Dispatch used by both indexing and query paths (string_utils.cpp:647)."""
     if kanji_ngram_size > 0:
         effective = ngram_size if ngram_size > 0 else 2
         return generate_hybrid_ngrams(normalized, effective, kanji_ngram_size,
-                                      cross_boundary_ngrams)
+                                      cross_boundary_ngrams,
+                                      kanji_extra=kanji_extra)
     if ngram_size == 0:
         return generate_hybrid_ngrams(normalized)
     return generate_ngrams(normalized, ngram_size)
@@ -269,7 +287,8 @@ def generate_query_ngrams(normalized: str, ngram_size: int,
 
 def query_gram_offsets(normalized: str, ngram_size: int,
                        kanji_ngram_size: int,
-                       cross_boundary_ngrams: bool = True
+                       cross_boundary_ngrams: bool = True,
+                       kanji_extra: int = 0
                        ) -> Tuple[List[Tuple[str, int]], bool]:
     """Query grams WITH their in-term start offsets, plus a coverage flag.
 
@@ -295,14 +314,20 @@ def query_gram_offsets(normalized: str, ngram_size: int,
         flags = [_is_cjk(ord(c)) for c in normalized]
         for i in range(n_cp):
             n = kanji_n if flags[i] else ascii_n
-            if i + n > n_cp:
-                continue
-            if not cross_boundary_ngrams and n > 1 and any(
-                    flags[i + j] != flags[i] for j in range(1, n)):
-                continue
-            out.append((normalized[i:i + n], i))
-            for j in range(i, i + n):
-                covered[j] = True
+            if i + n <= n_cp and not (
+                    not cross_boundary_ngrams and n > 1 and any(
+                        flags[i + j] != flags[i] for j in range(1, n))):
+                out.append((normalized[i:i + n], i))
+                for j in range(i, i + n):
+                    covered[j] = True
+            if (kanji_extra > 1 and flags[i]
+                    and kanji_extra != kanji_n
+                    and i + kanji_extra <= n_cp
+                    and all(flags[i + j]
+                            for j in range(1, kanji_extra))):
+                out.append((normalized[i:i + kanji_extra], i))
+                for j in range(i, i + kanji_extra):
+                    covered[j] = True
     else:
         n = ngram_size
         if n == 1:

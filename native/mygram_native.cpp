@@ -370,6 +370,180 @@ int64_t mg_shred_batch_all(const uint32_t* cps, const int64_t* doc_off,
   return total;
 }
 
+
+// kanji_extra emission (textproc.generate_hybrid_ngrams kanji_extra):
+// CJK positions ALSO emit a kanji_extra-gram when the whole window is
+// CJK. Returns the extra size to emit at i, or 0.
+static inline int32_t mg_extra_at(const uint32_t* t, int64_t n, int64_t i,
+                                  bool start_cjk, int32_t kanji_n,
+                                  int32_t kanji_extra) {
+  if (kanji_extra <= 1 || !start_cjk || kanji_extra == kanji_n ||
+      i + kanji_extra > n)
+    return 0;
+  for (int32_t j = 1; j < kanji_extra; ++j)
+    if (!is_cjk_ideograph(t[i + j])) return 0;
+  return kanji_extra;
+}
+
+// _x variants: same as the originals plus kanji_extra emission. Separate
+// symbols (not changed signatures) so a stale prebuilt .so can never be
+// called with the wrong ABI — python falls back to the pure path when
+// the symbol is absent.
+extern "C" int64_t mg_hybrid_ngrams_x(const uint32_t* cps, int64_t n,
+                                      int32_t ascii_n, int32_t kanji_n,
+                                      int32_t cross_boundary,
+                                      int32_t kanji_extra,
+                                      int32_t* out_start, int32_t* out_len,
+                                      uint64_t* out_hash) {
+  if (ascii_n <= 0 || kanji_n <= 0 || n <= 0) return 0;
+  int64_t count = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    bool start_cjk = is_cjk_ideograph(cps[i]);
+    int32_t size = start_cjk ? kanji_n : ascii_n;
+    if (i + size <= n) {
+      bool crossed = false;
+      if (!cross_boundary && size > 1) {
+        for (int32_t j = 1; j < size; ++j) {
+          if (is_cjk_ideograph(cps[i + j]) != start_cjk) {
+            crossed = true;
+            break;
+          }
+        }
+      }
+      if (!crossed) {
+        out_start[count] = static_cast<int32_t>(i);
+        out_len[count] = size;
+        out_hash[count] = gram_hash(cps + i, size);
+        ++count;
+      }
+    }
+    int32_t ex = mg_extra_at(cps, n, i, start_cjk, kanji_n, kanji_extra);
+    if (ex) {
+      out_start[count] = static_cast<int32_t>(i);
+      out_len[count] = ex;
+      out_hash[count] = gram_hash(cps + i, ex);
+      ++count;
+    }
+  }
+  return count;
+}
+
+extern "C" int64_t mg_shred_batch_x(const uint32_t* cps,
+                                    const int64_t* doc_off,
+                                    const int32_t* doc_len, int64_t n_docs,
+                                    int32_t ascii_n, int32_t kanji_n,
+                                    int32_t cross_boundary,
+                                    int32_t kanji_extra, int32_t* out_start,
+                                    int32_t* out_len, uint64_t* out_hash,
+                                    int32_t* out_doc_counts) {
+  if (ascii_n <= 0 || kanji_n <= 0) return 0;
+  int64_t total = 0;
+  std::vector<uint64_t> slots;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint32_t* t = cps + doc_off[d];
+    const int64_t n = doc_len[d];
+    int32_t dcount = 0;
+    size_t cap = 64;
+    while (cap < static_cast<size_t>(n) * 4 + 8) cap <<= 1;
+    slots.assign(cap, 0);
+    for (int64_t i = 0; i < n; ++i) {
+      bool start_cjk = is_cjk_ideograph(t[i]);
+      int32_t sizes[2];
+      int32_t n_sizes = 0;
+      int32_t size = start_cjk ? kanji_n : ascii_n;
+      if (i + size <= n) {
+        bool crossed = false;
+        if (!cross_boundary && size > 1) {
+          for (int32_t j = 1; j < size; ++j) {
+            if (is_cjk_ideograph(t[i + j]) != start_cjk) {
+              crossed = true;
+              break;
+            }
+          }
+        }
+        if (!crossed) sizes[n_sizes++] = size;
+      }
+      int32_t ex = mg_extra_at(t, n, i, start_cjk, kanji_n, kanji_extra);
+      if (ex) sizes[n_sizes++] = ex;
+      for (int32_t si = 0; si < n_sizes; ++si) {
+        int32_t sz = sizes[si];
+        uint64_t h = gram_hash(t + i, sz);
+        uint64_t key = h ? h : 1;
+        size_t pos = static_cast<size_t>(key) & (cap - 1);
+        bool dup = false;
+        while (slots[pos]) {
+          if (slots[pos] == key) {
+            dup = true;
+            break;
+          }
+          pos = (pos + 1) & (cap - 1);
+        }
+        if (dup) continue;
+        slots[pos] = key;
+        out_start[total] = static_cast<int32_t>(doc_off[d] + i);
+        out_len[total] = sz;
+        out_hash[total] = h;
+        ++total;
+        ++dcount;
+      }
+    }
+    out_doc_counts[d] = dcount;
+  }
+  return total;
+}
+
+extern "C" int64_t mg_shred_batch_all_x(const uint32_t* cps,
+                                        const int64_t* doc_off,
+                                        const int32_t* doc_len,
+                                        int64_t n_docs, int32_t ascii_n,
+                                        int32_t kanji_n,
+                                        int32_t cross_boundary,
+                                        int32_t kanji_extra,
+                                        int32_t* out_start,
+                                        int32_t* out_len,
+                                        uint64_t* out_hash,
+                                        int32_t* out_doc_counts) {
+  if (ascii_n <= 0 || kanji_n <= 0) return 0;
+  int64_t total = 0;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const uint32_t* t = cps + doc_off[d];
+    const int64_t n = doc_len[d];
+    int32_t dcount = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      bool start_cjk = is_cjk_ideograph(t[i]);
+      int32_t size = start_cjk ? kanji_n : ascii_n;
+      if (i + size <= n) {
+        bool crossed = false;
+        if (!cross_boundary && size > 1) {
+          for (int32_t j = 1; j < size; ++j) {
+            if (is_cjk_ideograph(t[i + j]) != start_cjk) {
+              crossed = true;
+              break;
+            }
+          }
+        }
+        if (!crossed) {
+          out_start[total] = static_cast<int32_t>(doc_off[d] + i);
+          out_len[total] = size;
+          out_hash[total] = gram_hash(t + i, size);
+          ++total;
+          ++dcount;
+        }
+      }
+      int32_t ex = mg_extra_at(t, n, i, start_cjk, kanji_n, kanji_extra);
+      if (ex) {
+        out_start[total] = static_cast<int32_t>(doc_off[d] + i);
+        out_len[total] = ex;
+        out_hash[total] = gram_hash(t + i, ex);
+        ++total;
+        ++dcount;
+      }
+    }
+    out_doc_counts[d] = dcount;
+  }
+  return total;
+}
+
 // ---------------------------------------------------------------------------
 // Positional finalize, pass A: per-term occurrence + unique-doc histograms
 // over one occurrence chunk. last_doc (V,) persists across chunks (stream

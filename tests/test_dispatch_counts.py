@@ -133,11 +133,25 @@ def test_pipeline_cjk_stays_on_fused_text_path(pipe):
     """r5 routing assertion: even with the positional index built
     (device.positional_verify on in this fixture), serving routes CJK
     verify queries through the fused TEXT path — the positional engine
-    lost its A/B (749 vs 3,589 QPS at 1.1M) and left the serving path."""
-    n, out = dispatches_of(pipe, "SEARCH articles 東京 LIMIT 10")
+    lost its A/B (749 vs 3,589 QPS at 1.1M) and left the serving path.
+    Uses a 3-char CJK term: 2-char terms are covered-exact under
+    kanji_extra_ngram and skip the verify entirely (next test)."""
+    n, out = dispatches_of(pipe, "SEARCH articles 全文検 LIMIT 10")
     assert n == 1, n
     assert out.total == 1
     assert out.debug.optimization_used == "device_fused_verify", \
+        out.debug.optimization_used
+
+
+def test_pipeline_cjk_covered_exact_skips_verify(pipe):
+    """kanji_extra_ngram emission: a 2-char CJK term shreds to one exact
+    covering gram, so the gram AND IS substring semantics — serving
+    routes it through the plain index top-n path (no text verify, one
+    dispatch) with identical results."""
+    n, out = dispatches_of(pipe, "SEARCH articles 東京 LIMIT 10")
+    assert n == 1, n
+    assert out.total == 1
+    assert out.debug.optimization_used == "device_topn", \
         out.debug.optimization_used
 
 

@@ -64,10 +64,11 @@ def test_dump_roundtrip_preserves_positional(tmp_path):
     ctx, cfg = make_ctx()
     assert ctx.index.device.positional is not None
     out0, pks0 = run(ctx, cfg, "SEARCH articles 日本 LIMIT 10")
-    # r5: serving always routes through the fused text verify (the
-    # positional engine lost its A/B and left the serving path); the
-    # positional index itself must still survive the dump lifecycle
-    assert out0.debug.optimization_used == "device_fused_verify"
+    # r5: the positional engine left the serving path, and 2-char CJK
+    # terms are covered-exact under kanji_extra_ngram (index answer ==
+    # substring semantics, no text check); the positional index itself
+    # must still survive the dump lifecycle
+    assert out0.debug.optimization_used == "device_topn"
 
     path = str(tmp_path / "pos.dump")
     dump_format.save_dump(path, {"cfg": 1}, [ctx.table_state()])
@@ -79,7 +80,7 @@ def test_dump_roundtrip_preserves_positional(tmp_path):
     assert ctx2.index.device.positional is not None, \
         "restore dropped the positional index"
     out1, pks1 = run(ctx2, cfg, "SEARCH articles 日本 LIMIT 10")
-    assert out1.debug.optimization_used == "device_fused_verify"
+    assert out1.debug.optimization_used == "device_topn"
     assert out1.total == out0.total and set(pks1) == set(pks0)
 
 
@@ -111,7 +112,9 @@ def test_legacy_dump_without_positional_still_restores(tmp_path):
     ctx2.restore_from_state(tables[0])
     assert ctx2.index.device.positional is None
     out, pks = run(ctx2, cfg, "SEARCH articles 日本 LIMIT 10")
-    assert out.debug.optimization_used == "device_fused_verify"
+    # the dump carried kanji_extra_ngram, so the 2-char CJK term stays
+    # covered-exact (topn) after restore
+    assert out.debug.optimization_used == "device_topn"
     assert out.total == 3
 
 
@@ -126,9 +129,10 @@ def test_optimize_rebuilds_positional_with_mutations():
     assert len(ctx.index.delta) == 0
     pp = ctx.index.device.positional
     assert pp is not None, "optimize dropped the positional index"
-    # the compacted segment serves the mutated corpus
+    # the compacted segment serves the mutated corpus (2-char CJK =
+    # covered-exact topn under kanji_extra_ngram)
     out, pks = run(ctx, cfg, "SEARCH articles 東京 LIMIT 10")
-    assert out.debug.optimization_used == "device_fused_verify"
+    assert out.debug.optimization_used == "device_topn"
     assert set(pks) == {"2", "4"}  # update added, doc 5 had no 東京
     out2, pks2 = run(ctx, cfg, "SEARCH articles 金閣寺 LIMIT 10")
     assert set(pks2) == {"100"}
