@@ -343,7 +343,12 @@ def main() -> int:
                                                   idx.n_docs_capacity)
         pack_secs = time.time() - t0
         B = min(args.batch, 64)
-        ja_q = gen.sample_ja_terms(B * 60)
+        # real CJK streams are not all 2-char terms: mix in 3- and
+        # 4-char terms (which stay on the verified buckets — their
+        # bigram-tightened ANDs still need the window verify)
+        ja_q = (gen.sample_ja_terms(B * 40)
+                + gen.sample_ja_terms(B * 16, term_len=3)
+                + gen.sample_ja_terms(B * 10, term_len=4))
         # serving routes any driver-df bucket the kernel supports through
         # the fused path (pipeline falls back only past the LAST bucket)
         C_LIMIT = idx.candidate_buckets[-1]
@@ -376,35 +381,28 @@ def main() -> int:
             nlen[0] = cp.size
             dense, sparse = idx.classify(tids)
             if nt in g:
-                sparse_s = sorted(sparse,
-                                  key=lambda t: int(idx.lengths[t]))
-                if sparse_s and int(idx.lengths[sparse_s[0]]) > 0 and \
-                        idx._cand_bucket(int(idx.lengths[sparse_s[0]])) \
-                        <= idx.candidate_buckets[-1]:
-                    sp_off = [int(idx.offsets32[t]) for t in sparse_s[1:]]
-                    sp_len = [int(idx.lengths[t]) for t in sparse_s[1:]]
-                    sp_inv = [False] * len(sp_off)
-                    while len(sp_off) < Ks:
-                        sp_off.append(0); sp_len.append(0)
-                        sp_inv.append(True)
-                    dn = list(dense)
-                    dn_inv = [False] * len(dn)
-                    while len(dn) < Kd:
-                        dn.append(idx.ones_row); dn_inv.append(False)
-                    cov_payload.append({
-                        "kind": "sparse", "term": term,
-                        "d_off": int(idx.offsets32[sparse_s[0]]),
-                        "d_len": int(idx.lengths[sparse_s[0]]),
-                        "sp_off": sp_off, "sp_len": sp_len,
-                        "sp_inv": sp_inv, "dn": dn, "dn_inv": dn_inv,
-                        "C": idx._cand_bucket(
-                            int(idx.lengths[sparse_s[0]]))})
-                elif not sparse_s:
-                    rows = list(dense)
+                # serving collapses a covered term to its covering gram
+                # (pipeline.term_info): ONE posting lookup, no probes
+                ctid = built.term_dict.get(nt)
+                r = int(idx.dense_row[ctid])
+                if r >= 0:
+                    rows = [r]
                     while len(rows) < _k_bucket(len(rows)):
                         rows.append(idx.ones_row)
                     cov_payload.append({"kind": "dense", "term": term,
                                         "rows": rows, "K": len(rows)})
+                elif int(idx.lengths[ctid]) > 0 and idx._cand_bucket(
+                        int(idx.lengths[ctid])) <= \
+                        idx.candidate_buckets[-1]:
+                    cov_payload.append({
+                        "kind": "sparse", "term": term,
+                        "d_off": int(idx.offsets32[ctid]),
+                        "d_len": int(idx.lengths[ctid]),
+                        "sp_off": [0] * Ks, "sp_len": [0] * Ks,
+                        "sp_inv": [True] * Ks,
+                        "dn": [idx.ones_row] * Kd,
+                        "dn_inv": [False] * Kd,
+                        "C": idx._cand_bucket(int(idx.lengths[ctid]))})
                 else:
                     skipped["too_big"] += 1
                 continue
@@ -547,7 +545,8 @@ def main() -> int:
             extra_j = jnp.zeros((1, 1), dtype=jnp.uint32)
             fn = _ft.partial(_sparse_query_batch, C=C, Cmax=Cmax,
                              limit_b=128, descending=True,
-                             n_words=idx.n_words, has_extra=False)
+                             n_words=idx.n_words, has_extra=False,
+                             probe_free=True)
 
             def vstep(_, defer=False):
                 out = fn(idx.postings, idx.bitmaps, idx.deleted,
@@ -703,6 +702,18 @@ def main() -> int:
                 "buckets": cov_bucket, "bucket_hist": cov_hist,
                 "n_queries": n_cov,
             }
+        if per_bucket or dense_bucket or cov_steps:
+            tot_all = n_sparse + n_dense + n_cov
+            mix_all = (expand(sparse_steps, tot_all)
+                       + expand(dense_steps, tot_all)
+                       + expand(cov_steps, tot_all))
+            res_full_mix = {
+                "qps": run_throughput(mix_all),
+                "n_sparse": n_sparse, "n_dense": n_dense,
+                "n_covered": n_cov,
+                "n_zero_result": skipped["miss"],
+                "skipped": skipped,
+            }
         if not per_bucket and not dense_bucket:
             res_verified = {"skipped": skipped,
                             "text_pack_secs": round(pack_secs, 1),
@@ -732,17 +743,6 @@ def main() -> int:
                     "device_per_query_us": wavg(dense_bucket,
                                                 "device_per_query_us"),
                     "buckets": dense_bucket, "bucket_hist": dense_hist,
-                }
-            if per_bucket and dense_bucket:
-                # stream-weighted FULL-MIX throughput: every sampled
-                # query shape that serving would route through the fused
-                # verified path, in its observed proportion (the r4
-                # headline covered only the sparse-driver ~29%)
-                mix = expand(sparse_steps, n_sparse + n_dense) +                     expand(dense_steps, n_sparse + n_dense)
-                res_full_mix = {
-                    "qps": run_throughput(mix),
-                    "n_sparse": n_sparse, "n_dense": n_dense,
-                    "skipped": skipped,
                 }
         # verified parity vs sampled texts: counts must equal substring
         # ground truth on the sample intersection (checked per bucket)

@@ -103,11 +103,12 @@ def _sparse_query(postings, bitmaps, deleted, extra, d_off, d_len,
 
 @functools.partial(jax.jit, static_argnames=("C", "Cmax", "limit_b",
                                              "descending", "n_words",
-                                             "has_extra"))
+                                             "has_extra", "probe_free"))
 def _sparse_query_batch(postings, bitmaps, deleted, d_off, d_len,
                         sp_off, sp_len, sp_inv, dn_rows, dn_inv, extra,
                         *, C: int, Cmax: int, limit_b: int, descending: bool,
-                        n_words: int, has_extra: bool = False):
+                        n_words: int, has_extra: bool = False,
+                        probe_free: bool = False):
     """Batched sparse candidate-probe query: one dispatch for B concurrent
     queries sharing a shape bucket (the sparse-path analog of the dense
     micro-batch). d_off/d_len: (B,); sp_*: (B, Ks); dn_*: (B, Kd);
@@ -119,20 +120,30 @@ def _sparse_query_batch(postings, bitmaps, deleted, d_off, d_len,
 
     B, Ks = sp_off.shape
     # batch-level slice gathers (the Pallas DMA fast path runs outside
-    # the vmap; per-lane gathers lowered to serial element gathers)
+    # the vmap; per-lane gathers lowered to serial element gathers).
+    # probe_free: the covered-exact shape (one covering gram, nothing to
+    # probe) — the no-op membership/bitmap stages are NOT free (their
+    # bucket-floor gathers measured ~420 us/query of the covered
+    # dispatch at 1.1M), so skip them entirely.
     cands_all = gather_slices(postings, d_off, d_len, C)
-    sp_all = gather_slices(postings, sp_off.reshape(B * Ks),
-                           sp_len.reshape(B * Ks), Cmax
-                           ).reshape(B, Ks, Cmax)
+    if probe_free:
+        sp_all = jnp.zeros((B, 1, 1), dtype=jnp.int32)
+    else:
+        sp_all = gather_slices(postings, sp_off.reshape(B * Ks),
+                               sp_len.reshape(B * Ks), Cmax
+                               ).reshape(B, Ks, Cmax)
 
     def one(cands, sp, sinv, drows, dinv):
         cmask = cands != SENTINEL
         clip = jnp.clip(cands, 0, n_words * 32 - 1)
-        spm = jnp.logical_xor(membership_sorted(sp, cands), sinv[:, None])
-        dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
-                              dinv[:, None])
         alive = jnp.logical_not(bit_member(deleted, clip))
-        mask = (cmask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0) & alive)
+        mask = cmask & alive
+        if not probe_free:
+            spm = jnp.logical_xor(membership_sorted(sp, cands),
+                                  sinv[:, None])
+            dnm = jnp.logical_xor(bitmap_membership(bitmaps, drows, clip),
+                                  dinv[:, None])
+            mask = mask & jnp.all(spm, axis=0) & jnp.all(dnm, axis=0)
         if has_extra:
             w = jnp.right_shift(clip, 5)
             bb = jnp.bitwise_and(clip, 31).astype(jnp.uint32)

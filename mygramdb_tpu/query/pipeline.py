@@ -182,6 +182,15 @@ class SearchPipeline:
             t.cross_boundary_ngrams,
             kanji_extra=self.ctx.kanji_extra_effective)
         grams = sorted(set(grams))
+        if normalized in grams:
+            # a gram equal to the whole term subsumes every other gram
+            # (doc contains the term <=> doc has this gram, and then it
+            # necessarily has all sub-grams): the AND collapses to ONE
+            # posting lookup — no probes, no dense bitmap gathers. This
+            # is where the kanji_extra_ngram emission pays: measured
+            # 656 -> ~90 us/query device at 1.1M (redundant unigram
+            # probes were the whole cost of the covered dispatch).
+            grams = [normalized]
         est = 0
         if grams:
             sizes = [self.sn.index.term_df(g) for g in grams]

@@ -248,8 +248,14 @@ class MicroBatcher:
             "d_off": d_off, "d_len": d_len, "sp_off": sp_off,
             "sp_len": sp_len, "sp_inv": sp_inv, "dn_rows": dn_rows,
             "dn_inv": dn_inv, "extra": extra})
+        # covered-exact shape: nothing to probe — batch with peers on the
+        # probe-free program (the no-op probe stages cost real gathers)
+        probe_free = (all(not l for l in sp_len)
+                      and all(r == self.idx.ones_row and not i
+                              for r, i in zip(dn_rows, dn_inv)))
         key = ("sparse", C, Cmax, len(sp_off), len(dn_rows),
-               limit_b, descending, tuple(id(x) for x in extra))
+               limit_b, descending, probe_free,
+               tuple(id(x) for x in extra))
         self._enqueue(key, req)
         return req.total, req.ids
 
@@ -449,7 +455,7 @@ class MicroBatcher:
         import jax.numpy as jnp
         from ..index.device_index import _sparse_query_batch
         idx = self.idx
-        _, C, Cmax, Ks, Kd, limit_b, descending, _eids = key
+        _, C, Cmax, Ks, Kd, limit_b, descending, probe_free, _eids = key
         B = len(q)
         B_pad = self._pad_b(B)
         d_off = np.zeros(B_pad, dtype=np.int32)
@@ -478,7 +484,8 @@ class MicroBatcher:
             jnp.asarray(sp_off), jnp.asarray(sp_len), jnp.asarray(sp_inv),
             jnp.asarray(dn_rows), jnp.asarray(dn_inv), extra,
             C=C, Cmax=Cmax, limit_b=limit_b, descending=descending,
-            n_words=idx.n_words, has_extra=bool(extra_rows))
+            n_words=idx.n_words, has_extra=bool(extra_rows),
+            probe_free=probe_free)
         count_np = np.asarray(count)
         ids_np = np.asarray(ids)
         self.batches_executed += 1
