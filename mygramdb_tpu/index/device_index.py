@@ -241,9 +241,18 @@ class DeviceIndex:
         n_docs = max(built.n_docs, 1)
         dense_min_df = max(int(dense_df_ratio * n_docs), 1)
         dense_candidates = np.flatnonzero(df >= dense_min_df)
-        if dense_candidates.size > max_dense_terms:
+        # each dense row costs n_words*4 bytes of HBM (1.25 MB per row at
+        # 10M docs) — cap the bitmap matrix by BYTES, not just row count,
+        # or a gram-rich corpus (kanji_extra bigrams) OOMs the device at
+        # scale; the df-rank order keeps the heaviest terms dense
+        import os as _os
+        dense_budget = int(_os.environ.get("MYGRAM_DENSE_BUDGET_MB",
+                                           "1536")) << 20
+        row_cap = max(int(dense_budget // max(self.n_words * 4, 1)), 64)
+        cap = min(max_dense_terms, row_cap)
+        if dense_candidates.size > cap:
             order = np.argsort(df[dense_candidates])[::-1]
-            dense_candidates = dense_candidates[order[:max_dense_terms]]
+            dense_candidates = dense_candidates[order[:cap]]
             dense_candidates.sort()
         self.dense_row = np.full(V, -1, dtype=np.int32)
         self.dense_row[dense_candidates] = np.arange(
@@ -289,6 +298,31 @@ class DeviceIndex:
         if self.mesh is not None:
             self._build_sharded_csr(built)
         if self.postings_sh is None:
+            # DENSE terms never gather their CSR slice on device (every
+            # device path classifies first: dense terms ride bitmap
+            # rows; host paths read built.postings) — so the device CSR
+            # stores SPARSE slices only. At 10M docs the dense slices
+            # are ~1-2 GB of HBM that pushed the flat-text layout past
+            # the budget (r5 OOM). Dense entries' device offsets point
+            # at the SENTINEL tail, so an accidental gather yields an
+            # empty slice, not another term's postings. The positional
+            # index expands occurrences through the full CSR, so it
+            # keeps the uncompacted layout.
+            post_np = np.asarray(built.postings, dtype=np.int32)
+            dev_off = built.offsets
+            dev_len = built.lengths
+            if built.positional is None and self.n_dense > 0:
+                keep = np.ones(V, dtype=bool)
+                keep[dense_candidates] = False
+                seg_keep = np.repeat(keep, built.lengths)
+                post_np = post_np[seg_keep]
+                dev_len = np.where(keep, built.lengths, 0).astype(
+                    built.lengths.dtype)
+                dev_off = np.zeros(V, dtype=np.int64)
+                np.cumsum(dev_len[:-1], out=dev_off[1:])
+                dev_off[dense_candidates] = post_np.size  # sentinel tail
+                self.upload_detail["csr_dense_dropped_mb"] = round(
+                    (built.postings.size - post_np.size) * 4 / 2 ** 20, 1)
             # sentinel tail rides as a device-side concat chunk — a host
             # pad_postings concatenate first-touches ~450 MB at 1.1M docs
             # and stalls minutes under VM memory weather
@@ -297,14 +331,14 @@ class DeviceIndex:
             # falls back to the raw chunked put for sharded targets /
             # small arrays / MYGRAM_DISABLE_U16_WIRE=1
             self.postings = wire.delta_put_postings(
-                np.asarray(built.postings, dtype=np.int32),
-                built.offsets, built.lengths,
+                post_np, dev_off, dev_len,
                 self._repl_sharding or device,
                 tail=np.full(posting_ops.SLICE_GATHER_PAD,
                              int(SENTINEL), dtype=np.int32),
                 detail=self.upload_detail)
             self.upload_detail["postings_put_s"] = round(
                 time.time() - _t0, 2)
+            self._dev_offsets = dev_off
             _t0 = time.time()
         else:
             # no replicated device CSR on the mesh: sparse search,
@@ -312,7 +346,10 @@ class DeviceIndex:
             # programs (parallel/mesh.py); threshold routes to the host
             # fallback (guarded on postings_sh)
             self.postings = None
-        self.offsets32 = built.offsets.astype(np.int32)
+        # device-facing offsets (compacted CSR when dense slices were
+        # dropped); host paths (postings_of) keep built.offsets
+        self.offsets32 = getattr(self, "_dev_offsets",
+                                 built.offsets).astype(np.int32)
         self.lengths = built.lengths
         self.deleted_host = np.zeros(self.n_words, dtype=np.uint32)
         del_target = self._row_sharding or device

@@ -108,33 +108,42 @@ def chunked_device_put(arr, target, chunk_bytes: int = _PUT_CHUNK_BYTES,
     n = arr.shape[0]
     debug = os.environ.get("MYGRAM_PUT_DEBUG") == "1"
     t0 = _time.time() if debug else 0.0
-    parts = [jax.device_put(np.ascontiguousarray(arr[i:i + rows_per]),
-                            target)
-             for i in range(0, n, rows_per)]
+    # Preallocate the FINAL buffer on device and donate-update chunks
+    # into it. The old parts-list + concatenate pattern left the freed
+    # 32 MB chunk buffers as permanent arena holes — after a 10M-doc
+    # upload (~7.5 GB of chunked arrays) the device could not satisfy a
+    # 256 MB request with gigabytes nominally free (measured r5:
+    # headroom 0.0 GB after build, RESOURCE_EXHAUSTED on the first
+    # verified dispatch). One contiguous allocation per array + a
+    # recycled per-chunk staging buffer leaves the arena clean.
+    import jax.numpy as jnp
+    from jax import lax
+    tail_rows = 0 if tail is None else tail.shape[0]
+    final_shape = (n + tail_rows,) + arr.shape[1:]
+    with jax.default_device(target if isinstance(target, jax.Device)
+                            else None):
+        buf = jnp.zeros(final_shape, dtype=arr.dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=())
+    def upd(b, c, i):
+        idx = (i,) + (0,) * (b.ndim - 1)
+        return lax.dynamic_update_slice(b, c, idx)
+
+    for i in range(0, n, rows_per):
+        chunk = np.ascontiguousarray(arr[i:i + rows_per])
+        buf = upd(buf, jax.device_put(chunk, target), jnp.int32(i))
     if tail is not None:
-        parts.append(jax.device_put(np.ascontiguousarray(tail), target))
+        buf = upd(buf, jax.device_put(np.ascontiguousarray(tail), target),
+                  jnp.int32(n))
     if debug:
-        t_issue = _time.time() - t0
-        for p in parts:
-            p.block_until_ready()
-        np.asarray(jax.device_get(parts[-1].ravel()[:1]))
-        t_sync = _time.time() - t0 - t_issue
-    if len(parts) == 1:
-        out = parts[0]
-    else:
-        import jax.numpy as jnp
-        out = jnp.concatenate(parts)
-        if target is not None:
-            out = jax.device_put(out, target)  # no-op when already placed
-    if debug:
-        np.asarray(jax.device_get(out.ravel()[:1]))
+        np.asarray(jax.device_get(buf.ravel()[:1]))
         import sys
-        print(f"# chunked_put {arr.nbytes >> 20} MB: issue {t_issue:.2f}s "
-              f"sync {t_sync:.2f}s concat "
-              f"{_time.time() - t0 - t_issue - t_sync:.2f}s "
+        print(f"# chunked_put {arr.nbytes >> 20} MB in "
+              f"{_time.time() - t0:.2f}s "
               f"({arr.nbytes / 2 ** 20 / max(_time.time() - t0, 1e-9):.1f}"
               " MB/s)", file=sys.stderr, flush=True)
-    return out
+    return buf
 
 
 class _DispatchCounter:

@@ -155,8 +155,23 @@ def delta_put_postings(postings: np.ndarray, offsets: np.ndarray,
             hi = int(row_starts[k])
         seg_bounds.append(hi)
 
+    # Preallocate the final decoded buffer and donate-update each
+    # segment into it: the old per-segment parts + concatenate pattern
+    # left multi-hundred-MB arena holes (see runtime.chunked_device_put's
+    # fragmentation note — the r5 10M OOM).
+    tail_n = 0 if tail is None else int(tail.shape[0])
+    with jax.default_device(target if isinstance(target, jax.Device)
+                            else None):
+        import jax.numpy as _jnp
+        buf = _jnp.zeros((E_total + tail_n,), dtype=_jnp.int32)
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def _upd(b, c, i):
+        return jax.lax.dynamic_update_slice(b, c, (i,))
+
     scratch = np.empty(min(_MAX_SEG_E, E_total), dtype=np.int32)
-    parts = []
     wire_bytes = 0
     for lo, hi in zip(seg_bounds[:-1], seg_bounds[1:]):
         E = hi - lo
@@ -194,10 +209,11 @@ def delta_put_postings(postings: np.ndarray, offsets: np.ndarray,
             low_dev, jax.device_put(st_p, target),
             jax.device_put(fi_p, target), jax.device_put(xi_p, target),
             jax.device_put(xh_p, target))
-        parts.append(ids if Ep == E else ids[:E])
+        buf = _upd(buf, ids if Ep == E else ids[:E], jnp.int32(lo))
     if tail is not None:
-        parts.append(jax.device_put(np.ascontiguousarray(tail), target))
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        buf = _upd(buf, jax.device_put(
+            np.ascontiguousarray(tail).astype(np.int32), target),
+            jnp.int32(E_total))
     if detail is not None:
         detail["postings_wire_mb"] = round(wire_bytes / 2 ** 20, 1)
-    return out
+    return buf
